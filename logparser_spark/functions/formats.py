@@ -1,0 +1,304 @@
+"""Format-spec mini-language compiler.
+
+Compiles LogParser-style format strings such as::
+
+    {INT:Date} {INT:Time} {STR:Level} :{CHR:,.,1}{STR:Source}: {STR:Mesg}
+
+into a :class:`FormatSpec`: an ordered list of typed field specs, the target
+Spark ``StructType``, and an anchored possessive regex usable as a vectorized
+fast path.
+
+Grammar semantics mirror the reference compiler
+(``/root/reference/src/line_parsing/line_format.hpp:176-284``):
+
+- a literal space in the spec -> a ``WS`` field (skip a run of non-newline
+  whitespace, zero or more, never fails);
+- any other literal char ``c`` -> an anonymous ``CHR(c, repeat=False)`` field;
+- ``{INT:Name}`` / ``{DBL:Name}`` -> named numeric fields;
+- ``{CHR:Name,c,r}`` -> match char ``c``; ``r != '0'`` means greedy repeat;
+- ``{STR:Name,N}`` -> exactly N chars (``NCHAR``);
+- ``{STR:Name}`` followed by a space -> stop at any whitespace (``ANY_WS``);
+- ``{STR:Name}X`` (any other following char, including end-of-spec, where the
+  stop char is ``\\0``) -> stop at delimiter ``X``; delim ``\\0`` reads to EOL;
+- field names are optional; unnamed fields are not filterable;
+- duplicate names: last one wins for name lookup (both are still parsed).
+
+The quirk that a ``{TAG`` without a ``:`` at offset 3 falls through and is then
+re-consumed as literal characters is reproduced faithfully (reference
+``line_format.hpp:195-207`` never advances ``idx`` past the tag in that case).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from enum import Enum
+from typing import Optional
+
+
+class FieldType(Enum):
+    INT = "INT"
+    DBL = "DBL"
+    CHR = "CHR"
+    STR = "STR"
+    WS = "WS"
+
+
+class StrStop(Enum):
+    NCHAR = "NCHAR"
+    DELIM = "DELIM"
+    ANY_WS = "ANY_WS"
+
+
+# The C-locale isspace() set. NOTE: deliberately not Python's str.isspace(),
+# which is Unicode-aware; the reference compares raw bytes.
+C_WHITESPACE = " \t\n\v\f\r"
+# WS fields skip whitespace but never cross a newline
+# (reference parsing_basics.cpp:71-74).
+WS_NO_NEWLINE = " \t\v\f\r"
+
+
+@dataclass
+class FieldSpec:
+    """One typed field in a format spec."""
+
+    ftype: FieldType
+    name: str = ""
+    # CHR options
+    target: str = ""
+    repeat: bool = False
+    # STR options
+    stop: Optional[StrStop] = None
+    delim: str = "\0"
+    nchar: int = 0
+
+    def out_name(self, idx: int) -> str:
+        """Output column name: the declared name, or a positional fallback."""
+        return self.name if self.name else f"f{idx}"
+
+
+@dataclass
+class FormatSpec:
+    """A compiled format: ordered fields + derived artifacts."""
+
+    fields: list[FieldSpec] = dc_field(default_factory=list)
+    name: str = "default"
+    source: str = ""
+
+    # ---- derived accessors -------------------------------------------------
+
+    def counts(self) -> dict[str, int]:
+        c = {t.value: 0 for t in FieldType}
+        for f in self.fields:
+            c[f.ftype.value] += 1
+        return c
+
+    def output_fields(self) -> list[tuple[int, FieldSpec]]:
+        """(field_index, spec) for every value-producing (non-WS) field."""
+        return [(i, f) for i, f in enumerate(self.fields) if f.ftype != FieldType.WS]
+
+    def field_by_name(self, name: str) -> Optional[tuple[int, FieldSpec]]:
+        """Resolve a field name. Last duplicate wins, mirroring the
+        reference's ``name_to_field`` overwrite (line_format.hpp:114-121)."""
+        found = None
+        for i, f in enumerate(self.fields):
+            if f.name and f.name == name:
+                found = (i, f)
+        return found
+
+    def column_names(self) -> list[str]:
+        """Struct column names for every non-WS field, positionally stable.
+
+        A field whose name is shadowed by a later duplicate is emitted under
+        its positional name so struct columns stay unique.
+        """
+        names = []
+        for i, f in self.output_fields():
+            owner = self.field_by_name(f.name) if f.name else None
+            if f.name and owner is not None and owner[0] == i:
+                names.append(f.name)
+            else:
+                names.append(f"f{i}")
+        return names
+
+    # ---- regex fast path ----------------------------------------------------
+
+    def to_regex(self) -> str:
+        """Anchored possessive regex implementing the parse program.
+
+        Trailing instructions are optional via nested ``(?:...)?`` groups so a
+        line that ends exactly at a field boundary still matches (the
+        reference's ``s < end`` loop guard, line_parser.cpp:65) while any
+        unconsumed tail fails the anchored ``$`` (``:96``).
+
+        Soundness: possessive quantifiers mirror the reference's greedy
+        no-backtracking char-walker; whenever this regex matches, the walker
+        produces the same consumption and (after the DBL post-checks in
+        ``operators/parse.py``) the same values. When it does not match, the
+        caller MUST fall back to the oracle walker: the walker can succeed in
+        ways no regex can express (e.g. ``parse_int`` accepting ``-5`` by
+        value without consuming the sign, parsing_basics.cpp:8-12).
+        """
+        frags = []
+        for i, f in enumerate(self.fields):
+            g = f"g{i}"
+            if f.ftype == FieldType.INT:
+                frags.append(f"(?P<{g}>[0-9]++)")
+            elif f.ftype == FieldType.DBL:
+                # Require a leading digit/dot (walker may succeed without
+                # consuming; those rows must take the fallback), forbid a
+                # well-formed exponent continuation (atof would consume it
+                # by value while the cursor would not).
+                frags.append(
+                    f"(?P<{g}>(?=[0-9.])[0-9]*+(?:\\.[0-9]*+)?+)(?![eE][-+]?[0-9])"
+                )
+            elif f.ftype == FieldType.CHR:
+                t = re.escape(f.target)
+                rep = f"{t}*+" if f.repeat else ""
+                frags.append(f"(?P<{g}>{t}){rep}")
+            elif f.ftype == FieldType.STR:
+                if f.stop == StrStop.NCHAR:
+                    frags.append(f"(?P<{g}>.{{{f.nchar}}})")
+                elif f.stop == StrStop.ANY_WS:
+                    frags.append(f"(?P<{g}>[^{re.escape(C_WHITESPACE)}]*+)")
+                else:  # DELIM; '\0' means read-to-EOL (no '\0' in split lines)
+                    if f.delim == "\0":
+                        frags.append(f"(?P<{g}>[^\\n]*+)")
+                    else:
+                        frags.append(f"(?P<{g}>[^{re.escape(f.delim)}\\n]*+)")
+            elif f.ftype == FieldType.WS:
+                frags.append(f"[{re.escape(WS_NO_NEWLINE)}]*+")
+        # Nest: every instruction is skippable iff the cursor is at EOL.
+        pat = ""
+        for frag in reversed(frags):
+            pat = f"(?:{frag}{pat})?"
+        return f"^{pat}$"
+
+    def spark_schema(self):
+        """StructType for the parsed struct (imported lazily; this module
+        stays importable without a JVM for the pure-Python oracle tests)."""
+        from pyspark.sql import types as T
+
+        spark_types = {
+            FieldType.INT: T.LongType(),
+            FieldType.DBL: T.DoubleType(),
+            FieldType.CHR: T.StringType(),
+            FieldType.STR: T.StringType(),
+        }
+        cols = self.column_names()
+        fields = [
+            T.StructField(cols[k], spark_types[f.ftype], True)
+            for k, (_, f) in enumerate(self.output_fields())
+        ]
+        fields.append(T.StructField("well_formed", T.BooleanType(), False))
+        return T.StructType(fields)
+
+
+def compile_format(fmt_str: str, name: str = "default") -> FormatSpec:
+    """Compile a format string; faithful to LineFormat::fromFormatString
+    (line_format.hpp:176-284), including its fall-through quirks."""
+
+    spec = FormatSpec(name=name, source=fmt_str)
+
+    def ch(i: int) -> str:
+        # C reads one past the end of std::string and sees '\0'.
+        return fmt_str[i] if 0 <= i < len(fmt_str) else "\0"
+
+    idx = 0
+    while idx < len(fmt_str):
+        c = fmt_str[idx]
+        if c != "{":
+            if c == " ":
+                spec.fields.append(FieldSpec(FieldType.WS))
+            else:
+                spec.fields.append(FieldSpec(FieldType.CHR, target=c, repeat=False))
+            idx += 1
+            continue
+
+        idx += 1
+        c = ch(idx)
+        field_name = ""
+        stsp: Optional[StrStop] = None
+        str_n_char = 0
+        str_stp_chr = "\0"
+        field_chr = "\0"
+        chr_repeat = False
+
+        if ch(idx + 3) == ":":
+            name_begin = idx + 4
+            name_end = name_begin
+            while True:
+                cc = ch(name_end)
+                if cc in ("\0", ",", "}"):
+                    break
+                name_end += 1
+            field_name = fmt_str[name_begin:name_end]
+
+            if ch(name_end) == ",":
+                if c == "S":
+                    m = re.match(r"[0-9]*", fmt_str[name_end + 1:])
+                    str_n_char = int(m.group(0)) if m.group(0) else 0
+                    idx = name_end + 1 + len(m.group(0))
+                    if ch(idx) != "}":
+                        raise ValueError(f"bad STR nchar spec in {fmt_str!r}")
+                    stsp = StrStop.NCHAR
+                    idx += 1
+                elif c == "C":
+                    idx = name_end + 1
+                    field_chr = ch(idx)
+                    if ch(idx + 1) != ",":
+                        raise ValueError(f"bad CHR spec in {fmt_str!r}")
+                    idx += 2
+                    chr_repeat = ch(idx) != "0"
+                    if ch(idx + 1) != "}":
+                        raise ValueError(f"bad CHR spec in {fmt_str!r}")
+                    idx += 2
+                else:
+                    raise ValueError(
+                        f"only STR and CHR take params (at {idx} in {fmt_str!r})"
+                    )
+            elif ch(name_end) == "}" and c == "S":
+                if ch(name_end + 1) == " ":
+                    stsp = StrStop.ANY_WS
+                else:
+                    stsp = StrStop.DELIM
+                    str_stp_chr = ch(name_end + 1)  # '\0' at end-of-spec = EOL
+                idx = name_end + 1
+            else:
+                idx = name_end + 1
+
+        if c == "I":
+            spec.fields.append(FieldSpec(FieldType.INT, name=field_name))
+        elif c == "D":
+            spec.fields.append(FieldSpec(FieldType.DBL, name=field_name))
+        elif c == "S":
+            spec.fields.append(
+                FieldSpec(
+                    FieldType.STR,
+                    name=field_name,
+                    stop=stsp if stsp is not None else StrStop.DELIM,
+                    delim=str_stp_chr,
+                    nchar=str_n_char,
+                )
+            )
+        elif c == "C":
+            spec.fields.append(
+                FieldSpec(
+                    FieldType.CHR, name=field_name, target=field_chr, repeat=chr_repeat
+                )
+            )
+        else:
+            raise ValueError(f"unknown field tag {c!r} in {fmt_str!r}")
+
+    return spec
+
+
+# The default format for the RSVP router corpus, as built field-by-field in
+# the reference tests (test_helpers.hpp:46-60). Note the tests use
+# DELIM-space for Level where the string form compiles ANY_WS; both behave
+# identically on the corpus (no tabs inside levels).
+DEFAULT_FORMAT = "{INT:Date} {INT:Time} {STR:Level} :{CHR:,.,1}{STR:Source}: {STR:Mesg}"
+
+# The reference's catch-all profile default: one STR field of 0 chars
+# (ConfigHandler.cpp:27) — matches only empty lines; kept for parity.
+CATCHALL_FORMAT = "{STR:,0}"
