@@ -169,10 +169,17 @@ class FormatSpec:
             elif f.ftype == FieldType.WS:
                 frags.append(f"[{re.escape(WS_NO_NEWLINE)}]*+")
         # Nest: every instruction is skippable iff the cursor is at EOL.
+        # `(?!$)` reproduces the walker's `s < end` pre-instruction guard
+        # (line_parser.cpp:65): at exact EOL the instruction is skipped and
+        # its field stays unset, rather than a zero-width fragment
+        # "participating" and capturing ''.
         pat = ""
         for frag in reversed(frags):
-            pat = f"(?:{frag}{pat})?"
-        return f"^{pat}$"
+            pat = f"(?:(?!$){frag}{pat})?"
+        # `wf0` is a match sentinel: it participates (capturing '') iff the
+        # anchored pattern matched, letting pandas str.extract distinguish
+        # "matched with empty/unset fields" from "no match".
+        return f"^(?P<wf0>){pat}$"
 
     def spark_schema(self):
         """StructType for the parsed struct (imported lazily; this module

@@ -1,0 +1,153 @@
+"""Spark parse operator == pure-Python oracle, row for row.
+
+The Spark pipeline is tested for equality with the oracle (SURVEY.md §5),
+never against hard-coded values (except the §2 goldens which double-check
+the oracle itself).
+"""
+
+import pytest
+
+from logparser_spark.functions.formats import DEFAULT_FORMAT, compile_format
+from logparser_spark.functions.oracle import parse_line, split_lines
+from logparser_spark.operators.parse import explode_lines, parse_lines
+from logparser_spark.sources.corpus import GOLDEN_LINES
+
+SPEC = compile_format(DEFAULT_FORMAT)
+
+# deliberately nasty lines exercising every quirk the regex fast path must
+# hand off to the walker
+EDGE_LINES = [
+    "",
+    " ",
+    "\t\t",
+    "0322 085338 TRACE  :...x: msg",
+    "0322 085338",          # early exhaustion at field boundary
+    "0322 085338 ",         # exhaustion inside WS
+    "-5 123 LEVEL :.s: m",  # INT sign-no-consume -> malformed here
+    "0 0 A :.B: C",
+    "00 01 L :.S: M",
+    "9999999999 123 L :.S: M",
+    "abc",
+    "0x00 0x01 0x02 0x03 ..Da..Ba",
+    "322  \t 85338\tINFO   :...src:  tab ws",
+    "msg with no numbers",
+    "322 85338 INFO :x: lone\rcr",      # lone \r is payload
+    "0322 085338 TRACE  :......router_forward_getOI:         gateway:   0.0.0.0",
+]
+
+DBL_EDGE_LINES = [
+    "1.5 x",
+    "0.0 x",
+    ".5 x",
+    ". x",
+    ".x x",
+    "0 x",
+    "1.2.3 x",
+    "12. x",
+    "007.25 x",
+    "1e5 x",    # atof sees 100000 but cursor stops after '1' -> walker decides
+    "0x1A x",   # atof hex value, cursor consumes only '0'
+    "5x x",
+]
+
+
+def _to_rows(spark, lines):
+    return spark.createDataFrame(
+        [(i, l) for i, l in enumerate(lines)], "line_no INT, raw_line STRING"
+    )
+
+
+def _spark_parse(spark, lines, spec):
+    df = parse_lines(_to_rows(spark, lines), spec)
+    rows = {r["line_no"]: r["parsed"] for r in df.collect()}
+    return [rows[i] for i in range(len(lines))]
+
+
+def _assert_matches_oracle(spark, lines, spec):
+    got = _spark_parse(spark, lines, spec)
+    cols = spec.column_names()
+    for i, line in enumerate(lines):
+        want_vals, want_wf = parse_line(line, spec)
+        g = got[i]
+        assert g["well_formed"] == want_wf, f"line {i}: {line!r} wf"
+        if want_wf:
+            for k, c in enumerate(cols):
+                w = want_vals[k]
+                if isinstance(w, float):
+                    assert g[c] == pytest.approx(w), f"line {i} field {c}"
+                else:
+                    assert g[c] == w, f"line {i} field {c}: {g[c]!r} != {w!r}"
+
+
+class TestParseMatchesOracle:
+    def test_golden_corpus(self, spark):
+        _assert_matches_oracle(spark, GOLDEN_LINES, SPEC)
+
+    def test_edge_lines(self, spark):
+        _assert_matches_oracle(spark, EDGE_LINES, SPEC)
+
+    def test_dbl_edges(self, spark):
+        spec = compile_format("{DBL:V} {STR:Rest}")
+        _assert_matches_oracle(spark, DBL_EDGE_LINES, spec)
+
+    def test_int_sign_format(self, spark):
+        spec = compile_format("{INT:X}-{INT:Y}")
+        _assert_matches_oracle(spark, ["-5", "3-4", "-0", "0-0", "12-34x"], spec)
+
+    def test_nchar_format(self, spark):
+        spec = compile_format("{STR:A,4}{INT:N}")
+        _assert_matches_oracle(spark, ["abcd12", "ab", "abcd", "abcdxy"], spec)
+
+    def test_wellformed_count_matches_reference(self, spark):
+        got = _spark_parse(spark, GOLDEN_LINES, SPEC)
+        assert sum(g["well_formed"] for g in got) == 58
+
+    def test_matched_format_column(self, spark):
+        df = parse_lines(_to_rows(spark, GOLDEN_LINES), SPEC)
+        counts = {
+            r["matched_format"]: r["count"]
+            for r in df.groupBy("matched_format").count().collect()
+        }
+        assert counts == {"default": 58, None: 4}
+
+
+class TestExplodeLines:
+    def _pages(self, spark, texts):
+        return spark.createDataFrame(
+            [(f"u{i}", t) for i, t in enumerate(texts)], "url STRING, text STRING"
+        )
+
+    def test_split_semantics_match_oracle(self, spark):
+        texts = [
+            "a\nb\nc",
+            "a\nb\n",
+            "",
+            "\n",
+            "a\r\nb\r\n",
+            "x\r\ry\nz",
+            "one",
+            "a\n\nb",
+        ]
+        df = explode_lines(self._pages(spark, texts))
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["url"], []).append((r["line_no"], r["raw_line"]))
+        for i, t in enumerate(texts):
+            want = list(enumerate(split_lines(t)))
+            assert sorted(got.get(f"u{i}", [])) == want, f"text {t!r}"
+
+    def test_golden_payload_roundtrip(self, spark):
+        payload = "\n".join(GOLDEN_LINES) + "\n"
+        df = explode_lines(self._pages(spark, [payload]))
+        rows = sorted((r["line_no"], r["raw_line"]) for r in df.collect())
+        assert len(rows) == 62
+        assert [r[1] for r in rows] == GOLDEN_LINES
+
+    def test_crlf_payload_identical(self, spark):
+        lf = "\n".join(GOLDEN_LINES) + "\n"
+        crlf = "\r\n".join(GOLDEN_LINES) + "\r\n"
+        df = explode_lines(self._pages(spark, [lf, crlf]))
+        by_url = {}
+        for r in df.collect():
+            by_url.setdefault(r["url"], []).append((r["line_no"], r["raw_line"]))
+        assert sorted(by_url["u0"]) == sorted(by_url["u1"])
