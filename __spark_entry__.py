@@ -1,10 +1,22 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse→enrich→route→aggregate pipeline
+at sf0.001. ``queries()`` exposes one callable per implemented operator
+from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL over
+the same parquet tables.
+
+Oracle strategy: the pages table is synthesized *deterministically* from
+``documents.doc_id`` (logparser_spark/sources/pages.py), so DuckDB can
+reconstruct the exact same logical rows with pure SQL: the 62-line golden
+corpus is embedded as a VALUES table, per-doc lines come from a LATERAL
+range, and the format-spec parse is re-expressed as an anchored RE2 regex
+(independent of our Python/pandas parser — the regex is exact for the
+golden corpus, whose lines never hit the walker-only edge cases; those
+edge cases are pinned by tests/test_oracle_parser.py instead).
+
+Column-name discipline: every computed column is aliased identically on
+the Spark and SQL sides; numeric aggregates are cast to BIGINT on the SQL
+side to match Spark's LongType.
 """
 
 from __future__ import annotations
@@ -13,26 +25,406 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from logparser_spark.functions.formats import DEFAULT_FORMAT, compile_format
+from logparser_spark.operators import aggregate as agg
+from logparser_spark.operators import enrich
+from logparser_spark.operators.parse import explode_lines, parse_lines
+from logparser_spark.operators.route import fixture_sinks, sink_column
+from logparser_spark.plans.ship import ship_package
+from logparser_spark.sources.corpus import GOLDEN_LINES
+from logparser_spark.sources.pages import TLDS, build_pages_from_documents
+
+_SPEC = compile_format(DEFAULT_FORMAT)
+_SINKS = fixture_sinks()
+
+
+# ── Spark-side building blocks ────────────────────────────────────────
+
+
+def _prep(spark: SparkSession) -> None:
+    """Make the package importable inside Arrow workers regardless of the
+    driver's cwd (spark-submit --py-files analog; plans/ship.py)."""
+    try:
+        ship_package(spark)
+    except Exception:
+        pass  # local cwd import still works in-tree
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return build_pages_from_documents(spark, sf_dir)
+
+
+def _lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return explode_lines(
+        _pages(spark, sf_dir), keep_cols=["doc_id", "url", "lang"]
+    )
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_lines(_lines(spark, sf_dir), _SPEC)
+
+
+def _sink(name: str):
+    return next(s for s in _SINKS if s.name == name)
+
+
+def _parsed_fields(df: DataFrame) -> DataFrame:
+    """Project the named parsed fields under stable lowercase aliases."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "doc_id",
+        "line_no",
+        F.col("parsed.Date").alias("f_date"),
+        F.col("parsed.Time").alias("f_time"),
+        F.col("parsed.Level").alias("level"),
+        F.col("parsed.Source").alias("source"),
+        F.col("parsed.Mesg").alias("mesg"),
+        F.col("parsed.well_formed").alias("well_formed"),
+    )
+
+
+# ── Spark-side queries ────────────────────────────────────────────────
+
+
+def q_parse_metrics(spark, sf_dir):
+    return agg.parse_metrics(_parsed(spark, sf_dir))
+
+
+def q_matched_format_counts(spark, sf_dir):
+    return agg.counts_by_matched_format(_parsed(spark, sf_dir))
+
+
+def q_level_histogram(spark, sf_dir):
+    return agg.field_histogram(_parsed(spark, sf_dir), "Level").withColumnRenamed(
+        "Level", "level"
+    )
+
+
+def q_sink_counts(spark, sf_dir):
+    return agg.sink_count_frame(_parsed(spark, sf_dir), _SINKS, _SPEC, spark)
+
+
+def _route_rows(spark, sf_dir, sink_name: str) -> DataFrame:
+    p = _parsed(spark, sf_dir)
+    return _parsed_fields(p.filter(sink_column(_sink(sink_name), _SPEC)))
+
+
+def q_route_info_rows(spark, sf_dir):
+    return _route_rows(spark, sf_dir, "sink_info")
+
+
+def q_route_mixed_rows(spark, sf_dir):
+    return _route_rows(spark, sf_dir, "sink_mixed").select(
+        "doc_id", "line_no", "level", "f_time"
+    )
+
+
+def q_route_window_rows(spark, sf_dir):
+    return _route_rows(spark, sf_dir, "sink_window").select(
+        "doc_id", "line_no", "level"
+    )
+
+
+def q_route_rsvp_rows(spark, sf_dir):
+    return _route_rows(spark, sf_dir, "sink_rsvp").select(
+        "doc_id", "line_no", "source", "mesg"
+    )
+
+
+def q_route_not_rows(spark, sf_dir):
+    return _route_rows(spark, sf_dir, "sink_not").select(
+        "doc_id", "line_no", "level"
+    )
+
+
+def q_route_badfmt_rows(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    p = _parsed(spark, sf_dir)
+    return p.filter(sink_column(_sink("sink_badfmt"), _SPEC)).select(
+        "doc_id", "line_no", F.col("raw_line").alias("raw_line")
+    )
+
+
+def q_raw_lines(spark, sf_dir):
+    """Byte-identity of the exploded raw lines (explode/CRLF semantics)."""
+    return _lines(spark, sf_dir).select("doc_id", "line_no", "raw_line")
+
+
+def q_text_identity(spark, sf_dir):
+    """Per-url byte-identical extracted text (BASELINE.json invariant)."""
+    return _pages(spark, sf_dir).select("url", "text")
+
+
+def q_enriched_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    p = _parsed(spark, sf_dir).filter(F.col("parsed.well_formed"))
+    e = enrich.enrich_all(p, spark)
+    return e.groupBy("lang_name", "region", "severity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_local_global_map(spark, sf_dir):
+    """V3: filtered-view row number (local id) ↔ raw line id, per doc."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    v = _parsed(spark, sf_dir).filter(sink_column(_sink("sink_info"), _SPEC))
+    w = Window.partitionBy("doc_id").orderBy("line_no")
+    return v.select(
+        "doc_id",
+        "line_no",
+        (F.row_number().over(w) - 1).alias("local_id"),
+    )
+
+
+def q_search_first(spark, sf_dir):
+    """N4: first accepted line per doc containing 'Ioctl' + 1-based char pos."""
+    from pyspark.sql import functions as F
+
+    lines = _lines(spark, sf_dir)
+    hits = lines.filter(F.col("raw_line").contains("Ioctl"))
+    first = hits.groupBy("doc_id").agg(
+        F.min("line_no").alias("line_no"),
+        F.min(F.struct("line_no", F.locate("Ioctl", F.col("raw_line")).alias("p")))[
+            "p"
+        ].cast("long").alias("pos"),
+    )
+    return first.select("doc_id", "line_no", "pos")
+
+
+def q_bucket_tally(spark, sf_dir):
+    return agg.bucket_tally(_parsed(spark, sf_dir), buckets=32)
+
+
+def q_host_tally(spark, sf_dir):
+    """Skew diagnostic: pages per url host (3 hot hosts own ~70%)."""
+    from pyspark.sql import functions as F
+
+    pages = _pages(spark, sf_dir)
+    return pages.groupBy(
+        enrich.url_host(F.col("url")).alias("host")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ── oracle SQL ────────────────────────────────────────────────────────
+
+# Anchored RE2 regex for the default format
+# `{INT:Date} {INT:Time} {STR:Level} :{CHR:,.,1}{STR:Source}: {STR:Mesg}`.
+# Exact on the golden corpus: every well-formed corpus line fills every
+# field (no trailing-optionality) and contains no walker-only edge cases
+# (signed ints, atof divergence) — those are covered by the pytest oracle.
+_RX = r"^([0-9]+)[ \t]*([0-9]+)[ \t]*([^ \t]*)[ \t]*:(\.)\.*([^:]*):[ \t]*(.*)$"
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _corpus_cte() -> str:
+    rows = ",\n      ".join(
+        f"({i}, {_sql_quote(l)})" for i, l in enumerate(GOLDEN_LINES)
+    )
+    return f"corpus(gid, raw_line) AS (VALUES\n      {rows})"
+
+
+def _prelude(through: str = "parsed") -> str:
+    """Shared WITH-prelude reconstructing pages→lines→parsed in DuckDB."""
+    tld_list = ", ".join(_sql_quote(t) for t in TLDS)
+    ctes = [
+        _corpus_cte(),
+        f"""pages0 AS (
+      SELECT doc_id, lang,
+        CASE WHEN doc_id % 10 < 7 THEN 'hot' || (doc_id % 3)::VARCHAR
+             ELSE 'h' || (doc_id % 97)::VARCHAR END AS host,
+        ([{tld_list}])[(doc_id % 6) + 1] AS tld
+      FROM documents)""",
+        """pages AS (
+      SELECT doc_id, lang, host, tld,
+        'https://' || host || '.' || tld || '/doc-' || doc_id::VARCHAR AS url
+      FROM pages0)""",
+        """lines0 AS (
+      SELECT p.doc_id, p.url, p.lang, t.line_no,
+             ((p.doc_id * 7 + t.line_no) % 62) AS gid
+      FROM pages p
+      CROSS JOIN LATERAL (SELECT unnest(range((p.doc_id % 62) + 1)) AS line_no) t)""",
+        """lines AS (
+      SELECT l.doc_id, l.url, l.lang, l.line_no, c.raw_line
+      FROM lines0 l JOIN corpus c USING (gid))""",
+        f"""parsed0 AS (
+      SELECT *, regexp_matches(raw_line, {_sql_quote(_RX)}) AS well_formed
+      FROM lines)""",
+        f"""parsed AS (
+      SELECT doc_id, url, lang, line_no, raw_line, well_formed,
+        CASE WHEN well_formed THEN TRY_CAST(regexp_extract(raw_line, {_sql_quote(_RX)}, 1) AS BIGINT) END AS f_date,
+        CASE WHEN well_formed THEN TRY_CAST(regexp_extract(raw_line, {_sql_quote(_RX)}, 2) AS BIGINT) END AS f_time,
+        CASE WHEN well_formed THEN regexp_extract(raw_line, {_sql_quote(_RX)}, 3) END AS level,
+        CASE WHEN well_formed THEN regexp_extract(raw_line, {_sql_quote(_RX)}, 5) END AS source,
+        CASE WHEN well_formed THEN regexp_extract(raw_line, {_sql_quote(_RX)}, 6) END AS mesg
+      FROM parsed0)""",
+    ]
+    order = ["corpus", "pages0", "pages", "lines0", "lines", "parsed0", "parsed"]
+    n = order.index(through) + 1
+    return "WITH " + ",\n    ".join(ctes[:n])
+
+
+# sink predicates re-expressed in SQL; each is the *filter* part only —
+# the acceptance rule OR's in malformed rows (accept_bad_format=true).
+_SINK_PREDS = {
+    "sink_info": "level = 'INFO'",
+    "sink_late": "f_time >= 85409",
+    "sink_rsvp": "contains(lower(source), 'rsvp') AND starts_with(mesg, 'state')",
+    "sink_mixed": "((level = 'INFO' OR level = 'EVENT') <> (f_time < 85353))",
+    "sink_window": "line_no BETWEEN 10 AND 50",
+    "sink_not": "NOT (level = 'TRACE')",
+    "sink_badfmt": "(level = 'INFO' AND level = 'TRACE')",
+}
+
+
+def _accept(pred: str) -> str:
+    return f"((NOT well_formed) OR (well_formed AND ({pred})))"
+
+
+def _route_sql(sink: str, cols: str) -> str:
+    return f"""{_prelude()}
+    SELECT {cols} FROM parsed WHERE {_accept(_SINK_PREDS[sink])}"""
+
+
+_LANG_DIM_SQL = """dim_lang(lang, lang_name, lang_family) AS (VALUES
+      ('en','English','Germanic'), ('de','German','Germanic'),
+      ('fr','French','Romance'), ('es','Spanish','Romance'))"""
+_TLD_DIM_SQL = """dim_tld(tld, region, is_cc) AS (VALUES
+      ('com','global',false), ('org','global',false), ('net','global',false),
+      ('de','europe',true), ('fr','europe',true), ('io','europe',true))"""
+_STATUS_DIM_SQL = """dim_status(level, severity, is_error) AS (VALUES
+      ('TRACE',0,false), ('INFO',1,false), ('EVENT',2,false),
+      ('WARN',3,true), ('ERROR',4,true))"""
+
+
+# ── driver contract ───────────────────────────────────────────────────
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse→enrich→route→aggregate at sf0.001."""
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    p = _parsed(spark, sf_dir).filter(
+        sink_column(_sink("sink_not"), _SPEC)
+        & F.col("parsed.well_formed")
+    )
+    e = enrich.enrich_all(p, spark)
+    return e.groupBy("level", "severity", "is_error").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "parse_metrics": q_parse_metrics,
+        "matched_format_counts": q_matched_format_counts,
+        "level_histogram": q_level_histogram,
+        "sink_counts": q_sink_counts,
+        "route_info_rows": q_route_info_rows,
+        "route_mixed_rows": q_route_mixed_rows,
+        "route_window_rows": q_route_window_rows,
+        "route_rsvp_rows": q_route_rsvp_rows,
+        "route_not_rows": q_route_not_rows,
+        "route_badfmt_rows": q_route_badfmt_rows,
+        "raw_lines": q_raw_lines,
+        "text_identity": q_text_identity,
+        "enriched_counts": q_enriched_counts,
+        "local_global_map": q_local_global_map,
+        "search_first": q_search_first,
+        "bucket_tally": q_bucket_tally,
+        "host_tally": q_host_tally,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+
+    sqls["parse_metrics"] = f"""{_prelude()}
+    SELECT COUNT(*)::BIGINT AS total_lines,
+           SUM(CASE WHEN well_formed THEN 1 ELSE 0 END)::BIGINT AS well_formed_lines,
+           SUM(CASE WHEN well_formed THEN 0 ELSE 1 END)::BIGINT AS malformed_lines
+    FROM parsed"""
+
+    sqls["matched_format_counts"] = f"""{_prelude()}
+    SELECT CASE WHEN well_formed THEN 'default' END AS matched_format,
+           COUNT(*)::BIGINT AS n
+    FROM parsed GROUP BY 1"""
+
+    sqls["level_histogram"] = f"""{_prelude()}
+    SELECT level, COUNT(*)::BIGINT AS n
+    FROM parsed WHERE well_formed GROUP BY 1"""
+
+    sink_counts = "\n    UNION ALL ".join(
+        f"SELECT '{name}' AS sink, COUNT(*)::BIGINT AS n FROM parsed "
+        f"WHERE {_accept(pred)}"
+        for name, pred in _SINK_PREDS.items()
+    )
+    sqls["sink_counts"] = f"{_prelude()}\n    {sink_counts}"
+
+    sqls["route_info_rows"] = _route_sql(
+        "sink_info", "doc_id, line_no, f_date, f_time, level, source, mesg, well_formed"
+    )
+    sqls["route_mixed_rows"] = _route_sql(
+        "sink_mixed", "doc_id, line_no, level, f_time"
+    )
+    sqls["route_window_rows"] = _route_sql(
+        "sink_window", "doc_id, line_no, level"
+    )
+    sqls["route_rsvp_rows"] = _route_sql(
+        "sink_rsvp", "doc_id, line_no, source, mesg"
+    )
+    sqls["route_not_rows"] = _route_sql("sink_not", "doc_id, line_no, level")
+    sqls["route_badfmt_rows"] = _route_sql(
+        "sink_badfmt", "doc_id, line_no, raw_line"
+    )
+
+    sqls["raw_lines"] = f"""{_prelude('lines')}
+    SELECT doc_id, line_no, raw_line FROM lines"""
+
+    sqls["text_identity"] = f"""{_prelude('lines')}
+    SELECT url, string_agg(raw_line, chr(10) ORDER BY line_no) AS text
+    FROM lines GROUP BY url"""
+
+    sqls["enriched_counts"] = f"""{_prelude()},
+    {_LANG_DIM_SQL},
+    {_TLD_DIM_SQL},
+    {_STATUS_DIM_SQL},
+    tagged AS (
+      SELECT p.*, regexp_extract(p.url, 'https://[^/]*\\.([a-z]+)/', 1) AS tld
+      FROM parsed p WHERE well_formed)
+    SELECT l.lang_name, t.region, s.severity, COUNT(*)::BIGINT AS n
+    FROM tagged g
+    LEFT JOIN dim_lang l ON g.lang = l.lang
+    LEFT JOIN dim_tld t ON g.tld = t.tld
+    LEFT JOIN dim_status s ON g.level = s.level
+    GROUP BY 1, 2, 3"""
+
+    sqls["local_global_map"] = f"""{_prelude()}
+    SELECT doc_id, line_no,
+           (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY line_no) - 1)::INT AS local_id
+    FROM parsed WHERE {_accept(_SINK_PREDS['sink_info'])}"""
+
+    sqls["search_first"] = f"""{_prelude('lines')}
+    SELECT doc_id, MIN(line_no) AS line_no,
+           arg_min(strpos(raw_line, 'Ioctl'), line_no)::BIGINT AS pos
+    FROM lines WHERE contains(raw_line, 'Ioctl') GROUP BY doc_id"""
+
+    sqls["bucket_tally"] = f"""{_prelude('lines')}
+    SELECT doc_id % 32 AS bucket, COUNT(*)::BIGINT AS n
+    FROM lines GROUP BY 1"""
+
+    sqls["host_tally"] = f"""{_prelude('pages')}
+    SELECT host || '.' || tld AS host, COUNT(*)::BIGINT AS n
+    FROM pages GROUP BY 1"""
+
+    return sqls
