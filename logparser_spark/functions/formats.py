@@ -181,6 +181,187 @@ class FormatSpec:
         # "matched with empty/unset fields" from "no match".
         return f"^(?P<wf0>){pat}$"
 
+    def to_fast_regex(self) -> Optional[str]:
+        """Flat RE2-safe regex (no lookaheads/possessive quantifiers) for the
+        PyArrow ``extract_regex`` fast path, or None when the spec is not
+        provably fast-safe.
+
+        RE2 backtracks freely (leftmost-greedy), the reference walker never
+        does (line_parser.cpp:58-98), so a flat pattern is only usable when
+        no backtracked split can match a line the walker would reject or
+        capture differently. Greedy priority makes RE2 try the walker's
+        maximal split FIRST, so it suffices to prove no *alternative* split
+        can succeed when the maximal one fails. Two-pass construction:
+
+        Pass A (emission arities) — WS is emitted ``+`` after INT/DBL and
+        after ANY_WS STR fields; an ANY_WS STR is emitted ``+`` when
+        preceded by a ``+`` WS, a fixed CHR, or start-of-spec (in all these
+        positions the walker value is provably non-empty mid-line; the rare
+        lines where it would be empty fall back to the exact nested path).
+
+        Pass B (soundness) — for every variable-length fragment F with
+        consumable char-set cf, the following fragment G must satisfy one:
+
+        - G is ``$``: shortening F leaves an unmatched tail;
+        - G is a mandatory token (INT / CHR / ``+`` WS / ``+`` ANY_WS STR)
+          whose possible first chars are disjoint from cf: shortening F
+          puts G on a char it cannot consume;
+        - G is a ``*`` scan-to-stop STR whose stop chars are disjoint from
+          cf: G's end is position-invariant across splits, so if the
+          maximal split fails every split fails;
+        - G is a ``*`` WS with ws-chars disjoint from cf: transparent,
+          recurse to the fragment after G.
+
+        DBL fields disable the fast path entirely (atof value/cursor
+        divergences need per-row inspection). Lines the flat pattern
+        rejects are NOT malformed — they go to the nested-optional Python
+        regex + walker fallback (trailing-field optionality lives there).
+        """
+        if any(f.ftype == FieldType.DBL for f in self.fields):
+            return None
+
+        flds = self.fields
+        n = len(flds)
+        WS_SET = set(WS_NO_NEWLINE)
+        DIGITS = set("0123456789")
+
+        def is_scan_str(f: FieldSpec) -> bool:
+            return f.ftype == FieldType.STR and f.stop != StrStop.NCHAR
+
+        # ── pass A: emission arities ─────────────────────────────────
+        # Every WS is emitted '+': tightening is sound because when the
+        # maximal (walker) split fails the '+', the triggered alternatives
+        # are exactly the splits pass B proves dead-or-convergent. Lines the
+        # walker accepts with a zero-width WS simply take the fallback.
+        ws_plus = [f.ftype == FieldType.WS for f in flds]
+        anyws_plus = [False] * n
+        for i, f in enumerate(flds):
+            if f.ftype != FieldType.STR or f.stop != StrStop.ANY_WS:
+                continue
+            prev = flds[i - 1] if i > 0 else None
+            # '+' only after a fixed-width or '+'-WS predecessor: a variable
+            # predecessor could shorten to feed this field its first char,
+            # making the tightened pattern match a non-walker split.
+            if (
+                prev is None
+                or prev.ftype == FieldType.WS
+                or (prev.ftype == FieldType.CHR and not prev.repeat)
+                or (prev.ftype == FieldType.STR and prev.stop == StrStop.NCHAR)
+            ):
+                anyws_plus[i] = True
+
+        # ── helpers over emitted fragments ───────────────────────────
+        def consumable(i: int):
+            """cf: chars fragment i can consume ('ANY_BUT', excluded) or
+            (None, set) for a concrete set; returns (mode, chars)."""
+            f = flds[i]
+            if f.ftype == FieldType.INT:
+                return (None, DIGITS)
+            if f.ftype == FieldType.WS:
+                return (None, WS_SET)
+            if f.ftype == FieldType.CHR:
+                return (None, {f.target})
+            if f.stop == StrStop.ANY_WS:
+                return ("ANY_BUT", set(C_WHITESPACE))
+            if f.stop == StrStop.NCHAR:
+                return ("ANY_BUT", set())  # unconstrained (fixed length)
+            if f.delim == "\0":
+                return ("ANY_BUT", {"\n"})
+            return ("ANY_BUT", {f.delim, "\n"})
+
+        def stop_chars(i: int) -> set:
+            f = flds[i]
+            if f.stop == StrStop.ANY_WS:
+                return set(C_WHITESPACE)
+            if f.delim == "\0":
+                return {"\n"}
+            return {f.delim, "\n"}
+
+        def disjoint(mode_chars, other: set) -> bool:
+            mode, chars = mode_chars
+            if mode is None:
+                return not (chars & other)
+            # F consumes everything except `chars`; disjoint iff other ⊆ chars
+            return other <= chars
+
+        def is_variable(i: int) -> bool:
+            f = flds[i]
+            if f.ftype in (FieldType.INT, FieldType.WS):
+                return True
+            if f.ftype == FieldType.CHR:
+                return f.repeat
+            if f.ftype == FieldType.STR:
+                return f.stop != StrStop.NCHAR
+            return False
+
+        # ── pass B: soundness ────────────────────────────────────────
+        def sound_after(i: int, cf) -> bool:
+            j = i + 1
+            while True:
+                if j >= n:
+                    return True  # $
+                g = flds[j]
+                if g.ftype == FieldType.WS:
+                    if not disjoint(cf, WS_SET):
+                        return False
+                    if ws_plus[j]:
+                        return True
+                    j += 1  # '*' WS is transparent
+                    continue
+                if g.ftype == FieldType.INT:
+                    return disjoint(cf, DIGITS)
+                if g.ftype == FieldType.CHR:
+                    return disjoint(cf, {g.target})
+                if g.ftype == FieldType.STR:
+                    if g.stop == StrStop.NCHAR:
+                        return False  # unconstrained first char
+                    if anyws_plus[j]:
+                        # mandatory non-ws first char
+                        return disjoint(cf, set(C_WHITESPACE) ^ set())                            if False else disjoint_complement(cf)
+                    return disjoint(cf, stop_chars(j))
+                return False  # DBL (unreachable) / unknown
+
+        def disjoint_complement(cf) -> bool:
+            """G consumes any non-whitespace char; disjoint iff F only
+            consumes whitespace."""
+            mode, chars = cf
+            return mode is None and chars <= set(C_WHITESPACE)
+
+        for i in range(n):
+            if not is_variable(i):
+                continue
+            if not sound_after(i, consumable(i)):
+                return None
+
+        # ── build the flat pattern ───────────────────────────────────
+        frags = []
+        for i, f in enumerate(flds):
+            gname = f"g{i}"
+            if f.ftype == FieldType.INT:
+                frags.append(f"(?P<{gname}>[0-9]+)")
+            elif f.ftype == FieldType.CHR:
+                t = re.escape(f.target)
+                rep = f"{t}*" if f.repeat else ""
+                frags.append(f"(?P<{gname}>{t}){rep}")
+            elif f.ftype == FieldType.STR:
+                if f.stop == StrStop.NCHAR:
+                    frags.append(f"(?P<{gname}>.{{{f.nchar}}})")
+                elif f.stop == StrStop.ANY_WS:
+                    arity = "+" if anyws_plus[i] else "*"
+                    frags.append(
+                        f"(?P<{gname}>[^{re.escape(C_WHITESPACE)}]{arity})"
+                    )
+                elif f.delim == "\0":
+                    frags.append(f"(?P<{gname}>[^\\n]*)")
+                else:
+                    frags.append(
+                        f"(?P<{gname}>[^{re.escape(f.delim)}\\n]*)"
+                    )
+            elif f.ftype == FieldType.WS:
+                arity = "+" if ws_plus[i] else "*"
+                frags.append(f"[{re.escape(WS_NO_NEWLINE)}]{arity}")
+        return "^" + "".join(frags) + "$"
+
     def spark_schema(self):
         """StructType for the parsed struct (imported lazily; this module
         stays importable without a JVM for the pure-Python oracle tests)."""

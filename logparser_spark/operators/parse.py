@@ -3,18 +3,22 @@
 The core custom operator (SURVEY.md §4 item 1). Catalyst cannot express the
 reference's format-spec semantics (INT zero-rule, trailing-field
 optionality, NCHAR), so parsing runs inside ONE Arrow-batched pandas UDF
-per line column:
+per line column, in three tiers:
 
-1. **regex fast path** — the compiled spec's anchored possessive regex
-   (``FormatSpec.to_regex``) executed via ``pandas.Series.str.extract``
-   (C-level, no per-row Python). Possessive quantifiers mirror the
-   reference walker's greedy no-backtracking consumption exactly
+1. **pyarrow fast path** — a flat RE2 pattern (``FormatSpec.to_fast_regex``,
+   emitted only when provably capture-equal to the walker) run through
+   ``pyarrow.compute.extract_regex``: pure C++, zero Python objects,
+   ~1M rows/s/core. Covers virtually all well-formed production lines.
+2. **nested-regex middle path** — the anchored possessive Python regex
+   (``FormatSpec.to_regex``) via ``pandas.Series.str.extract`` on only
+   the rows tier 1 rejected; handles trailing-field optionality and
+   zero-width whitespace the flat pattern cannot express
    (``/root/reference/src/line_parsing/line_parser.cpp:58-98``).
-2. **oracle walker fallback** — only for rows the regex rejects or flags
-   (the walker can succeed where no regex can: ``parse_int`` accepts
-   ``-5`` by value without consuming the sign, ``parsing_basics.cpp:7-13``;
-   ``atof`` value/cursor divergences). The byte-exact pure-Python oracle
-   (``functions.oracle.parse_line``) decides those rows.
+3. **oracle walker fallback** — per-row pure Python, only for rows tier 2
+   rejects or flags (the walker can succeed where no regex can:
+   ``parse_int`` accepts ``-5`` by value without consuming the sign,
+   ``parsing_basics.cpp:7-13``; ``atof`` value/cursor divergences). The
+   byte-exact oracle (``functions.oracle.parse_line``) decides those rows.
 
 Scale notes (100 TB): the UDF sees a single string column per batch; all
 other columns stay JVM-side. Everything upstream (split/posexplode/CRLF
@@ -37,13 +41,127 @@ import pandas as pd
 from ..functions.formats import FieldType, FormatSpec
 from ..functions.oracle import parse_line as oracle_parse_line
 
-__all__ = ["explode_lines", "make_parse_udf", "parse_lines"]
+__all__ = ["explode_lines", "make_parse_udf", "parse_lines", "parse_lines_arrow"]
+
+
+def _fast_plan(spec: FormatSpec):
+    """Static artifacts for the tier-1 pass: (fast_rx, unset_suffix) where
+    unset_suffix is the list of output-column ordinals forming the maximal
+    trailing run of zero-width-able captures. Only those can correspond to
+    walker-unset trailing fields: every other fragment (INT, CHR, NCHAR>0,
+    '+' WS/ANY_WS) has mandatory width, so anything before it matched
+    strictly inside the line."""
+    from ..functions.formats import StrStop
+
+    rx = spec.to_fast_regex()
+    if rx is None:
+        return None, []
+
+    def zero_widthable(i: int) -> bool:
+        f = spec.fields[i]
+        if f.ftype != FieldType.STR:
+            return False
+        if f.stop == StrStop.NCHAR:
+            return f.nchar == 0
+        if f.stop == StrStop.ANY_WS:
+            # mirrors to_fast_regex's anyws_plus promotion: '+' (mandatory
+            # width) after BOS / WS / fixed CHR / NCHAR predecessors
+            prev = spec.fields[i - 1] if i > 0 else None
+            promoted = (
+                prev is None
+                or prev.ftype == FieldType.WS
+                or (prev.ftype == FieldType.CHR and not prev.repeat)
+                or (prev.ftype == FieldType.STR and prev.stop == StrStop.NCHAR)
+            )
+            return not promoted
+        return True  # DELIM / to-EOL scans are always '*'
+
+    suffix = []
+    out_pos = {i: k for k, (i, _) in enumerate(spec.output_fields())}
+    for i in range(len(spec.fields) - 1, -1, -1):
+        if zero_widthable(i):
+            suffix.append(out_pos[i])
+        else:
+            break
+    return rx, suffix
+
+
+def _batch_parse_fast(lines: pd.Series, spec: FormatSpec, fast_rx: str,
+                      unset_suffix: list):
+    """Tier-1: pyarrow extract_regex. Returns (result_df, well, decided)
+    where ``decided`` marks rows the fast path fully resolved."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(lines)
+    st = pc.extract_regex(arr, pattern=fast_rx)
+    valid = pc.is_valid(st)
+    valid_np = valid.to_numpy(zero_copy_only=False)
+
+    cols = spec.column_names()
+    data = {}
+    str_cols = {}
+    for k, (i, f) in enumerate(spec.output_fields()):
+        child = pc.if_else(valid, st.field(f"g{i}"), pa.scalar(None, pa.string()))
+        if f.ftype == FieldType.INT:
+            data[cols[k]] = child.cast(pa.int64()).to_pandas().astype("Int64")
+        else:
+            s = child.to_pandas()
+            data[cols[k]] = s
+            str_cols[k] = s
+    result = pd.DataFrame(data, index=lines.index)
+
+    # Trailing zero-width captures: '' here means the walker's cursor was
+    # already at EOL, i.e. the field is UNSET (None), not empty
+    # (line_parser.cpp:65 `s < end` guard). Walk the suffix backwards.
+    if unset_suffix:
+        tail_zero = valid_np.copy()
+        for k in unset_suffix:  # already last-to-first
+            s = str_cols[k]
+            is_empty = (s.str.len() == 0).fillna(False).to_numpy()
+            unset = tail_zero & is_empty
+            if unset.any():
+                s2 = s.copy()
+                s2[unset] = None
+                result[cols[k]] = s2
+            tail_zero = tail_zero & is_empty
+    return result, valid_np
 
 
 def _batch_parse(lines: pd.Series, spec: FormatSpec) -> pd.DataFrame:
-    """Parse one Arrow batch of lines into the spec's output columns +
-    ``well_formed``. Pure pandas/C-regex; Python loop only over fallback
-    rows."""
+    """Parse one Arrow batch: tier-1 pyarrow flat regex, then the nested
+    regex + walker on the remainder."""
+    s = lines.astype("object")
+    fast_rx, unset_suffix = _fast_plan(spec)
+    if fast_rx is None:
+        return _batch_parse_nested(s, spec)
+
+    result, decided = _batch_parse_fast(s, spec, fast_rx, unset_suffix)
+    if decided.all():
+        result["well_formed"] = True
+        return result
+    rest_idx = s.index[~decided]
+    rest = _batch_parse_nested(s.loc[rest_idx], spec)
+    result["well_formed"] = pd.Series(decided, index=s.index, dtype=bool)
+    if len(rest_idx):
+        cols = spec.column_names()
+        for c in cols:
+            result.loc[rest_idx, c] = rest[c]
+        result.loc[rest_idx, "well_formed"] = rest["well_formed"].astype(bool)
+        # .loc assignment degrades extension dtypes; restore them
+        for k, (i, f) in enumerate(spec.output_fields()):
+            if f.ftype == FieldType.INT:
+                result[cols[k]] = result[cols[k]].astype("Int64")
+            elif f.ftype == FieldType.DBL:
+                result[cols[k]] = result[cols[k]].astype("float64")
+        result["well_formed"] = result["well_formed"].astype(bool)
+    return result
+
+
+def _batch_parse_nested(lines: pd.Series, spec: FormatSpec) -> pd.DataFrame:
+    """Tiers 2+3: anchored possessive Python regex via str.extract, walker
+    on the rows it rejects/flags. Exact for every spec."""
     pattern = re.compile(spec.to_regex())
     cols = spec.column_names()
     out_fields = spec.output_fields()
@@ -171,14 +289,138 @@ def parse_lines(
     with_matched_format: bool = True,
 ):
     """Attach the parsed struct (and the ``matched_format`` tag used by the
-    per-format aggregate counts)."""
+    per-format aggregate counts).
+
+    Picks the Arrow-native mapInArrow path automatically when the spec has
+    a provably-sound flat regex (~0.5-0.8M rows/s/core); falls back to the
+    pandas-UDF nested-regex path otherwise (DBL fields, ambiguous specs).
+    """
     from pyspark.sql import functions as F
 
-    udf = make_parse_udf(spec)
-    out = df.withColumn(out_col, udf(F.col(line_col)))
+    if spec.to_fast_regex() is not None:
+        out = parse_lines_arrow(df, spec, line_col=line_col, out_col=out_col)
+    else:
+        udf = make_parse_udf(spec)
+        out = df.withColumn(out_col, udf(F.col(line_col)))
     if with_matched_format:
         out = out.withColumn(
             "matched_format",
             F.when(F.col(f"{out_col}.well_formed"), F.lit(spec.name)),
         )
     return out
+
+
+# ── Arrow-native hot path (mapInArrow) ────────────────────────────────
+
+
+def _batch_parse_arrow(arr, spec: FormatSpec, rx: str, unset_suffix: list):
+    """Tier-1 + walker, entirely in Arrow: no Python string objects for
+    decided rows. Returns (list of output pa.Arrays, well_formed array).
+    Undecided rows (flat-regex misses: malformed, trailing-optional,
+    zero-width-WS, walker-only quirks) are resolved by the exact oracle
+    walker per row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    st = pc.extract_regex(arr, pattern=rx)
+    valid = pc.is_valid(st)
+
+    out_fields = spec.output_fields()
+    children = {}
+    for k, (i, f) in enumerate(out_fields):
+        children[k] = st.field(f"g{i}")
+
+    # Trailing zero-width captures: '' means the walker's cursor was at
+    # EOL -> field is UNSET (None), not empty (line_parser.cpp:65).
+    if unset_suffix:
+        tail_zero = valid
+        for k in unset_suffix:  # last-to-first
+            ch = children[k]
+            is_empty = pc.fill_null(pc.equal(ch, ""), False)
+            tail_zero = pc.and_(tail_zero, is_empty)
+            children[k] = pc.if_else(
+                tail_zero, pa.scalar(None, pa.string()), ch
+            )
+
+    undecided = pc.fill_null(pc.invert(valid), True)
+    und_np = undecided.to_numpy(zero_copy_only=False)
+    n_und = int(und_np.sum())
+
+    walker_vals = None
+    walker_wf = None
+    if n_und:
+        sub = arr.filter(undecided).to_pylist()
+        ncols = len(out_fields)
+        walker_vals = [[None] * n_und for _ in range(ncols)]
+        walker_wf = [False] * n_und
+        for r, line in enumerate(sub):
+            if line is None:
+                continue
+            vals, wf = oracle_parse_line(line, spec)
+            walker_wf[r] = wf
+            for k in range(ncols):
+                walker_vals[k][r] = vals[k]
+
+    outs = []
+    for k, (i, f) in enumerate(out_fields):
+        base = pc.if_else(valid, children[k], pa.scalar(None, pa.string()))
+        if f.ftype == FieldType.INT:
+            base = base.cast(pa.int64())
+            if n_und:
+                rep = pa.array(walker_vals[k], pa.int64())
+                base = pc.replace_with_mask(base, undecided, rep)
+        elif f.ftype == FieldType.DBL:
+            base = base.cast(pa.float64())
+            if n_und:
+                rep = pa.array(walker_vals[k], pa.float64())
+                base = pc.replace_with_mask(base, undecided, rep)
+        else:
+            if n_und:
+                rep = pa.array(walker_vals[k], pa.string())
+                base = pc.replace_with_mask(base, undecided, rep)
+        outs.append(base)
+    wf_arr = pc.fill_null(valid, False)
+    if n_und:
+        wf_arr = pc.replace_with_mask(
+            wf_arr, undecided, pa.array(walker_wf, pa.bool_())
+        )
+    return outs, wf_arr
+
+
+def parse_lines_arrow(
+    df,
+    spec: FormatSpec,
+    line_col: str = "raw_line",
+    out_col: str = "parsed",
+):
+    """mapInArrow parse stage: zero pandas/object materialization on the
+    fast path. All input columns pass through the Arrow worker untouched;
+    one struct column is appended. Requires a fast-safe spec
+    (``to_fast_regex() is not None``)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    rx, unset_suffix = _fast_plan(spec)
+    if rx is None:
+        raise ValueError(
+            f"spec {spec.name!r} has no flat fast regex; use parse_lines"
+        )
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, spec.spark_schema(), False)]
+    )
+    names = spec.column_names() + ["well_formed"]
+
+    def fn(batches):
+        for batch in batches:
+            arr = batch.column(line_col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not pa.types.is_string(arr.type):
+                arr = arr.cast(pa.string())
+            outs, wf = _batch_parse_arrow(arr, spec, rx, unset_suffix)
+            struct = pa.StructArray.from_arrays(outs + [wf], names=names)
+            yield batch.append_column(out_col, struct)
+
+    return df.mapInArrow(fn, out_schema)
