@@ -305,6 +305,342 @@ _STATUS_DIM_SQL = """dim_status(level, severity, is_error) AS (VALUES
       ('WARN',3,true), ('ERROR',4,true))"""
 
 
+
+
+# ── training-data pipeline queries (documents / embeddings tables) ────
+
+
+def q_exact_dedup(spark, sf_dir):
+    from logparser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup(docs)
+
+
+def q_minhash_signature(spark, sf_dir):
+    from logparser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_signature(docs)
+
+
+def q_lsh_pairs(spark, sf_dir):
+    from logparser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.lsh_candidate_pairs(docs)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from logparser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    return dedup.ngram_jaccard_pairs(docs, pairs)
+
+
+def q_simhash(spark, sf_dir):
+    from logparser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs)
+
+
+def q_fingerprint(spark, sf_dir):
+    from logparser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.doc_fingerprint(docs)
+
+
+def _query_vec(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb, list(
+        emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    from logparser_spark.operators import similarity
+
+    emb, q = _query_vec(spark, sf_dir)
+    return similarity.cosine_topk(emb, q, k=10)
+
+
+def q_cosine_topk_ann(spark, sf_dir):
+    from logparser_spark.operators import similarity
+
+    emb, q = _query_vec(spark, sf_dir)
+    return similarity.cosine_topk_ann(emb, q, k=10)
+
+
+def q_language_id(spark, sf_dir):
+    from logparser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.language_id(docs)
+
+
+def q_quality_score(spark, sf_dir):
+    from logparser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.quality_score(docs)
+
+
+def q_token_stats(spark, sf_dir):
+    from logparser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.token_stats(docs)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """mapInPandas image-metadata stage over the synthesized pages'
+    html binary column (deterministic stub decode — see
+    operators/multimodal.py; the SQL oracle mirrors the stub)."""
+    from logparser_spark.operators import multimodal
+
+    return multimodal.image_metadata(_pages(spark, sf_dir))
+
+
+
+
+def _dhash(e: str) -> str:
+    """DuckDB equivalent of dedup.hash64: int(md5[:15], 16)."""
+    return f"CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
+
+
+def _dataprep_sql() -> dict[str, str]:
+    from logparser_spark.operators.dedup import (
+        FINGERPRINT_K,
+        MERSENNE31,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_K,
+        SHINGLE_N,
+        SIMHASH_BITS,
+    )
+    from logparser_spark.operators.textstats import (
+        LANG_MARKERS,
+        STOPWORDS_EN,
+        TOKEN_REGEX,
+    )
+
+    P = MERSENNE31
+    n = SHINGLE_N
+    sqls: dict[str, str] = {}
+
+    shingle_cte = f"""shingles AS (
+      SELECT DISTINCT d.doc_id,
+        {_dhash(f"substr(d.text, t.i, {n})")} AS shingle_hash
+      FROM documents d
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(1, greatest(length(d.text) - {n - 1}, 1) + 1)) AS i
+      ) t)"""
+
+    mh_cols = ",\n        ".join(
+        f"MIN(({MINHASH_A[i]} * (shingle_hash % {P}) + {MINHASH_B[i]}) % {P})"
+        f" AS mh{i}"
+        for i in range(MINHASH_K)
+    )
+    sig_cte = f"""sig AS (
+      SELECT doc_id, {mh_cols}
+      FROM shingles GROUP BY doc_id)"""
+
+    band_selects = []
+    for b in range(4):
+        cols = " || '-' || ".join(
+            f"CAST(mh{b * 4 + r} AS VARCHAR)" for r in range(4)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {_dhash(f'({cols})')} AS band_hash FROM sig"
+        )
+    bands_cte = "bands AS (\n      " + "\n      UNION ALL ".join(band_selects) + ")"
+    pairs_cte = """pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      WHERE a.doc_id < b.doc_id)"""
+
+    sqls["exact_dedup"] = f"""
+    SELECT {_dhash('text')} AS text_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*)::BIGINT AS n_copies
+    FROM documents GROUP BY 1"""
+
+    sqls["minhash_signature"] = f"""WITH {shingle_cte},
+    {sig_cte}
+    SELECT * FROM sig"""
+
+    sqls["lsh_pairs"] = f"""WITH {shingle_cte},
+    {sig_cte},
+    {bands_cte},
+    {pairs_cte}
+    SELECT id_a, id_b FROM pairs"""
+
+    sqls["ngram_jaccard"] = f"""WITH {shingle_cte},
+    {sig_cte},
+    {bands_cte},
+    {pairs_cte},
+    sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM shingles GROUP BY 1),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*)::BIGINT AS n_inter
+      FROM pairs p
+      JOIN shingles sa ON sa.doc_id = p.id_a
+      JOIN shingles sb ON sb.doc_id = p.id_b
+        AND sb.shingle_hash = sa.shingle_hash
+      GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           ROUND(i.n_inter::DOUBLE / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b"""
+
+    bit_sums = ",\n        ".join(
+        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bit_val = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    sqls["simhash"] = f"""WITH toks AS (
+      SELECT d.doc_id, {_dhash('t.tok')} AS th
+      FROM documents d
+      CROSS JOIN LATERAL (
+        SELECT unnest(regexp_split_to_array(d.text, '\\s+')) AS tok
+      ) t
+      WHERE length(t.tok) > 0),
+    perbit AS (
+      SELECT doc_id, {bit_sums}
+      FROM toks GROUP BY doc_id)
+    SELECT doc_id, CAST({bit_val} AS BIGINT) AS simhash FROM perbit"""
+
+    fp_cols = ",\n        ".join(
+        f"MIN(({MINHASH_A[i]} * (shingle_hash % {P}) + {17 * (i + 1)}) % {P})"
+        f" AS fp{i}"
+        for i in range(FINGERPRINT_K)
+    )
+    sqls["fingerprint"] = f"""WITH {shingle_cte}
+    SELECT doc_id, {fp_cols}
+    FROM shingles GROUP BY doc_id"""
+
+    sqls["cosine_topk"] = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+        ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q)
+    SELECT vec_id, cos_sim FROM sims
+    ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+    bucket_expr = " + ".join(
+        f"CASE WHEN v[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(8)
+    )
+    sqls["cosine_topk_ann"] = f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bk AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM b),
+    q AS (SELECT v AS qv, bucket AS qb FROM bk WHERE vec_id = 0),
+    cand AS (
+      SELECT bk.vec_id, bk.v, q.qv FROM bk CROSS JOIN q
+      WHERE bit_count(xor(bk.bucket::BIGINT, q.qb::BIGINT)) <= 1),
+    sims AS (
+      SELECT vec_id,
+        ROUND(list_dot_product(v, qv)
+          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+          6) AS cos_sim
+      FROM cand)
+    SELECT vec_id, cos_sim FROM sims
+    ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+    def count_occ(padded: str, needle: str) -> str:
+        ln = len(needle)
+        esc = needle.replace("'", "''")
+        return (
+            f"CAST((length({padded}) - "
+            f"length(replace({padded}, '{esc}', ''))) / {ln} AS BIGINT)"
+        )
+
+    hits_cols = []
+    for lang, markers in LANG_MARKERS:
+        parts = " + ".join(
+            count_occ("(' ' || lower(text) || ' ')", m) for m in markers
+        )
+        hits_cols.append(f"({parts}) AS hits_{lang}")
+    greatest = "greatest(" + ", ".join(
+        f"hits_{lang}" for lang, _ in LANG_MARKERS
+    ) + ")"
+    case_chain = "CASE WHEN " + greatest + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lang} = {greatest} THEN '{lang}'"
+        for lang, _ in LANG_MARKERS
+    ) + " END"
+    sqls["language_id"] = f"""
+    WITH mc AS (SELECT doc_id, {", ".join(hits_cols)} FROM documents)
+    SELECT doc_id, {case_chain} AS pred_lang FROM mc"""
+
+    stop_parts = " + ".join(
+        count_occ("(' ' || lower(text) || ' ')", f" {w} ")
+        for w in STOPWORDS_EN
+    )
+    sqls["quality_score"] = f"""
+    WITH base AS (
+      SELECT doc_id,
+        length(text)::BIGINT AS n_chars,
+        len(list_filter(str_split(text, ' '), x -> length(x) > 0))::BIGINT
+          AS n_words,
+        length(replace(text, ' ', '')) AS n_nonspace,
+        ({stop_parts}) AS stop_hits,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+      FROM documents),
+    m AS (
+      SELECT doc_id, n_chars, n_words,
+        CASE WHEN n_words > 0 THEN n_nonspace::DOUBLE / n_words
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words
+             ELSE 0.0 END AS stopword_ratio,
+        CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars
+             ELSE 0.0 END AS alpha_ratio
+      FROM base)
+    SELECT doc_id, n_chars, n_words,
+      ROUND(mean_word_len, 6) AS mean_word_len,
+      ROUND(stopword_ratio, 6) AS stopword_ratio,
+      ROUND(alpha_ratio, 6) AS alpha_ratio,
+      (CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 25 ELSE 0 END
+       + CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 25 ELSE 0 END
+       + CASE WHEN stopword_ratio >= 0.05 THEN 25 ELSE 0 END
+       + CASE WHEN alpha_ratio >= 0.70 THEN 25 ELSE 0 END)::BIGINT
+        AS quality_score
+    FROM m"""
+
+    sqls["token_stats"] = f"""
+    SELECT doc_id,
+      length(text)::BIGINT AS n_chars,
+      len(list_filter(str_split(text, ' '), x -> length(x) > 0))::BIGINT
+        AS ws_tokens,
+      len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS rx_tokens
+    FROM documents"""
+
+    sqls["multimodal_meta"] = f"""{_prelude('lines')},
+    doclen AS (
+      SELECT doc_id,
+        37 + SUM(length(raw_line)) + (COUNT(*) - 1) AS n_bytes
+      FROM lines GROUP BY doc_id)
+    SELECT doc_id, n_bytes::BIGINT AS n_bytes,
+      ((n_bytes % 640) + 1)::INT AS fake_width,
+      ((n_bytes % 480) + 1)::INT AS fake_height,
+      3 AS fake_channels
+    FROM doclen"""
+
+    return sqls
+
+
 # ── driver contract ───────────────────────────────────────────────────
 
 
@@ -343,6 +679,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_first": q_search_first,
         "bucket_tally": q_bucket_tally,
         "host_tally": q_host_tally,
+        # training-data pipeline ops
+        "exact_dedup": q_exact_dedup,
+        "minhash_signature": q_minhash_signature,
+        "lsh_pairs": q_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "cosine_topk_ann": q_cosine_topk_ann,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "token_stats": q_token_stats,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -427,4 +776,5 @@ def oracle_sql() -> dict[str, str]:
     SELECT host || '.' || tld AS host, COUNT(*)::BIGINT AS n
     FROM pages GROUP BY 1"""
 
+    sqls.update(_dataprep_sql())
     return sqls

@@ -1,0 +1,227 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join), SimHash, n-gram Jaccard verification, and bottom-k fingerprint
+sketches — the standard near-dup stack for Common-Crawl-scale corpora
+(beyond the reference's scope; mandated by the build brief as first-class
+components).
+
+Engine-portability: every hash is derived from md5 (identical in Spark
+and DuckDB), via ``HASH64`` = first 15 hex chars of md5 as a bigint, so
+the DuckDB oracle reproduces results bit-for-bit. No murmur/xxhash
+(engine-specific). All randomness is deterministic: the k minhash
+permutations use fixed (a_i, b_i) constants derived below.
+
+Scale notes (100 TB): shingle explode is linear and map-side combined
+into per-doc signatures (one shuffle keyed by doc). The LSH join shuffles
+only (band_id, band_hash) buckets — never the cross product. Exact dedup
+is one hash-groupBy. Jaccard verification joins only candidate pairs.
+"""
+
+from __future__ import annotations
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1; keeps a*h+b inside int64 range
+
+# deterministic "permutation" constants for k=16 minhashes
+MINHASH_K = 16
+MINHASH_A = [2 * i + 1 for i in range(1, MINHASH_K + 1)]  # odd multipliers
+MINHASH_B = [7919 * i % MERSENNE31 for i in range(1, MINHASH_K + 1)]
+
+SHINGLE_N = 8  # char n-gram width
+SIMHASH_BITS = 32
+FINGERPRINT_K = 4  # bottom-k sketch width
+
+
+def hash64(col):
+    """Portable 60-bit hash of a string column: int(md5[:15], 16).
+    Same value in DuckDB via ``('0x' || substr(md5(e),1,15))::BIGINT``."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ── exact dedup ───────────────────────────────────────────────────────
+
+
+def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    canonical (min) id and the duplicate count. One shuffle on the 60-bit
+    text hash; at 10^12 rows this is the only shape that works (never
+    ``dropDuplicates`` on the full text — the hash is the shuffle key)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.col(id_col), hash64(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ── shingling + minhash + LSH ─────────────────────────────────────────
+
+
+def shingle_hashes(df, text_col: str = "text", id_col: str = "doc_id",
+                   n: int = SHINGLE_N):
+    """(id, shingle_hash) — one row per char n-gram position, hashed.
+    Pure Catalyst: sequence+transform+explode, no UDF."""
+    from pyspark.sql import functions as F
+
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)), "
+        f"i -> substr({text_col}, i, {n}))"
+    )
+    out = df.select(
+        F.col(id_col), F.explode(grams).alias("shingle")
+    )
+    return out.select(
+        id_col, hash64(F.col("shingle")).alias("shingle_hash")
+    ).distinct()
+
+
+def minhash_signature(df, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = MINHASH_K):
+    """Per-doc minhash signature: k columns ``mh0..mh{k-1}``, each
+    ``min((a_i * (h % p) + b_i) % p)`` over the doc's shingle set.
+    groupBy gets map-side partial mins for free."""
+    from pyspark.sql import functions as F
+
+    sh = shingle_hashes(df, text_col, id_col)
+    h = F.col("shingle_hash") % MERSENNE31
+    aggs = [
+        F.min((MINHASH_A[i] * h + MINHASH_B[i]) % MERSENNE31).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig_df, id_col: str = "doc_id", bands: int = 4,
+              rows: int = 4):
+    """Signature → (id, band_id, band_hash): hash each band of ``rows``
+    consecutive signature values. Docs sharing any (band_id, band_hash)
+    bucket are candidate near-dups."""
+    from pyspark.sql import functions as F
+
+    pieces = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}").cast("string")
+                for r in range(rows)]
+        pieces.append(
+            sig_df.select(
+                F.col(id_col),
+                F.lit(b).alias("band_id"),
+                hash64(F.concat_ws("-", *cols)).alias("band_hash"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def lsh_candidate_pairs(df, text_col: str = "text", id_col: str = "doc_id",
+                        bands: int = 4, rows: int = 4):
+    """Distinct candidate pairs (id_a < id_b) sharing an LSH bucket.
+    The join key is (band_id, band_hash): only same-bucket rows shuffle
+    together — the whole point of LSH at 10^12 docs. Skewed buckets
+    (e.g. boilerplate-heavy shingles) are handled by AQE skew-join."""
+    from pyspark.sql import functions as F
+
+    bands_df = lsh_bands(
+        minhash_signature(df, text_col, id_col), id_col, bands, rows
+    )
+    a = bands_df.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = bands_df.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df, pairs_df, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Exact n-gram Jaccard similarity for given candidate pairs:
+    |A ∩ B| / |A ∪ B| over distinct shingle-hash sets. Joins shingles
+    only for candidate ids (semi-join pushdown), never all-pairs."""
+    from pyspark.sql import functions as F
+
+    sh = shingle_hashes(df, text_col, id_col)
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle_hash")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle_hash")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    inter = (
+        pairs_df.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle_hash"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+    )
+    jac = F.col("n_inter") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
+# ── simhash ───────────────────────────────────────────────────────────
+
+
+def simhash(df, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = SIMHASH_BITS):
+    """Per-doc SimHash over whitespace-token hashes: bit j of the result
+    is 1 iff sum over tokens of ±1 (by bit j of the token hash) is > 0.
+    Pure Catalyst: explode + groupBy with ``bits`` conditional sums."""
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    toks = toks.select(id_col, hash64(F.col("tok")).alias("th"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_bit = toks.groupBy(id_col).agg(*aggs)
+    val = F.lit(0).cast("long")
+    for j in range(bits):
+        val = val + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return per_bit.select(id_col, val.alias("simhash"))
+
+
+# ── fingerprint sketch ────────────────────────────────────────────────
+
+
+def doc_fingerprint(df, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = FINGERPRINT_K):
+    """Bottom-k sketch: k salted minima over the doc's shingle-hash set
+    (columns ``fp0..fp{k-1}``). Equal sketches ⇒ near-identical content;
+    the streaming-friendly cousin of winnowing fingerprints."""
+    from pyspark.sql import functions as F
+
+    sh = shingle_hashes(df, text_col, id_col)
+    h = F.col("shingle_hash") % MERSENNE31
+    aggs = [
+        F.min((MINHASH_A[i] * h + 17 * (i + 1)) % MERSENNE31).alias(f"fp{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)

@@ -270,11 +270,12 @@ def explode_lines(
     keep = list(keep_cols) if keep_cols is not None else [
         c for c in df.columns if c != text_col
     ]
-    lines = F.split(F.col(text_col), "\n")
-    lines = F.when(
-        F.col(text_col).endswith("\n") & (F.size(lines) > 1),
-        F.slice(lines, 1, F.size(lines) - 1),
-    ).otherwise(lines)
+    # Strip ONE trailing newline before splitting (no phantom empty line
+    # after a final "\n"; an empty text still yields one empty line, the
+    # reference's fake-1-line-buffer rule). Single split evaluation — the
+    # earlier when(endswith)/slice formulation evaluated split() up to 3x
+    # per row inside Generate.
+    lines = F.split(F.regexp_replace(F.col(text_col), "\n$", ""), "\n")
     out = df.select(
         *keep, F.posexplode(lines).alias(line_no_col, raw_col)
     )
@@ -392,11 +393,14 @@ def parse_lines_arrow(
     spec: FormatSpec,
     line_col: str = "raw_line",
     out_col: str = "parsed",
+    drop_cols: Optional[Iterable[str]] = None,
 ):
     """mapInArrow parse stage: zero pandas/object materialization on the
-    fast path. All input columns pass through the Arrow worker untouched;
-    one struct column is appended. Requires a fast-safe spec
-    (``to_fast_regex() is not None``)."""
+    fast path. Input columns pass through the Arrow worker untouched and
+    one struct column is appended. ``drop_cols`` (e.g. ``["raw_line"]``
+    when nothing downstream reads the raw text) trims the Python→JVM
+    return stream — at 10^12 rows the raw-line bytes dominate transfer.
+    Requires a fast-safe spec (``to_fast_regex() is not None``)."""
     import pyarrow as pa
     from pyspark.sql import types as T
 
@@ -406,9 +410,10 @@ def parse_lines_arrow(
             f"spec {spec.name!r} has no flat fast regex; use parse_lines"
         )
 
+    drop = set(drop_cols or ())
+    kept = [f for f in df.schema.fields if f.name not in drop]
     out_schema = T.StructType(
-        list(df.schema.fields)
-        + [T.StructField(out_col, spec.spark_schema(), False)]
+        kept + [T.StructField(out_col, spec.spark_schema(), False)]
     )
     names = spec.column_names() + ["well_formed"]
 
@@ -421,6 +426,12 @@ def parse_lines_arrow(
                 arr = arr.cast(pa.string())
             outs, wf = _batch_parse_arrow(arr, spec, rx, unset_suffix)
             struct = pa.StructArray.from_arrays(outs + [wf], names=names)
+            if drop:
+                keep_idx = [
+                    i for i, name in enumerate(batch.schema.names)
+                    if name not in drop
+                ]
+                batch = batch.select(keep_idx)
             yield batch.append_column(out_col, struct)
 
     return df.mapInArrow(fn, out_schema)

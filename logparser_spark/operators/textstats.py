@@ -1,0 +1,126 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting. All pure Catalyst expressions (no UDFs) built
+from portable SQL functions so the DuckDB oracle reproduces every value.
+
+The language-ID is the classic marker-word heuristic (count per-language
+stopword hits via the length-difference-of-replace trick, argmax); the
+quality score mirrors common C4/Gopher-style cheap filters (length,
+word-length, punctuation/stopword ratios).
+"""
+
+from __future__ import annotations
+
+# (lang, markers) — ASCII marker words with surrounding spaces
+LANG_MARKERS = [
+    ("en", [" the ", " and ", " of "]),
+    ("de", [" der ", " und ", " die "]),
+    ("fr", [" le ", " et ", " les "]),
+    ("es", [" el ", " y ", " los "]),
+]
+
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in"]
+
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _count_occurrences(col, needle: str):
+    """Occurrences of ``needle`` via the portable length/replace trick."""
+    from pyspark.sql import functions as F
+
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def marker_counts(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc marker-word hit counts, one column per language
+    (``hits_en``, ``hits_de``, ...). Text is lowercased and space-padded
+    so edge tokens match."""
+    from pyspark.sql import functions as F
+
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    cols = [F.col(id_col)]
+    for lang, markers in LANG_MARKERS:
+        total = None
+        for m in markers:
+            c = _count_occurrences(padded, m)
+            total = c if total is None else total + c
+        cols.append(total.alias(f"hits_{lang}"))
+    return df.select(*cols)
+
+
+def language_id(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Argmax language over marker counts; 'und' when no marker hits.
+    Ties break by LANG_MARKERS order (first wins)."""
+    from pyspark.sql import functions as F
+
+    mc = marker_counts(df, text_col, id_col)
+    # CASE chain: first language whose count equals greatest(...) wins
+    greatest = F.greatest(*[F.col(f"hits_{l}") for l, _ in LANG_MARKERS])
+    pred = F.when(greatest <= 0, F.lit("und"))
+    for lang, _ in LANG_MARKERS:
+        pred = pred.when(F.col(f"hits_{lang}") == greatest, F.lit(lang))
+    return mc.select(id_col, pred.alias("pred_lang"))
+
+
+def token_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Whitespace tokens + BPE-ish regex tokens + char count."""
+    from pyspark.sql import functions as F
+
+    ws = F.size(
+        F.filter(
+            F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+        )
+    ).cast("long")
+    rx = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), F.lit(0))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        ws.alias("ws_tokens"),
+        rx.alias("rx_tokens"),
+    )
+
+
+def quality_score(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Cheap quality heuristics + a composite score in [0, 100]:
+
+    - length band (50..5000 chars),
+    - mean word length band (2..12),
+    - stopword ratio >= 5%,
+    - alpha ratio >= 70%.
+    """
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    words = F.size(F.filter(F.split(t, " "), lambda w: F.length(w) > 0))
+    mean_wlen = F.when(words > 0,
+                       F.length(F.replace(t, F.lit(" "), F.lit(""))) / words
+                       ).otherwise(F.lit(0.0))
+    stop_hits = None
+    for w in STOPWORDS_EN:
+        c = _count_occurrences(padded, f" {w} ")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    stop_ratio = F.when(words > 0, stop_hits / words).otherwise(F.lit(0.0))
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+
+    score = (
+        F.when((n_chars >= 50) & (n_chars <= 5000), 25).otherwise(0)
+        + F.when((mean_wlen >= 2) & (mean_wlen <= 12), 25).otherwise(0)
+        + F.when(stop_ratio >= 0.05, 25).otherwise(0)
+        + F.when(alpha_ratio >= 0.70, 25).otherwise(0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        score.cast("long").alias("quality_score"),
+    )

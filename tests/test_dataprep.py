@@ -1,0 +1,167 @@
+"""Training-data pipeline ops: dedup / similarity / textstats /
+multimodal. Invariant-style tests (the exact value parity with DuckDB is
+covered by tools/check_oracle.py and the driver's correctness gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_identity_and_dups(spark, docs):
+    from logparser_spark.operators import dedup
+
+    base = dedup.exact_dedup(docs)
+    n_docs = docs.count()
+    assert base.agg(F.sum("n_copies")).collect()[0][0] == n_docs
+
+    # duplicate the table -> every group doubles, canonical ids unchanged
+    doubled = docs.unionAll(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+    )
+    d2 = dedup.exact_dedup(doubled)
+    assert d2.count() == base.count()
+    assert d2.filter(F.col("n_copies") < 2).count() == 0
+    # canonical = min id = the original ids
+    assert d2.filter(F.col("canonical_id") >= 10_000).count() == 0
+
+
+def test_lsh_finds_planted_near_dup(spark, docs):
+    from logparser_spark.operators import dedup
+
+    # plant a near-duplicate of doc 0 (append a word)
+    d0 = docs.filter(F.col("doc_id") == 0)
+    planted = d0.select(
+        F.lit(99_999).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    aug = docs.select("doc_id", "text", "lang", "source", "n_chars").unionAll(planted)
+    pairs = dedup.lsh_candidate_pairs(aug)
+    hit = pairs.filter(
+        (F.col("id_a") == 0) & (F.col("id_b") == 99_999)
+    ).count()
+    assert hit == 1
+    jac = dedup.ngram_jaccard_pairs(aug, pairs)
+    row = jac.filter(
+        (F.col("id_a") == 0) & (F.col("id_b") == 99_999)
+    ).collect()[0]
+    assert row["jaccard"] > 0.9
+
+
+def test_simhash_near_dup_low_hamming(spark, docs):
+    from logparser_spark.operators import dedup
+
+    d0 = docs.filter(F.col("doc_id") == 0)
+    planted = d0.select(
+        F.lit(99_999).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionAll(planted)
+    sh = dedup.simhash(aug)
+    vals = {r["doc_id"]: r["simhash"] for r in
+            sh.filter(F.col("doc_id").isin([0, 99_999])).collect()}
+    ham = bin(vals[0] ^ vals[99_999]).count("1")
+    assert ham <= 6  # near-identical docs -> few differing bits
+
+
+def test_cosine_topk_self_first_and_ann_subset(spark, emb):
+    from logparser_spark.operators import similarity
+
+    q = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    exact = similarity.cosine_topk(emb, q, k=10).collect()
+    assert exact[0]["vec_id"] == 0 and abs(exact[0]["cos_sim"] - 1.0) < 1e-6
+    # descending similarity
+    sims = [r["cos_sim"] for r in exact]
+    assert sims == sorted(sims, reverse=True)
+
+    ann = similarity.cosine_topk_ann(emb, q, k=10).collect()
+    assert ann[0]["vec_id"] == 0
+    # ANN results are a subset of the candidate-restricted exact ranking:
+    # every ANN sim must appear in the full table with the same value
+    exact_all = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.cosine_topk(emb, q, k=500).collect()
+    }
+    for r in ann:
+        assert abs(exact_all[r["vec_id"]] - r["cos_sim"]) < 1e-9
+
+
+def test_language_id_markers(spark):
+    from logparser_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze und der vogel"),
+            (3, "le chat et les chiens et le loup"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r["pred_lang"]
+           for r in textstats.language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_score_bounds(spark, docs):
+    from logparser_spark.operators import textstats
+
+    qs = textstats.quality_score(docs)
+    bad = qs.filter(
+        (F.col("quality_score") < 0) | (F.col("quality_score") > 100)
+        | (F.col("alpha_ratio") < 0) | (F.col("alpha_ratio") > 1)
+    ).count()
+    assert bad == 0
+
+
+def test_token_stats_consistency(spark, docs):
+    from logparser_spark.operators import textstats
+
+    ts = textstats.token_stats(docs)
+    assert ts.filter(F.col("ws_tokens") > F.col("n_chars")).count() == 0
+    assert ts.filter(F.col("rx_tokens") <= 0).count() == 0
+
+
+def test_multimodal_stub_shapes_and_strict(spark):
+    from logparser_spark.operators import multimodal
+    from logparser_spark.sources.pages import build_pages_from_documents
+
+    pages = build_pages_from_documents(spark, SF_DIR).limit(20)
+    meta = multimodal.image_metadata(pages).collect()
+    assert len(meta) == 20
+    for r in meta:
+        assert r["n_bytes"] > 37  # html wrapper + text
+        assert 1 <= r["fake_width"] <= 640
+
+    frames = multimodal.frame_sample(pages)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] >= 1 for r in per_doc)
+
+    with pytest.raises(Exception) as exc:
+        multimodal.image_metadata(pages, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_decode_html_roundtrip(spark):
+    from logparser_spark.operators import multimodal
+    from logparser_spark.sources.pages import build_pages_from_documents
+
+    pages = build_pages_from_documents(spark, SF_DIR).limit(10)
+    out = multimodal.decode_html(pages)
+    mism = out.filter(F.col("html_text") != F.col("text")).count()
+    assert mism == 0
