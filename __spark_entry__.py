@@ -641,6 +641,49 @@ def _dataprep_sql() -> dict[str, str]:
     return sqls
 
 
+
+
+def q_lineage_buckets(spark, sf_dir):
+    """Runs the REAL checkpointed route into a fresh temp dir and returns
+    the per-bucket lineage entries (round-tripped through the commit
+    protocol); the oracle recomputes the same per-bucket parse metrics
+    directly."""
+    import shutil
+    import tempfile
+
+    from logparser_spark.operators.route import SinkSpec
+    from logparser_spark.plans import checkpoint as C
+
+    base = tempfile.mkdtemp(prefix="lineage_q_")
+    try:
+        sinks = [SinkSpec("s_info", "Level EQ INFO")]
+        C.route_checkpointed(
+            _parsed(spark, sf_dir), sinks, _SPEC, base, buckets=8
+        )
+        rows = [
+            (e["bucket"], e["rows"], e["well_formed_rows"])
+            for e in C.completed_buckets(base).values()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "bucket INT, rows BIGINT, well_formed_rows BIGINT"
+    )
+
+
+def q_host_line_tally_salted(spark, sf_dir):
+    """Two-stage salted count over the Zipf-skewed host key (3 hot hosts
+    own ~70% of lines): must equal the plain per-host count."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.plans.skew import salted_count
+
+    lines = _lines(spark, sf_dir).withColumn(
+        "host", enrich.url_host(F.col("url"))
+    )
+    return salted_count(lines, "host", k=16)
+
+
 # ── driver contract ───────────────────────────────────────────────────
 
 
@@ -692,6 +735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
         "multimodal_meta": q_multimodal_meta,
+        # checkpoint/lineage + skew
+        "lineage_buckets": q_lineage_buckets,
+        "host_line_tally_salted": q_host_line_tally_salted,
     }
 
 
@@ -775,6 +821,19 @@ def oracle_sql() -> dict[str, str]:
     sqls["host_tally"] = f"""{_prelude('pages')}
     SELECT host || '.' || tld AS host, COUNT(*)::BIGINT AS n
     FROM pages GROUP BY 1"""
+
+
+    sqls["lineage_buckets"] = f"""{_prelude()}
+    SELECT (doc_id % 8)::INT AS bucket,
+           COUNT(*)::BIGINT AS rows,
+           SUM(CASE WHEN well_formed THEN 1 ELSE 0 END)::BIGINT
+             AS well_formed_rows
+    FROM parsed GROUP BY 1"""
+
+    sqls["host_line_tally_salted"] = f"""{_prelude('lines')},
+    l2 AS (
+      SELECT regexp_extract(url, 'https://([^/]*)/', 1) AS host FROM lines)
+    SELECT host, COUNT(*)::BIGINT AS n FROM l2 GROUP BY 1"""
 
     sqls.update(_dataprep_sql())
     return sqls
