@@ -684,6 +684,107 @@ def q_host_line_tally_salted(spark, sf_dir):
     return salted_count(lines, "host", k=16)
 
 
+
+
+# ── navigation / windowing surface (SURVEY §2.5 N1-N6) ────────────────
+
+
+def q_nav_page_window(spark, sf_dir):
+    """N1/N6 block fetch: rows at local ids [3, 6] of each doc's
+    filtered (sink_info) view — the interactive pager's BETWEEN query."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    v = _parsed(spark, sf_dir).filter(sink_column(_sink("sink_info"), _SPEC))
+    w = Window.partitionBy("doc_id").orderBy("line_no")
+    local = v.select(
+        "doc_id", "line_no", (F.row_number().over(w) - 1).alias("local_id")
+    )
+    return local.filter(F.col("local_id").between(3, 6))
+
+
+def q_nav_eof_jump(spark, sf_dir):
+    """N3 jump-to-EOF clamp: the LAST accepted line per doc."""
+    from pyspark.sql import functions as F
+
+    v = _parsed(spark, sf_dir).filter(sink_column(_sink("sink_info"), _SPEC))
+    return v.groupBy("doc_id").agg(F.max("line_no").alias("line_no"))
+
+
+def q_search_backward(spark, sf_dir):
+    """N4 backward: last line before line 40 containing 'Ioctl', + pos."""
+    from pyspark.sql import functions as F
+
+    lines = _lines(spark, sf_dir)
+    hits = lines.filter(
+        F.col("raw_line").contains("Ioctl") & (F.col("line_no") < 40)
+    )
+    return hits.groupBy("doc_id").agg(
+        F.max("line_no").alias("line_no"),
+        F.max(
+            F.struct("line_no", F.locate("Ioctl", F.col("raw_line")).alias("p"))
+        )["p"].cast("long").alias("pos"),
+    )
+
+
+# ── events telemetry aggregates (driver's generic events table) ───────
+
+
+def q_events_by_type(spark, sf_dir):
+    """Counts + exact decimal sums by event type (decimal, not double:
+    float summation order is nondeterministic under parallelism)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double").alias("value_sum"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionization: 30-minute-gap rule per user via lag + running sum
+    (the standard watermark-free batch formulation)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; epoch seconds via a timestamp cast (session tz
+    # is UTC). Gaps are offset-invariant so this matches DuckDB epoch().
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_sess").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_events_props(spark, sf_dir):
+    """JSON prop extraction + bucket histogram."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # ── driver contract ───────────────────────────────────────────────────
 
 
@@ -738,6 +839,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checkpoint/lineage + skew
         "lineage_buckets": q_lineage_buckets,
         "host_line_tally_salted": q_host_line_tally_salted,
+        # navigation / windowing
+        "nav_page_window": q_nav_page_window,
+        "nav_eof_jump": q_nav_eof_jump,
+        "search_backward": q_search_backward,
+        # events telemetry
+        "events_by_type": q_events_by_type,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_props": q_events_props,
     }
 
 
@@ -834,6 +944,55 @@ def oracle_sql() -> dict[str, str]:
     l2 AS (
       SELECT regexp_extract(url, 'https://([^/]*)/', 1) AS host FROM lines)
     SELECT host, COUNT(*)::BIGINT AS n FROM l2 GROUP BY 1"""
+
+
+    info_pred = _accept(_SINK_PREDS["sink_info"])
+    sqls["nav_page_window"] = f"""{_prelude()},
+    v AS (
+      SELECT doc_id, line_no,
+        (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY line_no) - 1)::INT
+          AS local_id
+      FROM parsed WHERE {info_pred})
+    SELECT doc_id, line_no, local_id FROM v
+    WHERE local_id BETWEEN 3 AND 6"""
+
+    sqls["nav_eof_jump"] = f"""{_prelude()}
+    SELECT doc_id, MAX(line_no)::INT AS line_no
+    FROM parsed WHERE {info_pred} GROUP BY doc_id"""
+
+    sqls["search_backward"] = f"""{_prelude('lines')}
+    SELECT doc_id, MAX(line_no)::INT AS line_no,
+           arg_max(strpos(raw_line, 'Ioctl'), line_no)::BIGINT AS pos
+    FROM lines
+    WHERE contains(raw_line, 'Ioctl') AND line_no < 40
+    GROUP BY doc_id"""
+
+    sqls["events_by_type"] = """
+    SELECT event_type, COUNT(*)::BIGINT AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1"""
+
+    sqls["events_hourly"] = """
+    SELECT strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1"""
+
+    sqls["events_sessions"] = """
+    WITH m AS (
+      SELECT user_id,
+        CASE WHEN lag(epoch(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             OR epoch(ts) - lag(epoch(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+          THEN 1 ELSE 0 END AS new_sess
+      FROM events)
+    SELECT user_id, SUM(new_sess)::BIGINT AS n_sessions,
+           COUNT(*)::BIGINT AS n_events
+    FROM m GROUP BY 1"""
+
+    sqls["events_props"] = """
+    SELECT (CAST(props->>'$.k' AS BIGINT) % 10) AS k_bucket,
+           COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1"""
 
     sqls.update(_dataprep_sql())
     return sqls
