@@ -785,6 +785,58 @@ def q_events_props(spark, sf_dir):
     )
 
 
+
+
+# ── extra parse-semantics coverage via the driver gate ────────────────
+
+DBL_FORMAT = "{STR:Name} {DBL:Value} {INT:Seq}"
+
+
+def q_parse_dbl_spec(spark, sf_dir):
+    """Exercises the pandas-UDF nested-regex tier (DBL specs have no flat
+    fast path): synthesize '<name> <d.dd> <i>' lines from doc_id and parse
+    them with a DBL-bearing format."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.functions.formats import compile_format
+    from logparser_spark.operators.parse import parse_lines
+
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    lines = docs.select(
+        "doc_id",
+        F.format_string(
+            "doc-%d %d.%02d %d",
+            F.col("doc_id"),
+            F.col("doc_id") % 100,
+            (F.col("doc_id") * 7) % 100,
+            F.col("doc_id") % 1000,
+        ).alias("raw_line"),
+    )
+    spec = compile_format(DBL_FORMAT, name="dbl")
+    parsed = parse_lines(lines, spec, with_matched_format=False)
+    return parsed.select(
+        "doc_id",
+        F.col("parsed.Name").alias("name"),
+        F.round(F.col("parsed.Value"), 6).alias("value"),
+        F.col("parsed.Seq").alias("seq"),
+        F.col("parsed.well_formed").alias("well_formed"),
+    )
+
+
+def q_crlf_identity(spark, sf_dir):
+    """CRLF twin semantics (reference sample_crlf.log): exploding a
+    \r\n-joined text yields byte-identical lines to the \n version."""
+    from pyspark.sql import functions as F
+
+    pages = _pages(spark, sf_dir)
+    crlf = pages.withColumn(
+        "text", F.regexp_replace("text", "\n", "\r\n")
+    )
+    out = explode_lines(crlf, keep_cols=["doc_id"])
+    return out.select("doc_id", "line_no", "raw_line")
+
+
 # ── driver contract ───────────────────────────────────────────────────
 
 
@@ -848,6 +900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_props": q_events_props,
+        # parse-semantics extras
+        "parse_dbl_spec": q_parse_dbl_spec,
+        "crlf_identity": q_crlf_identity,
     }
 
 
@@ -993,6 +1048,26 @@ def oracle_sql() -> dict[str, str]:
     SELECT (CAST(props->>'$.k' AS BIGINT) % 10) AS k_bucket,
            COUNT(*)::BIGINT AS n
     FROM events GROUP BY 1"""
+
+
+    sqls["parse_dbl_spec"] = """
+    WITH raw AS (
+      SELECT doc_id,
+        printf('doc-%d %d.%02d %d', doc_id, doc_id % 100,
+               (doc_id * 7) % 100, doc_id % 1000) AS raw_line
+      FROM documents)
+    SELECT doc_id,
+      regexp_extract(raw_line, '^(\\S+) ([0-9]+\\.[0-9]+) ([0-9]+)$', 1)
+        AS name,
+      ROUND(CAST(regexp_extract(raw_line,
+        '^(\\S+) ([0-9]+\\.[0-9]+) ([0-9]+)$', 2) AS DOUBLE), 6) AS value,
+      CAST(regexp_extract(raw_line,
+        '^(\\S+) ([0-9]+\\.[0-9]+) ([0-9]+)$', 3) AS BIGINT) AS seq,
+      true AS well_formed
+    FROM raw"""
+
+    sqls["crlf_identity"] = f"""{_prelude('lines')}
+    SELECT doc_id, line_no, raw_line FROM lines"""
 
     sqls.update(_dataprep_sql())
     return sqls

@@ -378,7 +378,10 @@ class FormatSpec:
             T.StructField(cols[k], spark_types[f.ftype], True)
             for k, (_, f) in enumerate(self.output_fields())
         ]
-        fields.append(T.StructField("well_formed", T.BooleanType(), False))
+        # nullable=True: Arrow scalar UDFs cast their result to the declared
+        # type, and pyarrow refuses nullable->non-nullable struct casts.
+        # well_formed is never actually null (the kernel fills every row).
+        fields.append(T.StructField("well_formed", T.BooleanType(), True))
         return T.StructType(fields)
 
 

@@ -37,11 +37,12 @@ import re
 from typing import Iterable, Optional
 
 import pandas as pd
+import pyarrow as pa  # module-level: arrow_udf type-hint resolution needs it
 
 from ..functions.formats import FieldType, FormatSpec
 from ..functions.oracle import parse_line as oracle_parse_line
 
-__all__ = ["explode_lines", "make_parse_udf", "parse_lines", "parse_lines_arrow"]
+__all__ = ["explode_lines", "make_arrow_parse_udf", "make_parse_udf", "parse_lines", "parse_lines_arrow"]
 
 
 def _fast_plan(spec: FormatSpec):
@@ -298,7 +299,12 @@ def parse_lines(
     """
     from pyspark.sql import functions as F
 
-    if spec.to_fast_regex() is not None:
+    arrow_parse = make_arrow_parse_udf(spec)
+    if arrow_parse is not None:
+        # scalar Arrow UDF: ONLY the line column crosses into Python;
+        # passthrough columns never leave the JVM (cheapest IPC shape)
+        out = df.withColumn(out_col, arrow_parse(F.col(line_col)))
+    elif spec.to_fast_regex() is not None:
         out = parse_lines_arrow(df, spec, line_col=line_col, out_col=out_col)
     else:
         udf = make_parse_udf(spec)
@@ -386,6 +392,29 @@ def _batch_parse_arrow(arr, spec: FormatSpec, rx: str, unset_suffix: list):
             wf_arr, undecided, pa.array(walker_wf, pa.bool_())
         )
     return outs, wf_arr
+
+
+def make_arrow_parse_udf(spec: FormatSpec):
+    """Scalar Arrow UDF ``string -> struct`` over the tier-1 kernel, or
+    None when the spec has no flat fast regex or the runtime predates
+    ``pyspark.sql.functions.arrow_udf`` (Spark 4.0)."""
+    from pyspark.sql import functions as F
+
+    if not hasattr(F, "arrow_udf"):
+        return None
+    rx, unset_suffix = _fast_plan(spec)
+    if rx is None:
+        return None
+    names = spec.column_names() + ["well_formed"]
+
+    @F.arrow_udf(spec.spark_schema())
+    def parse(lines: pa.Array) -> pa.Array:
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        outs, wf = _batch_parse_arrow(lines, spec, rx, unset_suffix)
+        return pa.StructArray.from_arrays(outs + [wf], names=names)
+
+    return parse
 
 
 def parse_lines_arrow(
