@@ -837,6 +837,76 @@ def q_crlf_identity(spark, sf_dir):
     return out.select("doc_id", "line_no", "raw_line")
 
 
+
+
+def q_route_raw_contains(spark, sf_dir):
+    """F8 RawLineFilter: route on raw-substring containment (bypasses
+    parsed fields entirely)."""
+    from logparser_spark.operators.filters import RawLineFilter
+    from logparser_spark.operators.route import SinkSpec
+
+    sink = SinkSpec("raw_ioctl", RawLineFilter("Ioctl"))
+    p = _parsed(spark, sf_dir)
+    return p.filter(sink_column(sink, _SPEC)).select(
+        "doc_id", "line_no", "raw_line"
+    )
+
+
+def q_route_ew_rows(spark, sf_dir):
+    """EW (ends_with) comparator through the DSL."""
+    from logparser_spark.operators.route import SinkSpec
+
+    sink = SinkSpec("ew", "Mesg EW T1OUT")
+    return _route_rows_for(spark, sf_dir, sink)
+
+
+def q_route_nor_rows(spark, sf_dir):
+    """NOR combine through the DSL (neither TRACE nor early)."""
+    from logparser_spark.operators.route import SinkSpec
+
+    sink = SinkSpec("nor", "Level EQ TRACE NOR Time ST 085353")
+    return _route_rows_for(spark, sf_dir, sink)
+
+
+def _route_rows_for(spark, sf_dir, sink):
+    p = _parsed(spark, sf_dir)
+    return _parsed_fields(p.filter(sink_column(sink, _SPEC))).select(
+        "doc_id", "line_no", "level", "f_time", "mesg"
+    )
+
+
+NCHAR_FORMAT = "{STR:Tag,4}:{CHR:,-,1}{INT:Num}"
+
+
+def q_parse_nchar_spec(spark, sf_dir):
+    """NCHAR + CHR-repeat fields end-to-end (fast-path-safe spec):
+    lines 'XXXX:---N' synthesized from doc_id."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.functions.formats import compile_format
+    from logparser_spark.operators.parse import parse_lines
+
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    lines = docs.select(
+        "doc_id",
+        F.format_string(
+            "t%03d:%s%d",
+            F.col("doc_id") % 1000,
+            F.when(F.col("doc_id") % 3 == 0, F.lit("---")).otherwise(F.lit("-")),
+            F.col("doc_id") % 97,
+        ).alias("raw_line"),
+    )
+    spec = compile_format(NCHAR_FORMAT, name="nchar")
+    parsed = parse_lines(lines, spec, with_matched_format=False)
+    return parsed.select(
+        "doc_id",
+        F.col("parsed.Tag").alias("tag"),
+        F.col("parsed.Num").alias("num"),
+        F.col("parsed.well_formed").alias("well_formed"),
+    )
+
+
 # ── driver contract ───────────────────────────────────────────────────
 
 
@@ -903,6 +973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parse-semantics extras
         "parse_dbl_spec": q_parse_dbl_spec,
         "crlf_identity": q_crlf_identity,
+        "parse_nchar_spec": q_parse_nchar_spec,
+        "route_raw_contains": q_route_raw_contains,
+        "route_ew_rows": q_route_ew_rows,
+        "route_nor_rows": q_route_nor_rows,
     }
 
 
@@ -1068,6 +1142,35 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["crlf_identity"] = f"""{_prelude('lines')}
     SELECT doc_id, line_no, raw_line FROM lines"""
+
+
+    sqls["route_raw_contains"] = f"""{_prelude()}
+    SELECT doc_id, line_no, raw_line FROM parsed
+    WHERE (NOT well_formed) OR (well_formed AND contains(raw_line, 'Ioctl'))"""
+
+    sqls["route_ew_rows"] = f"""{_prelude()}
+    SELECT doc_id, line_no, level, f_time, mesg FROM parsed
+    WHERE {_accept("mesg LIKE '%T1OUT'")}"""
+
+    sqls["route_nor_rows"] = f"""{_prelude()}
+    SELECT doc_id, line_no, level, f_time, mesg FROM parsed
+    WHERE {_accept("NOT (level = 'TRACE' OR f_time < 85353)")}"""
+
+    sqls["parse_nchar_spec"] = """
+    WITH raw AS (
+      SELECT doc_id,
+        printf('t%03d:%s%d', doc_id % 1000,
+               CASE WHEN doc_id % 3 = 0 THEN '---' ELSE '-' END,
+               doc_id % 97) AS raw_line
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN regexp_matches(raw_line, '^(.{4}):(-)-*([0-9]+)$')
+           THEN regexp_extract(raw_line, '^(.{4}):(-)-*([0-9]+)$', 1) END AS tag,
+      CASE WHEN regexp_matches(raw_line, '^(.{4}):(-)-*([0-9]+)$')
+           THEN TRY_CAST(regexp_extract(raw_line,
+                '^(.{4}):(-)-*([0-9]+)$', 3) AS BIGINT) END AS num,
+      regexp_matches(raw_line, '^(.{4}):(-)-*([0-9]+)$') AS well_formed
+    FROM raw"""
 
     sqls.update(_dataprep_sql())
     return sqls
