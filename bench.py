@@ -82,8 +82,10 @@ def pipeline_throughput(spark, n_pages: int, partitions: int):
     spec = compile_format(DEFAULT_FORMAT)
     sinks = fixture_sinks()
 
-    pages = synth_pages(spark, n_pages, partitions)
-    lines = explode_lines(pages, keep_cols=["doc_id", "url", "lang"])
+    pages = enrich.page_host_cols(synth_pages(spark, n_pages, partitions))
+    # host/tld derived per PAGE (30x fewer rows than lines); the full url
+    # never enters the per-line stream or the Arrow boundary
+    lines = explode_lines(pages, keep_cols=["doc_id", "tld", "lang"])
     # raw_line is not read downstream of the parse in this pipeline:
     # dropping it from the Arrow return stream saves ~half the transfer
     parsed = parse_lines_arrow(lines, spec, drop_cols=["raw_line"])
@@ -335,8 +337,8 @@ def _executor_shard(args):
     sinks = fixture_sinks()
 
     def run(st, n):
-        pages = synth_pages(spark, n, cpus * 8, start=st)
-        lines = explode_lines(pages, keep_cols=["doc_id", "url", "lang"])
+        pages = enrich.page_host_cols(synth_pages(spark, n, cpus * 8, start=st))
+        lines = explode_lines(pages, keep_cols=["doc_id", "tld", "lang"])
         parsed = parse_lines_arrow(lines, spec, drop_cols=["raw_line"])
         enriched = enrich.enrich_all(parsed, spark)
         aggs = [F.count(F.lit(1)).alias("total_lines")] + [

@@ -70,6 +70,19 @@ def url_tld(col):
     return F.substring_index(url_host(col), ".", -1)
 
 
+def page_host_cols(pages, url_col: str = "url"):
+    """Derive host/tld ONCE per page, BEFORE the line explode: the
+    classic push-computation-above-the-fan-out move — at ~30 lines/page
+    this is 30x fewer parse_url evaluations, and short host/tld strings
+    replace the full url through every downstream operator (including
+    the Arrow boundary of the parse stage)."""
+    from pyspark.sql import functions as F
+
+    return pages.withColumn("host", url_host(F.col(url_col))).withColumn(
+        "tld", F.substring_index(F.col("host"), ".", -1)
+    )
+
+
 def enrich_lang(df, spark, lang_col: str = "lang"):
     from pyspark.sql import functions as F
 
@@ -77,9 +90,13 @@ def enrich_lang(df, spark, lang_col: str = "lang"):
 
 
 def enrich_tld(df, spark, url_col: str = "url"):
+    """Joins the tld dim; reuses a pre-derived ``tld`` column when
+    present (see :func:`page_host_cols`), else derives it from the url."""
     from pyspark.sql import functions as F
 
-    out = df.withColumn("tld", url_tld(F.col(url_col)))
+    out = df
+    if "tld" not in df.columns:
+        out = out.withColumn("tld", url_tld(F.col(url_col)))
     return out.join(F.broadcast(tld_dim(spark)), on="tld", how="left")
 
 
@@ -93,7 +110,8 @@ def enrich_status(df, spark, level_col: str = "parsed.Level"):
 def enrich_all(df, spark, url_col: str = "url", lang_col: str = "lang",
                level_col: str = "parsed.Level"):
     """All three dictionary joins; each is a broadcast, so the fact side
-    streams through a single stage with zero shuffles."""
+    streams through a single stage with zero shuffles. Works whether the
+    tld was pre-derived per page (preferred) or must come from the url."""
     out = enrich_lang(df, spark, lang_col)
     out = enrich_tld(out, spark, url_col)
     return enrich_status(out, spark, level_col)
