@@ -345,47 +345,31 @@ def _batch_parse_arrow(arr, spec: FormatSpec, rx: str, unset_suffix: list):
             )
 
     undecided = pc.fill_null(pc.invert(valid), True)
-    und_np = undecided.to_numpy(zero_copy_only=False)
-    n_und = int(und_np.sum())
+    n_und = int(pc.sum(undecided).as_py() or 0)
 
-    walker_vals = None
+    walker_outs = None
     walker_wf = None
     if n_und:
-        sub = arr.filter(undecided).to_pylist()
-        ncols = len(out_fields)
-        walker_vals = [[None] * n_und for _ in range(ncols)]
-        walker_wf = [False] * n_und
-        for r, line in enumerate(sub):
-            if line is None:
-                continue
-            vals, wf = oracle_parse_line(line, spec)
-            walker_wf[r] = wf
-            for k in range(ncols):
-                walker_vals[k][r] = vals[k]
+        from .walker_np import batch_walk_arrow
+
+        sub = arr.filter(undecided)
+        # vectorized NumPy walker (itself bails per-row to the python
+        # oracle only for atol-overflow/unicode/DBL territory)
+        walker_outs, walker_wf = batch_walk_arrow(sub, spec)
 
     outs = []
     for k, (i, f) in enumerate(out_fields):
         base = pc.if_else(valid, children[k], pa.scalar(None, pa.string()))
         if f.ftype == FieldType.INT:
             base = base.cast(pa.int64())
-            if n_und:
-                rep = pa.array(walker_vals[k], pa.int64())
-                base = pc.replace_with_mask(base, undecided, rep)
         elif f.ftype == FieldType.DBL:
             base = base.cast(pa.float64())
-            if n_und:
-                rep = pa.array(walker_vals[k], pa.float64())
-                base = pc.replace_with_mask(base, undecided, rep)
-        else:
-            if n_und:
-                rep = pa.array(walker_vals[k], pa.string())
-                base = pc.replace_with_mask(base, undecided, rep)
+        if n_und:
+            base = pc.replace_with_mask(base, undecided, walker_outs[k])
         outs.append(base)
     wf_arr = pc.fill_null(valid, False)
     if n_und:
-        wf_arr = pc.replace_with_mask(
-            wf_arr, undecided, pa.array(walker_wf, pa.bool_())
-        )
+        wf_arr = pc.replace_with_mask(wf_arr, undecided, walker_wf)
     return outs, wf_arr
 
 
