@@ -907,6 +907,21 @@ def q_parse_nchar_spec(spark, sf_dir):
     )
 
 
+
+
+def q_route_bits_histogram(spark, sf_dir):
+    """Single-pass route_mask strategy: one packed bitmask column for all
+    7 sinks (bit i = sink i), histogrammed — the large-N fan-out shape
+    (one projection, no per-sink scans)."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.route import route_mask
+
+    p = _parsed(spark, sf_dir)
+    masked = route_mask(p, _SINKS, _SPEC)
+    return masked.groupBy("route_bits").agg(F.count(F.lit(1)).alias("n"))
+
+
 # ── driver contract ───────────────────────────────────────────────────
 
 
@@ -977,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_raw_contains": q_route_raw_contains,
         "route_ew_rows": q_route_ew_rows,
         "route_nor_rows": q_route_nor_rows,
+        "route_bits_histogram": q_route_bits_histogram,
     }
 
 
@@ -1171,6 +1187,17 @@ def oracle_sql() -> dict[str, str]:
                 '^(.{4}):(-)-*([0-9]+)$', 3) AS BIGINT) END AS num,
       regexp_matches(raw_line, '^(.{4}):(-)-*([0-9]+)$') AS well_formed
     FROM raw"""
+
+
+    bit_terms = []
+    for bi, (sname, spred) in enumerate(_SINK_PREDS.items()):
+        bit_terms.append(
+            f"(CASE WHEN {_accept(spred)} THEN {1 << bi} ELSE 0 END)"
+        )
+    sqls["route_bits_histogram"] = f"""{_prelude()}
+    SELECT ({' + '.join(bit_terms)})::BIGINT AS route_bits,
+           COUNT(*)::BIGINT AS n
+    FROM parsed GROUP BY 1"""
 
     sqls.update(_dataprep_sql())
     return sqls
