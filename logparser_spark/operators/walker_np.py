@@ -46,8 +46,11 @@ _PLUS, _MINUS, _ZERO = ord("+"), ord("-"), ord("0")
 
 def _class_stops(buf: np.ndarray, member: np.ndarray) -> np.ndarray:
     """Sorted positions in ``buf`` whose byte is NOT in ``member`` — the
-    stops for a run of ``member`` chars."""
-    return np.flatnonzero(~np.isin(buf, member))
+    stops for a run of ``member`` chars. 256-entry LUT, not np.isin
+    (whose sort-based path is ~30x slower on multi-MB buffers)."""
+    lut = np.zeros(256, dtype=bool)
+    lut[member] = True
+    return np.flatnonzero(~lut[buf])
 
 
 def _run_end(stops: np.ndarray, cur: np.ndarray, end: np.ndarray):
@@ -72,7 +75,17 @@ def _gather_strings(buf: np.ndarray, start: np.ndarray, stop: np.ndarray,
     np.cumsum(lens, out=offsets[1:])
     total = int(offsets[-1])
     if total:
-        idx = np.repeat(start - offsets[:-1], lens) + np.arange(total)
+        # cumsum-delta ragged gather (no arange/repeat allocations):
+        # within a row indices step by 1; at each row boundary jump to
+        # that row's start.
+        nz = lens > 0
+        row_first = start[nz]
+        d = np.ones(total, dtype=np.int64)
+        bounds = offsets[:-1][nz]  # first output slot of each row
+        d[bounds] = row_first
+        d[bounds[1:]] -= row_first[:-1] + lens[nz][:-1] - 1
+        d[0] = row_first[0]
+        idx = np.cumsum(d)
         data = buf[idx]
     else:
         data = np.empty(0, dtype=np.uint8)
