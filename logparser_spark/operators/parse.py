@@ -42,7 +42,7 @@ import pyarrow as pa  # module-level: arrow_udf type-hint resolution needs it
 from ..functions.formats import FieldType, FormatSpec
 from ..functions.oracle import parse_line as oracle_parse_line
 
-__all__ = ["explode_lines", "make_arrow_parse_udf", "make_parse_udf", "parse_lines", "parse_lines_arrow"]
+__all__ = ["explode_lines", "make_arrow_parse_udf", "make_parse_udf", "parse_lines", "parse_lines_arrow", "parse_lines_hybrid"]
 
 
 def _fast_plan(spec: FormatSpec):
@@ -451,3 +451,103 @@ def parse_lines_arrow(
             yield batch.append_column(out_col, struct)
 
     return df.mapInArrow(fn, out_schema)
+
+
+def parse_lines_hybrid(
+    df,
+    spec: FormatSpec,
+    line_col: str = "raw_line",
+    out_col: str = "parsed",
+    drop_cols: Optional[Iterable[str]] = None,
+):
+    """Alternative strategy: JVM-codegen fast path + Python residual, in
+    ONE scan. NOT the default — measured slower than the Arrow kernel on
+    this hardware; see the trade-off note below.
+
+    The flat regex is Java-compatible (greedy, backtracking leftmost-
+    greedy — the same preference order the soundness proof covers), so
+    matched rows are extracted entirely JVM-side with whole-stage codegen
+    in TWO regex executions total: one ``rlike`` gate and one
+    ``regexp_replace`` that packs every capture group into a
+    separator-joined string (per-group ``regexp_extract`` would re-run
+    the full match k times). Rows the flat pattern rejects still need
+    walker semantics: the mapInArrow kernel runs over a column that is
+    NULL for matched rows — null strings cross the Arrow boundary for
+    ~free — so Python cost is proportional to the residual only.
+
+    Trade-off (measured, local[32], identical checksums): mapInArrow
+    2.17M rows/s vs hybrid 1.69M — java.util.regex backtracking runs
+    ~0.5M matches/s/core on this pattern while RE2 inside pyarrow does
+    ~0.9-1M, so eliminating the Arrow transfer does not pay for the
+    slower JVM engine here. The hybrid wins where Python workers are
+    scarce or rows are fat (transfer-bound) — hence kept as an opt-in
+    strategy with full parity coverage.
+    """
+    from pyspark.sql import functions as F
+
+    rx, unset_suffix = _fast_plan(spec)
+    if rx is None:
+        return parse_lines(df, spec, line_col=line_col, out_col=out_col)
+    jrx = rx.replace("(?P<", "(?<")
+
+    out_fields = spec.output_fields()
+    cols = spec.column_names()
+    # single-match multi-group extraction: ONE regexp_replace with
+    # backreferences packs every group into a \x01-separated string
+    # (k regexp_extract calls would run k full regex matches per row).
+    # Rows containing the separator byte are routed to the walker.
+    sep = "\u0001"
+    repl = sep.join(f"${k + 1}" for k in range(len(out_fields)))
+    matched = (
+        F.col(line_col).isNotNull()
+        & ~F.col(line_col).contains(sep)
+        & F.col(line_col).rlike(jrx)
+    )
+    residual_col = "__residual"
+    packed_col = "__packed"
+    with_res = df.withColumn(
+        residual_col,
+        F.when(matched, F.lit(None)).otherwise(F.col(line_col)),
+    ).withColumn(
+        packed_col,
+        F.when(
+            matched,
+            F.split(F.regexp_replace(F.col(line_col), jrx, repl), sep),
+        ),
+    )
+    # the packed array must survive the kernel; the raw line need not
+    kernel = parse_lines_arrow(
+        with_res, spec, line_col=residual_col, out_col="__py_parsed",
+        drop_cols=[residual_col] + list(drop_cols or []),
+    )
+
+    raw_g = {
+        k: F.element_at(F.col(packed_col), k + 1)
+        for k in range(len(out_fields))
+    }
+    # trailing zero-width captures: '' at EOL means UNSET (None) — the
+    # same tail-zero chain the Arrow kernel applies, as Catalyst exprs
+    unset: dict[int, object] = {}
+    tail = F.lit(True)
+    for k in unset_suffix:  # last-to-first
+        tail = tail & (F.length(raw_g[k]) == 0)
+        unset[k] = tail
+    jvm_fields = []
+    for k, (i, f) in enumerate(out_fields):
+        g = raw_g[k]
+        if k in unset:
+            g = F.when(unset[k], F.lit(None)).otherwise(g)
+        if f.ftype == FieldType.INT:
+            g = g.cast("long")
+        elif f.ftype == FieldType.DBL:
+            g = g.cast("double")
+        jvm_fields.append(g.alias(cols[k]))
+    jvm_struct = F.struct(*jvm_fields, F.lit(True).alias("well_formed"))
+
+    combined = kernel.withColumn(
+        out_col,
+        F.when(F.col(packed_col).isNotNull(), jvm_struct).otherwise(
+            F.col("__py_parsed")
+        ),
+    ).drop("__py_parsed", packed_col)
+    return combined

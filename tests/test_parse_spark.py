@@ -151,3 +151,29 @@ class TestExplodeLines:
         for r in df.collect():
             by_url.setdefault(r["url"], []).append((r["line_no"], r["raw_line"]))
         assert sorted(by_url["u0"]) == sorted(by_url["u1"])
+
+
+def test_hybrid_parse_parity(spark):
+    """parse_lines_hybrid (JVM packed-extract + walker residual) must be
+    row-identical to the default Arrow path on corpus + malformed +
+    quirk lines."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.parse import (
+        parse_lines,
+        parse_lines_hybrid,
+    )
+
+    spec = compile_format(DEFAULT_FORMAT)
+    lines = list(GOLDEN_LINES) + [
+        "", "0322", "0322 085338 TRACE  :", "-5 1 X :.a: b",
+        " 7 2 L :.s: m",
+    ]
+    df = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(lines)], "rid LONG, raw_line STRING"
+    )
+    a = {r["rid"]: r["parsed"] for r in parse_lines(df, spec).collect()}
+    b = {r["rid"]: r["parsed"] for r in parse_lines_hybrid(df, spec).collect()}
+    assert set(a) == set(b)
+    for rid in a:
+        assert a[rid] == b[rid], (rid, lines[rid], a[rid], b[rid])
