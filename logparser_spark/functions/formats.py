@@ -317,7 +317,7 @@ class FormatSpec:
                         return False  # unconstrained first char
                     if anyws_plus[j]:
                         # mandatory non-ws first char
-                        return disjoint(cf, set(C_WHITESPACE) ^ set())                            if False else disjoint_complement(cf)
+                        return disjoint_complement(cf)
                     return disjoint(cf, stop_chars(j))
                 return False  # DBL (unreachable) / unknown
 

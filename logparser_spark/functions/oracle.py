@@ -61,6 +61,14 @@ _ATOF_RE = re.compile(
 _ATOL_RE = re.compile(r"[ \t\n\v\f\r]*([+-]?)([0-9]*)")
 _DIGITS = set("0123456789")
 
+# INT overflow contract (applies to EVERY parse tier): C ``atol`` is
+# ``strtol(s, NULL, 10)`` which SATURATES at LONG_MIN/LONG_MAX on
+# overflow (glibc, ISO C 7.22.1.4) — so a 19+-digit run parses to the
+# clamped int64 bound, never raises, never goes NULL. The vectorized
+# tiers route >18-digit captures here (18 digits always fit int64).
+INT64_MAX = (1 << 63) - 1
+INT64_MIN = -(1 << 63)
+
 
 def _atol(s: str) -> int:
     m = _ATOL_RE.match(s)
@@ -68,7 +76,9 @@ def _atol(s: str) -> int:
     if not digits:
         return 0
     v = int(digits)
-    return -v if sign == "-" else v
+    if sign == "-":
+        return max(-v, INT64_MIN)
+    return min(v, INT64_MAX)
 
 
 def _atof(s: str) -> float:

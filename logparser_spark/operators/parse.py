@@ -98,6 +98,14 @@ def _batch_parse_fast(lines: pd.Series, spec: FormatSpec, fast_rx: str,
     arr = pa.Array.from_pandas(lines)
     st = pc.extract_regex(arr, pattern=fast_rx)
     valid = pc.is_valid(st)
+    # >18-digit INT captures route to the exact tiers (int64 SATURATION
+    # contract, functions.oracle._atol) — a raw cast would raise.
+    for _, (i, f) in enumerate(spec.output_fields()):
+        if f.ftype == FieldType.INT:
+            long_run = pc.fill_null(
+                pc.greater(pc.utf8_length(st.field(f"g{i}")), 18), False
+            )
+            valid = pc.and_(valid, pc.invert(long_run))
     valid_np = valid.to_numpy(zero_copy_only=False)
 
     cols = spec.column_names()
@@ -178,6 +186,12 @@ def _batch_parse_nested(lines: pd.Series, spec: FormatSpec) -> pd.DataFrame:
     #  - any DBL capture in the atof-divergence set (see to_regex docstring).
     fallback = ~matched
     for k, (i, f) in enumerate(out_fields):
+        if f.ftype == FieldType.INT:
+            # int64 saturation contract: >18-digit captures go to the
+            # oracle walker (pd.to_numeric would lossily float them)
+            g = extracted[f"g{i}"]
+            fallback |= (g.str.len() > 18).fillna(False)
+            continue
         if f.ftype != FieldType.DBL:
             continue
         g = extracted[f"g{i}"]
@@ -197,6 +211,10 @@ def _batch_parse_nested(lines: pd.Series, spec: FormatSpec) -> pd.DataFrame:
     for k, (i, f) in enumerate(out_fields):
         g = extracted[f"g{i}"]
         if f.ftype == FieldType.INT:
+            # >18-digit captures are fallback rows (masked here so the
+            # base Int64 conversion can't overflow); the oracle walker
+            # overwrites them with the saturated value below
+            g = g.where(~(g.str.len() > 18).fillna(False))
             data[cols[k]] = pd.to_numeric(g, errors="coerce").astype("Int64")
         elif f.ftype == FieldType.DBL:
             data[cols[k]] = pd.to_numeric(g, errors="coerce").astype("float64")
@@ -276,7 +294,10 @@ def explode_lines(
     # reference's fake-1-line-buffer rule). Single split evaluation — the
     # earlier when(endswith)/slice formulation evaluated split() up to 3x
     # per row inside Generate.
-    lines = F.split(F.regexp_replace(F.col(text_col), "\n$", ""), "\n")
+    # \z (end-of-input), NOT $: Java's $ also matches before a final line
+    # terminator, so "a\n\n" would lose BOTH newlines and drop the
+    # document's final empty line (oracle split_lines keeps it).
+    lines = F.split(F.regexp_replace(F.col(text_col), "\n\\z", ""), "\n")
     out = df.select(
         *keep, F.posexplode(lines).alias(line_no_col, raw_col)
     )
@@ -326,6 +347,15 @@ def _batch_parse_arrow(arr, spec: FormatSpec, rx: str, unset_suffix: list):
 
     st = pc.extract_regex(arr, pattern=rx)
     valid = pc.is_valid(st)
+    # int64 saturation contract: >18-digit INT captures are "undecided"
+    # here and resolved by the walker -> oracle (which clamps per C
+    # strtol); pa.int64 cast on them would raise ArrowInvalid.
+    for _, (i, f) in enumerate(spec.output_fields()):
+        if f.ftype == FieldType.INT:
+            long_run = pc.fill_null(
+                pc.greater(pc.utf8_length(st.field(f"g{i}")), 18), False
+            )
+            valid = pc.and_(valid, pc.invert(long_run))
 
     out_fields = spec.output_fields()
     children = {}
@@ -503,6 +533,11 @@ def parse_lines_hybrid(
         & ~F.col(line_col).contains(sep)
         & F.col(line_col).rlike(jrx)
     )
+    if any(f.ftype == FieldType.INT for _, f in out_fields):
+        # int64 saturation contract: a 19+-digit run anywhere routes the
+        # row to the walker residual — the JVM cast("long") would
+        # silently NULL an overflowing capture with well_formed=true.
+        matched = matched & ~F.col(line_col).rlike("[0-9]{19}")
     residual_col = "__residual"
     packed_col = "__packed"
     with_res = df.withColumn(

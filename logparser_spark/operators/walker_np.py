@@ -289,21 +289,26 @@ def batch_walk_arrow(lines: pa.Array, spec: FormatSpec):
                 vals = np.zeros(n_rows, dtype=np.int64)
                 valid = np.zeros(n_rows, dtype=bool)
             valid = valid & landed
-            arr_vals = vals.copy()
-            for r in bail_rows:
-                ov = oracle_vals[r][k]
-                if ov is not None:
-                    arr_vals[r] = ov
-                    valid[r] = True
             if f.ftype == FieldType.INT:
+                arr_vals = vals.copy()
+                for r in bail_rows:
+                    ov = oracle_vals[r][k]
+                    if ov is not None:
+                        # oracle _atol saturates at int64 bounds, so this
+                        # assignment never overflows
+                        arr_vals[r] = ov
+                        valid[r] = True
                 outs.append(pa.array(arr_vals, type=pa.int64(),
                                      mask=~valid))
             else:
-                fvals = arr_vals.astype("float64")
+                # DBL never touches the int64 array (inf/huge values
+                # would raise on int64 assignment)
+                fvals = vals.astype("float64")
                 for r in bail_rows:
                     ov = oracle_vals[r][k]
                     if ov is not None:
                         fvals[r] = ov
+                        valid[r] = True
                 outs.append(pa.array(fvals, type=pa.float64(),
                                      mask=~valid))
         elif f.ftype == FieldType.CHR:

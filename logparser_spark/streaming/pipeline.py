@@ -64,9 +64,15 @@ def parse_stream(stream_df, spec: FormatSpec,
 def route_stream(parsed_stream, sinks: list[SinkSpec], spec: FormatSpec,
                  base_path: str, checkpoint_dir: str):
     """Fan-out streaming sink: one foreachBatch writer that routes each
-    micro-batch to every sink from a single cached parse result —
-    exactly-once per sink via the streaming checkpoint + idempotent
-    parquet appends keyed by batch id."""
+    micro-batch to every sink from a single cached parse result.
+
+    Effectively-once per sink: foreachBatch alone is at-least-once (a
+    retried micro-batch after a partial sink write would duplicate rows
+    under plain appends), so each sink is written partitionBy
+    ``__batch_id`` with DYNAMIC partition overwrite — a replayed batch
+    id atomically replaces exactly its own partition, leaving every
+    other batch's data untouched. Readers need no dedup.
+    """
 
     def write_batch(batch_df, batch_id: int):
         from pyspark.sql import functions as F
@@ -77,7 +83,9 @@ def route_stream(parsed_stream, sinks: list[SinkSpec], spec: FormatSpec,
                 out = batch_df.filter(sink_column(s, spec))
                 (
                     out.withColumn("__batch_id", F.lit(batch_id))
-                    .write.mode("append")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
                     .parquet(f"{base_path}/{s.name}")
                 )
         finally:

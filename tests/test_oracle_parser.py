@@ -123,6 +123,21 @@ class TestParseEdgeSemantics:
         # atol('abc')==0 and first char != '0' -> instruction fails
         assert parse_line("abc", s)[1] is False
 
+    def test_int_overflow_saturates(self):
+        # C atol == strtol saturates at LONG_MIN/LONG_MAX on overflow
+        # (the contract every vectorized tier routes >18-digit runs to)
+        from logparser_spark.functions.oracle import INT64_MAX, INT64_MIN
+
+        s = compile_format("{INT:X}")
+        assert parse_line("9" * 23, s) == ([INT64_MAX], True)
+        assert parse_line("9223372036854775807", s) == ([INT64_MAX], True)
+        assert parse_line("9223372036854775808", s) == ([INT64_MAX], True)
+        s2 = compile_format("{INT:X}-{INT:Y}")
+        v, wf = parse_line("-" + "9" * 23, s2)
+        assert wf and v[0] == INT64_MIN
+        # saturation never trips the zero-rule
+        assert parse_line("0" * 25, s) == ([0], True)
+
     def test_int_sign_not_consumed(self):
         # parse_int('-5'): value -5 by atol, cursor unmoved -> '-' must be
         # consumed by a following literal (parsing_basics.cpp:7-13)

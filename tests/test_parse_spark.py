@@ -102,6 +102,52 @@ class TestParseMatchesOracle:
         got = _spark_parse(spark, GOLDEN_LINES, SPEC)
         assert sum(g["well_formed"] for g in got) == 58
 
+    def test_int_overflow_saturates_all_tiers(self, spark):
+        """int64 saturation contract (C strtol): >=19-digit runs must not
+        crash any tier and must clamp to INT64_MAX, well_formed=true."""
+        from logparser_spark.functions.oracle import INT64_MAX
+        from logparser_spark.operators.parse import parse_lines_hybrid
+
+        lines = [
+            "99999999999999999999999 85400 ERROR :.host1: boom",
+            "9223372036854775807 1 INFO :.h: in-range max",
+            "9223372036854775808 1 INFO :.h: just past max",
+            "0322 99999999999999999999999 TRACE :.h: second field",
+            "1230000000000000000000000000000000000000 2 WARN :.h: m",
+        ]
+        _assert_matches_oracle(spark, lines, SPEC)
+        got = _spark_parse(spark, lines, SPEC)
+        assert got[0]["well_formed"] and got[0][SPEC.column_names()[0]] == INT64_MAX
+        assert got[2][SPEC.column_names()[0]] == INT64_MAX
+
+        # hybrid path: same rows, same results (no silent NULLs)
+        df = _to_rows(spark, lines)
+        hyb = {
+            r["line_no"]: r["parsed"]
+            for r in parse_lines_hybrid(df, SPEC, line_col="raw_line").collect()
+        }
+        for i in range(len(lines)):
+            assert hyb[i] == got[i], (i, lines[i], hyb[i], got[i])
+
+    def test_int_overflow_pandas_tier(self, spark):
+        """The pandas-UDF path (make_parse_udf) under the same contract."""
+        from pyspark.sql import functions as F
+
+        from logparser_spark.functions.oracle import INT64_MAX, parse_line
+        from logparser_spark.operators.parse import make_parse_udf
+
+        lines = [
+            "99999999999999999999999 85400 ERROR :.host1: boom",
+            "0322 085338 INFO :.h: normal",
+        ]
+        udf = make_parse_udf(SPEC)
+        df = _to_rows(spark, lines).withColumn("parsed", udf(F.col("raw_line")))
+        got = {r["line_no"]: r["parsed"] for r in df.collect()}
+        assert got[0]["well_formed"]
+        assert got[0][SPEC.column_names()[0]] == INT64_MAX
+        want_vals, want_wf = parse_line(lines[1], SPEC)
+        assert got[1]["well_formed"] == want_wf
+
     def test_matched_format_column(self, spark):
         df = parse_lines(_to_rows(spark, GOLDEN_LINES), SPEC)
         counts = {
@@ -127,6 +173,12 @@ class TestExplodeLines:
             "x\r\ry\nz",
             "one",
             "a\n\nb",
+            # regression: Java $ matches before a FINAL newline too, so a
+            # '\n$' strip ate two trailing newlines — these texts end in a
+            # blank line that must survive (oracle keeps ['a', ''])
+            "a\n\n",
+            "a\n\r\n",
+            "\n\n",
         ]
         df = explode_lines(self._pages(spark, texts))
         got = {}
