@@ -416,6 +416,7 @@ def _dhash(e: str) -> str:
 def _dataprep_sql() -> dict[str, str]:
     from logparser_spark.operators.dedup import (
         FINGERPRINT_K,
+        LSH_MAX_BUCKET,
         MERSENNE31,
         MINHASH_A,
         MINHASH_B,
@@ -459,14 +460,20 @@ def _dataprep_sql() -> dict[str, str]:
             f"SELECT doc_id, {b} AS band_id, {_dhash(f'({cols})')} AS band_hash FROM sig"
         )
     bands_cte = "bands AS (\n      " + "\n      UNION ALL ".join(band_selects) + ")"
-    pairs_cte = """pairs AS (
+    pairs_cte = f"""bands_ok AS (
+      SELECT band_id, band_hash FROM bands
+      GROUP BY 1, 2 HAVING COUNT(*) <= {LSH_MAX_BUCKET}),
+    pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
+      FROM bands a
+      JOIN bands_ok k
+        ON k.band_id = a.band_id AND k.band_hash = a.band_hash
+      JOIN bands b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
       WHERE a.doc_id < b.doc_id)"""
 
-    sqls["exact_dedup"] = f"""
-    SELECT {_dhash('text')} AS text_hash,
+    sqls["exact_dedup"] = """
+    SELECT md5(text) AS text_md5,
            MIN(doc_id) AS canonical_id,
            COUNT(*)::BIGINT AS n_copies
     FROM documents GROUP BY 1"""

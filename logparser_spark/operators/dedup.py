@@ -31,10 +31,22 @@ SHINGLE_N = 8  # char n-gram width
 SIMHASH_BITS = 32
 FINGERPRINT_K = 4  # bottom-k sketch width
 
+# LSH buckets above this size are dropped before the pair join: a
+# degenerate bucket (empty/boilerplate docs sharing a band hash) emits
+# O(b²) pairs, and AQE skew-join splits partitions but cannot bound the
+# OUTPUT cardinality. Docs in an over-cap bucket are near-identical
+# boilerplate; real near-dup pairs among them still surface through the
+# other (bands-1) bands unless those are degenerate too.
+LSH_MAX_BUCKET = 500
+
 
 def hash64(col):
     """Portable 60-bit hash of a string column: int(md5[:15], 16).
-    Same value in DuckDB via ``('0x' || substr(md5(e),1,15))::BIGINT``."""
+    Same value in DuckDB via ``('0x' || substr(md5(e),1,15))::BIGINT``.
+
+    For SKETCH ops only (minhash/simhash/fingerprint — collisions are by
+    design there). Exact dedup must NOT use it: at 10^12 rows the
+    birthday bound on 60 bits yields ~10^5 expected collisions."""
     from pyspark.sql import functions as F
 
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -45,14 +57,17 @@ def hash64(col):
 
 def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id"):
     """Hash-groupBy exact dedup: one row per distinct text with the
-    canonical (min) id and the duplicate count. One shuffle on the 60-bit
-    text hash; at 10^12 rows this is the only shape that works (never
-    ``dropDuplicates`` on the full text — the hash is the shuffle key)."""
+    canonical (min) id and the duplicate count. One shuffle keyed by the
+    FULL 128-bit md5 (hex string; DuckDB parity via ``md5(text)``) — at
+    10^12 rows a truncated 60-bit key would silently merge ~10^5 distinct
+    documents (birthday bound), so the full digest is the shuffle key.
+    Never ``dropDuplicates`` on the raw text — the 32-byte digest is what
+    shuffles, not document bodies."""
     from pyspark.sql import functions as F
 
     return (
-        df.select(F.col(id_col), hash64(F.col(text_col)).alias("text_hash"))
-        .groupBy("text_hash")
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count(F.lit(1)).alias("n_copies"),
@@ -122,16 +137,31 @@ def lsh_bands(sig_df, id_col: str = "doc_id", bands: int = 4,
 
 
 def lsh_candidate_pairs(df, text_col: str = "text", id_col: str = "doc_id",
-                        bands: int = 4, rows: int = 4):
+                        bands: int = 4, rows: int = 4,
+                        max_bucket: int | None = LSH_MAX_BUCKET):
     """Distinct candidate pairs (id_a < id_b) sharing an LSH bucket.
     The join key is (band_id, band_hash): only same-bucket rows shuffle
     together — the whole point of LSH at 10^12 docs. Skewed buckets
-    (e.g. boilerplate-heavy shingles) are handled by AQE skew-join."""
+    are handled twice over: AQE skew-join splits oversized partitions,
+    and buckets larger than ``max_bucket`` members are DROPPED before
+    the pair join (a left-semi against the under-cap bucket keys) — the
+    cap bounds output cardinality at ``max_bucket²/2`` pairs per bucket,
+    which AQE alone cannot do. ``max_bucket=None`` disables the cap."""
     from pyspark.sql import functions as F
 
     bands_df = lsh_bands(
         minhash_signature(df, text_col, id_col), id_col, bands, rows
     )
+    if max_bucket is not None:
+        ok = (
+            bands_df.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("band_id", "band_hash")
+        )
+        # the bands exchange is identical on both sides -> ReusedExchange;
+        # the cap costs one extra agg over bucket keys, no extra scan
+        bands_df = bands_df.join(ok, ["band_id", "band_hash"], "left_semi")
     a = bands_df.select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )

@@ -38,6 +38,74 @@ def test_exact_dedup_identity_and_dups(spark, docs):
     assert d2.filter(F.col("canonical_id") >= 10_000).count() == 0
 
 
+def test_exact_dedup_key_is_full_digest(spark):
+    """Truncated-hash grouping merges distinct texts; the full-128-bit
+    key must keep them separate. A true 60-bit md5-prefix collision needs
+    ~2^30 work to mine, so the test demonstrates the failure mode at a
+    searchable width (16-bit prefix) and asserts exact_dedup's key is
+    immune to ANY prefix truncation."""
+    import hashlib
+
+    from logparser_spark.operators import dedup
+
+    # mine two distinct texts whose md5s agree on the first 4 hex chars
+    seen: dict[str, str] = {}
+    pair = None
+    i = 0
+    while pair is None:
+        t = f"collide-{i}"
+        p = hashlib.md5(t.encode()).hexdigest()[:4]
+        if p in seen and seen[p] != t:
+            pair = (seen[p], t)
+        seen[p] = t
+        i += 1
+    a, b = pair
+    assert hashlib.md5(a.encode()).hexdigest()[:4] == \
+        hashlib.md5(b.encode()).hexdigest()[:4]
+
+    df = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id LONG, text STRING"
+    )
+    # old failure mode: grouping on a truncated digest merges the two
+    trunc = (
+        df.groupBy(F.substring(F.md5("text"), 1, 4).alias("k"))
+        .count()
+    )
+    assert trunc.count() == 1  # the planted collision really collides
+    # exact_dedup keys on the full md5 -> they stay separate
+    out = dedup.exact_dedup(df).collect()
+    assert len(out) == 2
+    assert all(r["n_copies"] == 1 for r in out)
+    assert all(len(r["text_md5"]) == 32 for r in out)
+
+
+def test_lsh_bucket_cap_bounds_degenerate_bucket(spark):
+    """A degenerate bucket (many identical-signature docs) must not emit
+    O(b²) candidate pairs: buckets over max_bucket are dropped before
+    the pair join, while normal near-dup pairs still surface."""
+    from logparser_spark.operators import dedup
+
+    boiler = [(i, "the same boilerplate body " * 4) for i in range(60)]
+    near = [
+        (1000, "a genuinely unique document about spark partitioning"),
+        (1001, "a genuinely unique document about spark partitioning!"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id LONG, text STRING")
+
+    capped = dedup.lsh_candidate_pairs(df, max_bucket=50)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the 60-doc degenerate cluster (1770 pairs uncapped) is dropped...
+    assert not any(a < 60 and b < 60 for a, b in got)
+    # ...while the planted near-dup pair survives
+    assert (1000, 1001) in got
+
+    uncapped = dedup.lsh_candidate_pairs(df, max_bucket=None)
+    n_unc = uncapped.filter(
+        (F.col("id_a") < 60) & (F.col("id_b") < 60)
+    ).count()
+    assert n_unc == 60 * 59 // 2  # the blow-up the cap prevents
+
+
 def test_lsh_finds_planted_near_dup(spark, docs):
     from logparser_spark.operators import dedup
 
