@@ -35,6 +35,13 @@ from logparser_spark.sources.corpus import GOLDEN_LINES
 from logparser_spark.sources.pages import TLDS, build_pages_from_documents
 
 _SPEC = compile_format(DEFAULT_FORMAT)
+# second format for the multi-format cascade: matches the corpus's
+# hex-dump lines (gid 25-28), which the default format rejects
+HEX_FORMAT = (
+    "{INT:B0}x{STR:H0} {INT:B1}x{STR:H1} "
+    "{INT:B2}x{STR:H2} {INT:B3}x{STR:H3} {STR:Tag}"
+)
+_HEX_SPEC = compile_format(HEX_FORMAT, "hexdump")
 _SINKS = fixture_sinks()
 
 
@@ -94,6 +101,19 @@ def q_parse_metrics(spark, sf_dir):
 
 def q_matched_format_counts(spark, sf_dir):
     return agg.counts_by_matched_format(_parsed(spark, sf_dir))
+
+
+def q_matched_format_counts_multi(spark, sf_dir):
+    from logparser_spark.operators.parse import parse_lines_multi
+    from pyspark.sql import functions as F
+
+    parsed = parse_lines_multi(
+        _lines(spark, sf_dir), [_SPEC, _HEX_SPEC],
+        drop_cols=["raw_line", "url", "lang"],
+    )
+    return parsed.groupBy("matched_format").agg(
+        F.count(F.lit(1)).alias("n")
+    )
 
 
 def q_level_histogram(spark, sf_dir):
@@ -952,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_metrics": q_parse_metrics,
         "matched_format_counts": q_matched_format_counts,
+        "matched_format_counts_multi": q_matched_format_counts_multi,
         "level_histogram": q_level_histogram,
         "sink_counts": q_sink_counts,
         "route_info_rows": q_route_info_rows,
@@ -1016,6 +1037,16 @@ def oracle_sql() -> dict[str, str]:
     SELECT CASE WHEN well_formed THEN 'default' END AS matched_format,
            COUNT(*)::BIGINT AS n
     FROM parsed GROUP BY 1"""
+
+    import re as _re
+
+    hex_rx = _re.sub(r"\(\?P<g\d+>", "(?:", _HEX_SPEC.to_fast_regex())
+    sqls["matched_format_counts_multi"] = f"""{_prelude('lines')}
+    SELECT CASE WHEN regexp_matches(raw_line, {_sql_quote(_RX)}) THEN 'default'
+                WHEN regexp_matches(raw_line, {_sql_quote(hex_rx)}) THEN 'hexdump'
+           END AS matched_format,
+           COUNT(*)::BIGINT AS n
+    FROM lines GROUP BY 1"""
 
     sqls["level_histogram"] = f"""{_prelude()}
     SELECT level, COUNT(*)::BIGINT AS n

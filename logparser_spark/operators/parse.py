@@ -42,7 +42,7 @@ import pyarrow as pa  # module-level: arrow_udf type-hint resolution needs it
 from ..functions.formats import FieldType, FormatSpec
 from ..functions.oracle import parse_line as oracle_parse_line
 
-__all__ = ["explode_lines", "make_arrow_parse_udf", "make_parse_udf", "parse_lines", "parse_lines_arrow", "parse_lines_hybrid"]
+__all__ = ["explode_lines", "make_arrow_parse_udf", "make_parse_udf", "parse_lines", "parse_lines_arrow", "parse_lines_hybrid", "parse_lines_multi"]
 
 
 def _fast_plan(spec: FormatSpec):
@@ -481,6 +481,133 @@ def parse_lines_arrow(
             yield batch.append_column(out_col, struct)
 
     return df.mapInArrow(fn, out_schema)
+
+
+def parse_lines_multi(
+    df,
+    specs,
+    line_col: str = "raw_line",
+    out_prefix: str = "parsed_",
+    matched_col: str = "matched_format",
+    drop_cols: Optional[Iterable[str]] = None,
+):
+    """Multi-format cascade: try each spec in order; the FIRST spec that
+    parses a line well-formed wins and tags ``matched_format`` with its
+    name. Mirrors the reference's runtime format swap
+    (``/root/reference/src/file_parsing/log_parser_interface.cpp:85-88``,
+    ``frontends/term/src/modules/config_manager_module.cpp:46-49``) as a
+    single pass instead of N sequential re-parses.
+
+    Output: input columns (minus ``drop_cols``) + one struct column
+    ``{out_prefix}{spec.name}`` per spec (well_formed=True only on rows
+    that spec won; fields null elsewhere) + ``matched_col`` (winning
+    spec name, null when no spec matches).
+
+    Scale shape: ONE mapInArrow stage — every row crosses the Python
+    boundary once regardless of len(specs); spec k's kernel runs only on
+    the rows specs 0..k-1 rejected, so the common case (spec 0 matches
+    ~everything) costs the same as single-spec parse plus a cheap
+    scatter. Specs with a provably-sound flat regex use the RE2 kernel;
+    others run the vectorized NumPy walker directly.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql import types as T
+
+    from .walker_np import batch_walk_arrow
+
+    specs = list(specs)
+    if not specs:
+        raise ValueError("parse_lines_multi needs at least one spec")
+    names = [s.name for s in specs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"spec names must be unique, got {names}")
+    plans = [_fast_plan(s) for s in specs]
+
+    drop = set(drop_cols or ())
+    kept = [f for f in df.schema.fields if f.name not in drop]
+    out_schema = T.StructType(
+        kept
+        + [
+            T.StructField(f"{out_prefix}{s.name}", s.spark_schema(), False)
+            for s in specs
+        ]
+        + [T.StructField(matched_col, T.StringType(), True)]
+    )
+
+    def fn(batches):
+        for batch in batches:
+            arr = batch.column(line_col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if not pa.types.is_string(arr.type):
+                arr = arr.cast(pa.string())
+            n = len(arr)
+            remaining = np.ones(n, dtype=bool)
+            matched = np.full(n, None, dtype=object)
+            structs = []
+            for spec, (rx, unset_suffix) in zip(specs, plans):
+                field_names = spec.column_names() + ["well_formed"]
+                idx = np.flatnonzero(remaining)
+                full_wf = np.zeros(n, dtype=bool)
+                if len(idx):
+                    sub = arr.take(pa.array(idx))
+                    if rx is not None:
+                        outs, wf = _batch_parse_arrow(
+                            sub, spec, rx, unset_suffix
+                        )
+                    else:
+                        outs, wf = batch_walk_arrow(sub, spec)
+                    wf_np = wf.to_numpy(zero_copy_only=False)
+                    win = idx[wf_np]
+                    full_wf[win] = True
+                    remaining[win] = False
+                    matched[win] = spec.name
+                    mask = pa.array(full_wf)
+                    wf_pa = pa.array(wf_np)
+                    cols = [
+                        pc.replace_with_mask(
+                            pa.nulls(n, type=o.type), mask, o.filter(wf_pa)
+                        )
+                        for o in outs
+                    ]
+                else:
+                    cols = [
+                        pa.nulls(n, type=o)
+                        for o in _arrow_types(spec)
+                    ]
+                structs.append(
+                    pa.StructArray.from_arrays(
+                        cols + [pa.array(full_wf)], names=field_names
+                    )
+                )
+            if drop:
+                keep_idx = [
+                    i for i, name in enumerate(batch.schema.names)
+                    if name not in drop
+                ]
+                batch = batch.select(keep_idx)
+            for s, st in zip(specs, structs):
+                batch = batch.append_column(f"{out_prefix}{s.name}", st)
+            yield batch.append_column(
+                matched_col, pa.array(matched, type=pa.string())
+            )
+
+    return df.mapInArrow(fn, out_schema)
+
+
+def _arrow_types(spec: FormatSpec):
+    """Arrow type per output field of a spec (mirrors spark_schema)."""
+    import pyarrow as pa
+
+    m = {
+        FieldType.INT: pa.int64(),
+        FieldType.DBL: pa.float64(),
+        FieldType.CHR: pa.string(),
+        FieldType.STR: pa.string(),
+    }
+    return [m[f.ftype] for _, f in spec.output_fields()]
 
 
 def parse_lines_hybrid(

@@ -205,6 +205,69 @@ class TestExplodeLines:
         assert sorted(by_url["u0"]) == sorted(by_url["u1"])
 
 
+class TestParseMulti:
+    HEX = "{INT:B0}x{STR:H0} {INT:B1}x{STR:H1} {INT:B2}x{STR:H2} {INT:B3}x{STR:H3} {STR:Tag}"
+
+    def _check_cascade(self, spark, lines, specs):
+        from logparser_spark.operators.parse import parse_lines_multi
+
+        df = _to_rows(spark, lines)
+        out = {
+            r["line_no"]: r
+            for r in parse_lines_multi(df, specs).collect()
+        }
+        for i, line in enumerate(lines):
+            want_name, want_vals = None, None
+            for s in specs:
+                vals, wf = parse_line(line, s)
+                if wf:
+                    want_name, want_vals, want_spec = s.name, vals, s
+                    break
+            got = out[i]
+            assert got["matched_format"] == want_name, (i, line)
+            for s in specs:
+                st = got[f"parsed_{s.name}"]
+                if s.name == want_name:
+                    assert st["well_formed"] is True
+                    for k, c in enumerate(want_spec.column_names()):
+                        w = want_vals[k]
+                        if isinstance(w, float):
+                            assert st[c] == pytest.approx(w)
+                        else:
+                            assert st[c] == w, (i, line, c)
+                else:
+                    assert st["well_formed"] is False
+                    assert all(
+                        st[c] is None for c in s.column_names()
+                    ), (i, line, s.name)
+
+    def test_cascade_first_match_wins(self, spark):
+        specs = [SPEC, compile_format(self.HEX, "hexdump")]
+        lines = GOLDEN_LINES + EDGE_LINES
+        self._check_cascade(spark, lines, specs)
+
+    def test_cascade_walker_spec(self, spark):
+        # a DBL spec has no flat fast regex -> exercises the walker branch
+        dbl = compile_format("{DBL:V} {STR:Rest}", "dblfmt")
+        assert dbl.to_fast_regex() is None
+        specs = [SPEC, dbl, compile_format(self.HEX, "hexdump")]
+        lines = GOLDEN_LINES[:10] + DBL_EDGE_LINES + GOLDEN_LINES[24:30]
+        self._check_cascade(spark, lines, specs)
+
+    def test_cascade_counts_match_reference(self, spark):
+        from pyspark.sql import functions as F
+
+        from logparser_spark.operators.parse import parse_lines_multi
+
+        specs = [SPEC, compile_format(self.HEX, "hexdump")]
+        out = parse_lines_multi(_to_rows(spark, GOLDEN_LINES), specs)
+        counts = {
+            r["matched_format"]: r["count"]
+            for r in out.groupBy("matched_format").count().collect()
+        }
+        assert counts == {"default": 58, "hexdump": 4}
+
+
 def test_hybrid_parse_parity(spark):
     """parse_lines_hybrid (JVM packed-extract + walker residual) must be
     row-identical to the default Arrow path on corpus + malformed +
