@@ -418,12 +418,16 @@ def q_token_stats(spark, sf_dir):
 
 
 def q_multimodal_meta(spark, sf_dir):
-    """mapInPandas image-metadata stage over the synthesized pages'
-    html binary column (deterministic stub decode — see
-    operators/multimodal.py; the SQL oracle mirrors the stub)."""
+    """REAL image-header decode: synthesize a valid PNG per document
+    (dims derived from doc_id), then parse width/height back out of the
+    raw bytes with the struct-based header reader — the oracle predicts
+    the dims arithmetically, so any decoder bug mismatches."""
     from logparser_spark.operators import multimodal
 
-    return multimodal.image_metadata(_pages(spark, sf_dir))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.image_metadata(
+        multimodal.synth_png(docs), binary_col="img"
+    )
 
 
 
@@ -654,16 +658,11 @@ def _dataprep_sql() -> dict[str, str]:
       len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS rx_tokens
     FROM documents"""
 
-    sqls["multimodal_meta"] = f"""{_prelude('lines')},
-    doclen AS (
-      SELECT doc_id,
-        37 + SUM(length(raw_line)) + (COUNT(*) - 1) AS n_bytes
-      FROM lines GROUP BY doc_id)
-    SELECT doc_id, n_bytes::BIGINT AS n_bytes,
-      ((n_bytes % 640) + 1)::INT AS fake_width,
-      ((n_bytes % 480) + 1)::INT AS fake_height,
-      3 AS fake_channels
-    FROM doclen"""
+    sqls["multimodal_meta"] = """
+    SELECT doc_id, 45::BIGINT AS n_bytes, 'png' AS format,
+      ((doc_id % 640) + 1)::INT AS width,
+      ((doc_id % 480) + 1)::INT AS height
+    FROM documents"""
 
     return sqls
 

@@ -1,13 +1,14 @@
 """Multimodal column handling: opaque ``binary`` payloads + typed
 metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The Spark-side plumbing (schemas, batch iteration, partition hygiene) is
-real and tested; the actual media codecs are STUBBED — image/audio
-libraries are not available in this environment. Each stub either raises
+IMAGE metadata is REAL: PNG/GIF/JPEG/BMP dimensions are parsed straight
+from the header bytes with ``struct`` — no imaging library needed.
+AUDIO decode and VIDEO frame extraction remain STUBBED (soundfile/ffmpeg
+are not available in this environment): each stub either raises
 ``NotImplementedError`` (strict mode) or produces a deterministic fake
-derived from the bytes (test mode), so pipelines exercise the exact
-dataflow that a real decoder would see: one binary column in, a struct
-of typed features out, Arrow batches end to end, no driver collect.
+derived from the bytes, so pipelines exercise the exact dataflow a real
+decoder would see — one binary column in, a struct of typed features
+out, Arrow batches end to end, no driver collect.
 
 ``decode_html`` is NOT a stub: pages.html really is UTF-8 HTML and is
 decoded/stripped with Catalyst expressions only.
@@ -15,13 +16,13 @@ decoded/stripped with Catalyst expressions only.
 
 from __future__ import annotations
 
-from typing import Iterator
+import struct
+from typing import Iterator, Optional
 
 import pandas as pd
 
 IMAGE_META_SCHEMA = (
-    "doc_id long, n_bytes long, fake_width int, fake_height int, "
-    "fake_channels int"
+    "doc_id long, n_bytes long, format string, width int, height int"
 )
 
 AUDIO_META_SCHEMA = (
@@ -40,41 +41,106 @@ def decode_html(df, html_col: str = "html", out_col: str = "html_text"):
     return df.withColumn(out_col, F.regexp_replace(txt, "<[^>]*>", ""))
 
 
-def _fake_dims(buf: bytes) -> tuple[int, int, int]:
-    """Deterministic fake image header read (stands in for a real
-    decoder's metadata pass)."""
-    n = len(buf)
-    return (n % 640) + 1, (n % 480) + 1, 3
+def image_dims(b: bytes) -> Optional[tuple[str, int, int]]:
+    """(format, width, height) parsed from raw header bytes, or None when
+    the payload is not a recognized image. Pure ``struct`` — no imaging
+    library. Formats: PNG (IHDR), GIF87a/89a (logical screen), JPEG
+    (first SOFn marker), BMP (BITMAPINFOHEADER)."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        # first chunk must be IHDR: 4-byte len, 'IHDR', then w/h as BE32
+        if b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return "png", w, h
+        return None
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        # walk marker segments to the first start-of-frame (SOFn)
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return "jpeg", w, h
+            i += 2 + seglen
+        return None
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return "bmp", w, abs(h)  # negative height = top-down DIB
+    return None
 
 
-def image_metadata(df, binary_col: str = "html", id_col: str = "doc_id",
-                   strict: bool = False):
+def image_metadata(df, binary_col: str = "html", id_col: str = "doc_id"):
     """mapInPandas stage: binary column → typed image metadata struct.
 
-    STUB: a real implementation would decode the image header (PIL/
-    libvips); ``strict=True`` raises NotImplementedError exactly where
-    that decode belongs. The Arrow batch shape, schema, and partition
-    behavior are the real thing.
+    REAL header decode (``image_dims``): PNG/GIF/JPEG/BMP dimensions from
+    the bytes; unrecognized payloads yield null format/width/height.
+    One binary column crosses into Python; Arrow-batched; no collect.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires PIL/libvips (unavailable here)"
-                )
             rows = []
             for did, buf in zip(pdf[id_col], pdf[binary_col]):
                 b = bytes(buf) if buf is not None else b""
-                w, h, c = _fake_dims(b)
-                rows.append((did, len(b), w, h, c))
+                dims = image_dims(b)
+                if dims is None:
+                    rows.append((did, len(b), None, None, None))
+                else:
+                    fmt, w, h = dims
+                    rows.append((did, len(b), fmt, w, h))
             yield pd.DataFrame(
                 rows,
-                columns=[id_col, "n_bytes", "fake_width", "fake_height",
-                         "fake_channels"],
+                columns=[id_col, "n_bytes", "format", "width", "height"],
             )
 
     return df.select(id_col, binary_col).mapInPandas(fn, IMAGE_META_SCHEMA)
+
+
+def make_png(width: int, height: int) -> bytes:
+    """A minimal, VALID 45-byte PNG (signature + IHDR + IEND, real CRCs):
+    the deterministic test feed for ``image_metadata`` where a crawl
+    would carry real image bytes."""
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    out = [b"\x89PNG\r\n\x1a\n"]
+    for tag, data in ((b"IHDR", ihdr), (b"IEND", b"")):
+        out.append(struct.pack(">I", len(data)) + tag + data)
+        out.append(struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    return b"".join(out)
+
+
+def synth_png(df, id_col: str = "doc_id", out_col: str = "img",
+              keep_cols: Optional[list] = None):
+    """Deterministic PNG synthesizer: one valid PNG per row with
+    width = (id % 640) + 1, height = (id % 480) + 1 — lets an oracle
+    predict the decoded dimensions arithmetically while the engine
+    really parses the bytes. mapInPandas; scales like any codec stage."""
+
+    keep = keep_cols if keep_cols is not None else [id_col]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keep).schema.fields
+    ) + f", {out_col} binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                make_png((int(i) % 640) + 1, (int(i) % 480) + 1)
+                for i in pdf[id_col]
+            ]
+            yield pdf
+
+    return df.select(*keep).mapInPandas(fn, schema)
 
 
 def audio_metadata(df, binary_col: str = "html", id_col: str = "doc_id",

@@ -203,26 +203,67 @@ def test_token_stats_consistency(spark, docs):
     assert ts.filter(F.col("rx_tokens") <= 0).count() == 0
 
 
-def test_multimodal_stub_shapes_and_strict(spark):
+def test_image_dims_header_parsers():
+    """Real struct-based header decode for every supported format."""
+    import struct as st
+
+    from logparser_spark.operators.multimodal import image_dims, make_png
+
+    # PNG: synthesized valid file round-trips its dims
+    assert image_dims(make_png(321, 123)) == ("png", 321, 123)
+    # GIF: little-endian logical-screen dims
+    gif = b"GIF89a" + st.pack("<HH", 640, 350) + b"\x00" * 4
+    assert image_dims(gif) == ("gif", 640, 350)
+    # JPEG: APP0 segment then SOF0 (dims live in the SOF, height first)
+    jpg = (b"\xff\xd8"
+           + b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+           + b"\xff\xc0" + st.pack(">H", 11) + b"\x08"
+           + st.pack(">HH", 480, 640) + b"\x03")
+    assert image_dims(jpg) == ("jpeg", 640, 480)
+    # progressive JPEG (SOF2) and a DHT (0xC4) that must be skipped
+    jpg2 = (b"\xff\xd8"
+            + b"\xff\xc4" + st.pack(">H", 4) + b"\x00\x00"
+            + b"\xff\xc2" + st.pack(">H", 11) + b"\x08"
+            + st.pack(">HH", 10, 20) + b"\x01")
+    assert image_dims(jpg2) == ("jpeg", 20, 10)
+    # BMP: negative height means top-down, report abs
+    bmp = (b"BM" + b"\x00" * 16 + st.pack("<ii", 800, -600) + b"\x00" * 8)
+    assert image_dims(bmp) == ("bmp", 800, 600)
+    # non-images -> None
+    assert image_dims(b"") is None
+    assert image_dims(b"<html><body>hi</body></html>") is None
+    assert image_dims(b"\x89PNG\r\n\x1a\nXXXXIDAT") is None  # no IHDR
+
+
+def test_image_metadata_real_decode(spark):
     from logparser_spark.operators import multimodal
     from logparser_spark.sources.pages import build_pages_from_documents
 
-    pages = build_pages_from_documents(spark, SF_DIR).limit(20)
-    meta = multimodal.image_metadata(pages).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    meta = multimodal.image_metadata(
+        multimodal.synth_png(docs), binary_col="img"
+    ).collect()
     assert len(meta) == 20
     for r in meta:
-        assert r["n_bytes"] > 37  # html wrapper + text
-        assert 1 <= r["fake_width"] <= 640
+        assert r["format"] == "png" and r["n_bytes"] == 45
+        assert r["width"] == (r["doc_id"] % 640) + 1
+        assert r["height"] == (r["doc_id"] % 480) + 1
+
+    # non-image payloads (html bytes) -> null metadata, no crash
+    pages = build_pages_from_documents(spark, SF_DIR).limit(5)
+    for r in multimodal.image_metadata(pages).collect():
+        assert r["format"] is None and r["width"] is None
+
+    # audio path is still an explicit stub
+    with pytest.raises(Exception) as exc:
+        multimodal.audio_metadata(pages, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
 
     frames = multimodal.frame_sample(pages)
     per_doc = frames.groupBy("doc_id").count().collect()
     assert all(r["count"] >= 1 for r in per_doc)
-
-    with pytest.raises(Exception) as exc:
-        multimodal.image_metadata(pages, strict=True).collect()
-    assert "NotImplementedError" in str(exc.value) or isinstance(
-        exc.value, NotImplementedError
-    )
 
 
 def test_decode_html_roundtrip(spark):
