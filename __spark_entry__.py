@@ -116,6 +116,17 @@ def q_matched_format_counts_multi(spark, sf_dir):
     )
 
 
+def q_parsed_render(spark, sf_dir):
+    """P10 parsed-line render (parsing_data.cpp:32-54) over all
+    well-formed lines, byte-compared against a string-concat oracle."""
+    from logparser_spark.operators.parse import render_parsed
+
+    p = _parsed(spark, sf_dir)
+    return render_parsed(p, _SPEC).filter("parsed.well_formed").select(
+        "doc_id", "line_no", "rendered"
+    )
+
+
 def q_level_histogram(spark, sf_dir):
     return agg.field_histogram(_parsed(spark, sf_dir), "Level").withColumnRenamed(
         "Level", "level"
@@ -972,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_metrics": q_parse_metrics,
         "matched_format_counts": q_matched_format_counts,
         "matched_format_counts_multi": q_matched_format_counts_multi,
+        "parsed_render": q_parsed_render,
         "level_histogram": q_level_histogram,
         "sink_counts": q_sink_counts,
         "route_info_rows": q_route_info_rows,
@@ -1046,6 +1058,13 @@ def oracle_sql() -> dict[str, str]:
            END AS matched_format,
            COUNT(*)::BIGINT AS n
     FROM lines GROUP BY 1"""
+
+    sqls["parsed_render"] = f"""{_prelude()}
+    SELECT doc_id, line_no,
+      'ParsedLine: ints(' || f_date || ', ' || f_time ||
+      '); dbls(); chrs(:, ., :); strs("' || level || '", "' || source ||
+      '", "' || mesg || '")' AS rendered
+    FROM parsed WHERE well_formed"""
 
     sqls["level_histogram"] = f"""{_prelude()}
     SELECT level, COUNT(*)::BIGINT AS n

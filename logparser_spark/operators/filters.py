@@ -398,3 +398,17 @@ def compose(
     if verb == "fout":
         return CombinedFilter(left=base, right=new.invert(), op="AND")
     raise ValueError(f"unknown filter verb {verb!r}")
+
+
+def resolve_filter_arg(arg: str) -> str:
+    """The reference's filter-argument convention
+    (filter_management_module.cpp:53-66): the ``:f*`` argument is tried
+    as a FILE PATH first — if a readable file exists there, the filter
+    text is the file's FIRST LINE; otherwise the argument itself is the
+    filter text. Lets users keep long filter declarations in files
+    (``:fset /path/to/filter.txt``)."""
+    try:
+        with open(arg) as f:
+            return f.readline().rstrip("\n").rstrip("\r")
+    except OSError:
+        return arg

@@ -42,7 +42,7 @@ import pyarrow as pa  # module-level: arrow_udf type-hint resolution needs it
 from ..functions.formats import FieldType, FormatSpec
 from ..functions.oracle import parse_line as oracle_parse_line
 
-__all__ = ["explode_lines", "make_arrow_parse_udf", "make_parse_udf", "parse_lines", "parse_lines_arrow", "parse_lines_hybrid", "parse_lines_multi"]
+__all__ = ["explode_lines", "make_arrow_parse_udf", "make_parse_udf", "parse_lines", "parse_lines_arrow", "parse_lines_hybrid", "parse_lines_multi", "parsed_to_json", "render_parsed"]
 
 
 def _fast_plan(spec: FormatSpec):
@@ -481,6 +481,68 @@ def parse_lines_arrow(
             yield batch.append_column(out_col, struct)
 
     return df.mapInArrow(fn, out_schema)
+
+
+def render_parsed(df, spec: FormatSpec, parsed_col: str = "parsed",
+                  out_col: str = "rendered"):
+    """Parsed-line render (SURVEY §2.2 P10): the exact
+    ``ParsedLine::asStringToStream`` string form
+    (``/root/reference/src/line_parsing/parsing_data.cpp:32-54``)::
+
+        ParsedLine: ints(a, b); dbls(); chrs(:, ., :); strs("x", "y")
+
+    Fields are grouped BY TYPE in declaration order, exactly like the
+    reference's per-type field arrays. Unset fields render as empty —
+    the reference prints uninitialized memory there; empty is the
+    deterministic stand-in. Pure Catalyst (concat/concat_ws), no UDF.
+
+    DBL caveat: Spark's double→string (e.g. ``1.5``) differs from C++
+    ostream's 6-significant-digit default for some values; exact
+    byte-parity is guaranteed for INT/CHR/STR fields.
+    """
+    from pyspark.sql import functions as F
+
+    groups: dict = {FieldType.INT: [], FieldType.DBL: [],
+                    FieldType.CHR: [], FieldType.STR: []}
+    cols = spec.column_names()
+    for k, (i, f) in enumerate(spec.output_fields()):
+        groups[f.ftype].append(F.col(f"{parsed_col}.{cols[k]}"))
+
+    def plain(cs, sep=", "):
+        if not cs:
+            return F.lit("")
+        return F.concat_ws(
+            sep, *[F.coalesce(c.cast("string"), F.lit("")) for c in cs]
+        )
+
+    rendered = F.concat(
+        F.lit("ParsedLine: ints("), plain(groups[FieldType.INT]),
+        F.lit("); dbls("), plain(groups[FieldType.DBL]),
+        F.lit("); chrs("), plain(groups[FieldType.CHR]),
+        F.lit('); strs("'), plain(groups[FieldType.STR], '", "'),
+        F.lit('")'),
+    )
+    return df.withColumn(out_col, rendered)
+
+
+def parsed_to_json(df, spec: FormatSpec, parsed_col: str = "parsed",
+                   out_col: str = "parsed_json"):
+    """Machine-readable render: the parsed struct's named fields as a
+    JSON object (the modern analog of the reference's debug render).
+    ``F.to_json`` omits null (unset) fields, mirroring 'unset = absent'.
+    """
+    from pyspark.sql import functions as F
+
+    cols = spec.column_names()
+    return df.withColumn(
+        out_col,
+        F.to_json(
+            F.struct(
+                *[F.col(f"{parsed_col}.{c}").alias(c) for c in cols],
+                F.col(f"{parsed_col}.well_formed").alias("well_formed"),
+            )
+        ),
+    )
 
 
 def parse_lines_multi(

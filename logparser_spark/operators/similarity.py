@@ -68,19 +68,62 @@ def sign_bucket(vec_col, bits: int = SIGN_BITS):
     return val
 
 
+def query_buckets(query_vec, bits: int = SIGN_BITS,
+                  hamming: int = 1) -> list[int]:
+    """The query's sign-bucket plus its Hamming-``hamming`` neighbors —
+    the candidate set an ANN scan must touch (``bits + 1`` buckets for
+    hamming=1)."""
+    qb = 0
+    for j in range(bits):
+        if float(query_vec[j]) >= 0:
+            qb |= 1 << j
+    out = [qb]
+    if hamming >= 1:
+        out += [qb ^ (1 << j) for j in range(bits)]
+    return out
+
+
 def cosine_topk_ann(df, query_vec, k: int = 10, id_col: str = "vec_id",
                     vec_col: str = "embedding", bits: int = SIGN_BITS,
                     hamming: int = 1):
     """ANN top-k: scan only vectors whose sign-bucket is within
     ``hamming`` bit-flips of the query's bucket (bucket + its ``bits``
-    neighbors for hamming=1). At scale the table is written partitioned
-    by bucket, so this is partition pruning, not a filter scan."""
+    neighbors for hamming=1). Computes the bucket on the fly — a filter
+    scan; use ``write_embeddings_bucketed`` + ``cosine_topk_ann_pruned``
+    to turn it into real partition pruning at scale."""
     from pyspark.sql import functions as F
 
-    qb = 0
-    for j in range(bits):
-        if float(query_vec[j]) >= 0:
-            qb |= 1 << j
-    buckets = [qb] + [qb ^ (1 << j) for j in range(bits)][: 0 if hamming < 1 else bits]
+    buckets = query_buckets(query_vec, bits, hamming)
     cand = df.filter(sign_bucket(F.col(vec_col), bits).isin(buckets))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def write_embeddings_bucketed(df, path: str, vec_col: str = "embedding",
+                              bits: int = SIGN_BITS,
+                              mode: str = "overwrite") -> str:
+    """Materialize the embedding table PARTITIONED BY its sign-bucket
+    (one directory per coarse cell) so ANN reads list only the
+    ``hamming+1`` candidate directories — partition pruning the file
+    listing itself, which is what makes the ANN claim executable at
+    10^9+ vectors instead of a full-table filter scan."""
+    from pyspark.sql import functions as F
+
+    out = df.withColumn("sign_bucket", sign_bucket(F.col(vec_col), bits))
+    out.write.mode(mode).partitionBy("sign_bucket").parquet(path)
+    return path
+
+
+def cosine_topk_ann_pruned(spark, path: str, query_vec, k: int = 10,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           bits: int = SIGN_BITS, hamming: int = 1):
+    """ANN top-k over a ``write_embeddings_bucketed`` table: the filter
+    is on the PARTITION column, so Spark prunes non-candidate bucket
+    directories at planning time (PartitionFilters in the scan node) —
+    only ``len(query_buckets)`` of the ``2^bits`` directories are read."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    buckets = query_buckets(query_vec, bits, hamming)
+    cand = df.filter(F.col("sign_bucket").isin(buckets))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -50,10 +50,16 @@ class JobConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "JobConfig":
+        from ..operators.filters import resolve_filter_arg
+
+        # each sink filter goes through the reference's argument
+        # convention (:fset <path-or-text>): a readable file path means
+        # "load the filter's first line from that file"
         sinks = [
             SinkSpec(
                 s["name"],
-                s.get("filter"),
+                resolve_filter_arg(s["filter"])
+                if s.get("filter") is not None else None,
                 s.get("accept_bad_format", d.get("accept_bad_format", True)),
             )
             for s in d.get("sinks", [])

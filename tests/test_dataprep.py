@@ -167,6 +167,42 @@ def test_cosine_topk_self_first_and_ann_subset(spark, emb):
         assert abs(exact_all[r["vec_id"]] - r["cos_sim"]) < 1e-9
 
 
+def test_ann_bucketed_writer_prunes_partitions(spark, emb, tmp_path):
+    """write_embeddings_bucketed + cosine_topk_ann_pruned: the scan must
+    touch only the hamming+1 candidate bucket DIRECTORIES (real
+    partition pruning), and the result must equal the filter-scan ANN."""
+    import re
+
+    from logparser_spark.operators import similarity
+
+    path = str(tmp_path / "emb_bucketed")
+    similarity.write_embeddings_bucketed(emb, path)
+
+    q = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    allowed = set(similarity.query_buckets(q))
+
+    pruned = similarity.cosine_topk_ann_pruned(spark, path, q, k=10)
+    base = similarity.cosine_topk_ann(emb, q, k=10)
+    assert [tuple(r) for r in pruned.collect()] == [
+        tuple(r) for r in base.collect()
+    ]
+
+    # the candidate scan's file listing stays inside the allowed buckets
+    df = spark.read.parquet(path)
+    cand = df.filter(F.col("sign_bucket").isin(list(allowed)))
+    files = {
+        r[0] for r in cand.select(F.input_file_name()).distinct().collect()
+    }
+    assert files
+    touched = {
+        int(re.search(r"sign_bucket=(\d+)", f).group(1)) for f in files
+    }
+    assert touched <= allowed
+    # ...and the full table really has more buckets than we scanned
+    all_buckets = {r[0] for r in df.select("sign_bucket").distinct().collect()}
+    assert len(all_buckets) > len(touched)
+
+
 def test_language_id_markers(spark):
     from logparser_spark.operators import textstats
 

@@ -245,3 +245,29 @@ class TestCompose:
         assert out.op == "AND" and out.right.inverted
         assert compose(base, new, "fset") is new
         assert compose(None, new, "fand") is new
+
+
+def test_resolve_filter_arg_file_vs_text(tmp_path):
+    """:f* argument convention (filter_management_module.cpp:53-66):
+    readable file -> first line is the filter text; else the arg IS the
+    filter text."""
+    from logparser_spark.operators.filters import (
+        parse_filter,
+        resolve_filter_arg,
+    )
+    from logparser_spark.functions.formats import (
+        DEFAULT_FORMAT,
+        compile_format,
+    )
+
+    p = tmp_path / "filt.txt"
+    p.write_text("Level EQ INFO\nsecond line ignored\n")
+    assert resolve_filter_arg(str(p)) == "Level EQ INFO"
+    assert resolve_filter_arg("Level EQ WARN") == "Level EQ WARN"
+    assert resolve_filter_arg(str(tmp_path / "missing")) == str(
+        tmp_path / "missing"
+    )
+    # the loaded text parses like any inline declaration
+    spec = compile_format(DEFAULT_FORMAT)
+    f = parse_filter(resolve_filter_arg(str(p)), spec)
+    assert f is not None

@@ -205,6 +205,40 @@ class TestExplodeLines:
         assert sorted(by_url["u0"]) == sorted(by_url["u1"])
 
 
+class TestRenderParsed:
+    GOLDEN = ("0322 085353 TRACE  :......router_forward_getOI:"
+              "         gateway:   0.0.0.0")
+    WANT = ('ParsedLine: ints(322, 85353); dbls(); chrs(:, ., :); '
+            'strs("TRACE", "router_forward_getOI", "gateway:   0.0.0.0")')
+
+    def test_render_golden_line(self, spark):
+        from logparser_spark.operators.parse import render_parsed
+
+        df = parse_lines(_to_rows(spark, [self.GOLDEN, "not a log line"]), SPEC)
+        got = {r["line_no"]: r["rendered"]
+               for r in render_parsed(df, SPEC).collect()}
+        assert got[0] == self.WANT
+        # malformed: all fields unset -> empty slots, shape preserved
+        assert got[1] == ('ParsedLine: ints(, ); dbls(); chrs(, , ); '
+                          'strs("", "", "")')
+
+    def test_parsed_to_json(self, spark):
+        import json
+
+        from logparser_spark.operators.parse import parsed_to_json
+
+        df = parse_lines(_to_rows(spark, [self.GOLDEN, "nope"]), SPEC)
+        got = {r["line_no"]: json.loads(r["parsed_json"])
+               for r in parsed_to_json(df, SPEC).collect()}
+        assert got[0]["Date"] == 322 and got[0]["Time"] == 85353
+        assert got[0]["Level"] == "TRACE"
+        assert got[0]["Source"] == "router_forward_getOI"
+        assert got[0]["Mesg"] == "gateway:   0.0.0.0"
+        assert got[0]["well_formed"] is True
+        # unset fields are ABSENT in JSON (to_json omits nulls)
+        assert got[1] == {"well_formed": False}
+
+
 class TestParseMulti:
     HEX = "{INT:B0}x{STR:H0} {INT:B1}x{STR:H1} {INT:B2}x{STR:H2} {INT:B3}x{STR:H3} {STR:Tag}"
 
