@@ -440,13 +440,30 @@ def parse_lines_arrow(
     line_col: str = "raw_line",
     out_col: str = "parsed",
     drop_cols: Optional[Iterable[str]] = None,
+    strategy: Optional[str] = None,
 ):
-    """mapInArrow parse stage: zero pandas/object materialization on the
-    fast path. Input columns pass through the Arrow worker untouched and
-    one struct column is appended. ``drop_cols`` (e.g. ``["raw_line"]``
-    when nothing downstream reads the raw text) trims the Python→JVM
-    return stream — at 10^12 rows the raw-line bytes dominate transfer.
-    Requires a fast-safe spec (``to_fast_regex() is not None``)."""
+    """Arrow-native parse stage: zero pandas/object materialization on
+    the fast path. Two physical strategies over the SAME kernel:
+
+    - ``"arrowudf"`` (default when the runtime has
+      ``pyspark.sql.functions.arrow_udf``, Spark 4.0+): scalar Arrow UDF
+      — ONLY the line column crosses into Python and only the parsed
+      struct returns; every passthrough column (ids, page dims) stays
+      JVM-side. Measured +37% end-to-end over mapInArrow at local[32]
+      (2.87M vs 2.10M rows/s) because the passthrough transfer is the
+      marginal cost once raw_line is dropped.
+    - ``"mapinarrow"``: whole-batch passthrough. Kept selectable
+      (``strategy=`` or env ``SPARK_GRAFT_PARSE_STRATEGY``) because
+      round-1 measured ArrowEvalPython buffering degrading under
+      heavily-contended co-resident JVMs; re-measured in a clean window
+      the two are within noise there (see BENCH/BASELINE.md).
+
+    ``drop_cols`` (e.g. ``["raw_line"]`` when nothing downstream reads
+    the raw text) trims the return stream — at 10^12 rows the raw-line
+    bytes dominate transfer. Requires a fast-safe spec
+    (``to_fast_regex() is not None``)."""
+    import os
+
     import pyarrow as pa
     from pyspark.sql import types as T
 
@@ -455,6 +472,18 @@ def parse_lines_arrow(
         raise ValueError(
             f"spec {spec.name!r} has no flat fast regex; use parse_lines"
         )
+
+    if strategy is None:
+        strategy = os.environ.get("SPARK_GRAFT_PARSE_STRATEGY", "arrowudf")
+    if strategy == "arrowudf":
+        udf = make_arrow_parse_udf(spec)
+        if udf is not None:
+            from pyspark.sql import functions as F
+
+            out = df.withColumn(out_col, udf(F.col(line_col)))
+            drop = [c for c in (drop_cols or ()) if c in df.columns]
+            return out.drop(*drop) if drop else out
+        # no arrow_udf on this runtime -> fall through to mapInArrow
 
     drop = set(drop_cols or ())
     kept = [f for f in df.schema.fields if f.name not in drop]
