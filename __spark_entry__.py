@@ -116,6 +116,15 @@ def q_matched_format_counts_multi(spark, sf_dir):
     )
 
 
+def q_global_line_ids(spark, sf_dir):
+    """True file-global line ordinal via the two-level prefix sum
+    (no global sort / zipWithIndex) — reference line_num parity."""
+    from logparser_spark.operators.parse import with_global_line_id
+
+    lines = _lines(spark, sf_dir).select("doc_id", "line_no")
+    return with_global_line_id(lines, bucket_width=64)
+
+
 def q_parsed_render(spark, sf_dir):
     """P10 parsed-line render (parsing_data.cpp:32-54) over all
     well-formed lines, byte-compared against a string-concat oracle."""
@@ -984,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matched_format_counts": q_matched_format_counts,
         "matched_format_counts_multi": q_matched_format_counts_multi,
         "parsed_render": q_parsed_render,
+        "global_line_ids": q_global_line_ids,
         "level_histogram": q_level_histogram,
         "sink_counts": q_sink_counts,
         "route_info_rows": q_route_info_rows,
@@ -1058,6 +1068,12 @@ def oracle_sql() -> dict[str, str]:
            END AS matched_format,
            COUNT(*)::BIGINT AS n
     FROM lines GROUP BY 1"""
+
+    sqls["global_line_ids"] = f"""{_prelude('lines')}
+    SELECT doc_id, line_no,
+           ROW_NUMBER() OVER (ORDER BY doc_id, line_no) - 1
+             AS global_line_num
+    FROM lines"""
 
     sqls["parsed_render"] = f"""{_prelude()}
     SELECT doc_id, line_no,

@@ -304,6 +304,66 @@ def explode_lines(
     return out.withColumn(raw_col, F.regexp_replace(raw_col, "\r$", ""))
 
 
+def with_global_line_id(
+    df,
+    id_col: str = "doc_id",
+    line_no_col: str = "line_no",
+    out_col: str = "global_line_num",
+    bucket_width: int = 4096,
+):
+    """True file-global line ordinal (the reference's ``line_num`` is
+    global across the whole input, ``filtered_file_reader.cpp``; ours is
+    per-document by default — SURVEY §7.4 risk 2). This helper closes
+    the gap without a global sort or zipWithIndex:
+
+    ``global_line_num = offset(doc) + line_no`` where ``offset(doc)`` is
+    the total line count of all documents with a smaller ``id_col``.
+
+    Scale shape (two-level prefix sum): per-doc line counts (one shuffle,
+    one row per doc), intra-bucket running sums with a window
+    PARTITIONED BY ``floor(doc_id / bucket_width)`` (bounded partitions
+    — never a single-task global window), bucket totals prefix-summed
+    over the tiny bucket table and broadcast back, then one broadcast
+    join onto the line stream. The fact table is never re-shuffled.
+    Requires a numeric, order-meaningful ``id_col``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bucket = (F.col(id_col) / bucket_width).cast("long")
+    counts = (
+        df.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__b", bucket)
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = counts.withColumn(
+        "__intra", F.coalesce(F.sum("__n").over(w_in), F.lit(0))
+    )
+    btot = counts.groupBy("__b").agg(F.sum("__n").alias("__bn"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.withColumn(
+        "__boff", F.coalesce(F.sum("__bn").over(w_b), F.lit(0))
+    ).select("__b", "__boff")
+    offsets = (
+        intra.join(F.broadcast(boff), "__b")
+        .select(
+            id_col, (F.col("__intra") + F.col("__boff")).alias("__off")
+        )
+    )
+    # offsets is one row per DOC (30x smaller than the line stream) —
+    # small enough to auto-broadcast at bench scale; past the broadcast
+    # threshold AQE falls back to a shuffle join keyed by doc, which is
+    # the correct shape when the doc table itself is huge.
+    return df.join(offsets, id_col).withColumn(
+        out_col, F.col("__off") + F.col(line_no_col)
+    ).drop("__off")
+
+
 def parse_lines(
     df,
     spec: FormatSpec,

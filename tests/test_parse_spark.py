@@ -205,6 +205,29 @@ class TestExplodeLines:
         assert sorted(by_url["u0"]) == sorted(by_url["u1"])
 
 
+def test_global_line_id_two_level_prefix(spark):
+    """with_global_line_id == rank in the (doc_id, line_no) global order,
+    across bucket boundaries (bucket_width=3 forces many buckets) and
+    uneven per-doc line counts."""
+    import random
+
+    from logparser_spark.operators.parse import with_global_line_id
+
+    rng = random.Random(7)
+    rows = []
+    docs = sorted(rng.sample(range(1000), 40))  # sparse, unsorted ids ok
+    for d in docs:
+        for ln in range(rng.randint(1, 9)):
+            rows.append((d, ln))
+    df = spark.createDataFrame(rows, "doc_id LONG, line_no INT")
+    got = {
+        (r["doc_id"], r["line_no"]): r["global_line_num"]
+        for r in with_global_line_id(df, bucket_width=3).collect()
+    }
+    want = {key: i for i, key in enumerate(sorted(rows))}
+    assert got == want
+
+
 class TestRenderParsed:
     GOLDEN = ("0322 085353 TRACE  :......router_forward_getOI:"
               "         gateway:   0.0.0.0")
