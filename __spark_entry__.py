@@ -437,6 +437,16 @@ def q_token_stats(spark, sf_dir):
     return textstats.token_stats(docs)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via the sign-bucket candidate
+    join (never all-pairs); tau tuned to the synthetic corpus's cosine
+    range so the result is non-trivial."""
+    from logparser_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_dup_pairs(emb, tau=0.25)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """REAL image-header decode: synthesize a valid PNG per document
     (dims derived from doc_id), then parse width/height back out of the
@@ -677,6 +687,21 @@ def _dataprep_sql() -> dict[str, str]:
         AS ws_tokens,
       len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS rx_tokens
     FROM documents"""
+
+    sqls["embedding_near_dup"] = """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bk
+      FROM embeddings)
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        ROUND(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+              / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))), 6)
+          AS cos_sim
+      FROM b x JOIN b y
+        ON x.vec_id < y.vec_id AND bit_count(xor(x.bk, y.bk)) <= 1)
+    WHERE cos_sim >= 0.25"""
 
     sqls["multimodal_meta"] = """
     SELECT doc_id, 45::BIGINT AS n_bytes, 'png' AS format,
@@ -1022,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
         "multimodal_meta": q_multimodal_meta,
+        "embedding_near_dup": q_embedding_near_dup,
         # checkpoint/lineage + skew
         "lineage_buckets": q_lineage_buckets,
         "host_line_tally_salted": q_host_line_tally_salted,

@@ -127,3 +127,43 @@ def cosine_topk_ann_pruned(spark, path: str, query_vec, k: int = 10,
     buckets = query_buckets(query_vec, bits, hamming)
     cand = df.filter(F.col("sign_bucket").isin(buckets))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(df, tau: float = 0.9, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             bits: int = SIGN_BITS, hamming: int = 1):
+    """Embedding-cosine near-dup pairs (id_a < id_b, cos_sim >= tau)
+    WITHOUT the all-pairs cross join: candidates come from the
+    sign-bucket join — side B is exploded to its own bucket plus its
+    ``hamming`` bit-flip probes, so the join key equality covers exactly
+    the pairs within Hamming-``hamming`` of each other. At 10^9+ vectors
+    only same/neighbor-bucket rows shuffle together (the LSH argument;
+    recall follows the SimHash bound: cos-similar vectors agree on sign
+    bits with probability 1 - theta/pi per bit). Exact cosine (codegen
+    ``zip_with``/``aggregate``, float→double, sequential — engine-
+    portable bit-for-bit) filters the candidates to >= tau."""
+    from pyspark.sql import functions as F
+
+    bkt = sign_bucket(F.col(vec_col), bits)
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        bkt.alias("__bk"),
+    )
+    probes = F.array(
+        bkt, *[
+            bkt.bitwiseXOR(F.lit(1 << j)) for j in range(bits)
+        ][: bits if hamming >= 1 else 0]
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.explode(probes).alias("__bk"),
+    )
+    cand = a.join(b, "__bk").filter(F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    return (
+        cand.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= tau)
+        .distinct()
+    )

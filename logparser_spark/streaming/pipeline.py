@@ -61,10 +61,11 @@ def parse_stream(stream_df, spec: FormatSpec,
     return parse_lines(lines, spec)
 
 
-def route_stream(parsed_stream, sinks: list[SinkSpec], spec: FormatSpec,
-                 base_path: str, checkpoint_dir: str):
-    """Fan-out streaming sink: one foreachBatch writer that routes each
-    micro-batch to every sink from a single cached parse result.
+def make_batch_writer(sinks: list[SinkSpec], spec: FormatSpec,
+                      base_path: str):
+    """The foreachBatch writer, exposed for direct (re)invocation in
+    tests: routes one micro-batch to every sink from a single cached
+    parse result.
 
     Effectively-once per sink: foreachBatch alone is at-least-once (a
     retried micro-batch after a partial sink write would duplicate rows
@@ -91,8 +92,17 @@ def route_stream(parsed_stream, sinks: list[SinkSpec], spec: FormatSpec,
         finally:
             batch_df.unpersist()
 
+    return write_batch
+
+
+def route_stream(parsed_stream, sinks: list[SinkSpec], spec: FormatSpec,
+                 base_path: str, checkpoint_dir: str):
+    """Fan-out streaming sink: one foreachBatch writer per micro-batch
+    (see ``make_batch_writer`` for the effectively-once semantics)."""
     return (
-        parsed_stream.writeStream.foreachBatch(write_batch)
+        parsed_stream.writeStream.foreachBatch(
+            make_batch_writer(sinks, spec, base_path)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )

@@ -167,6 +167,45 @@ def test_cosine_topk_self_first_and_ann_subset(spark, emb):
         assert abs(exact_all[r["vec_id"]] - r["cos_sim"]) < 1e-9
 
 
+def test_embedding_near_dup_matches_bruteforce(spark, emb):
+    """embedding_near_dup_pairs == brute-force pairs restricted to the
+    Hamming<=1 sign-bucket candidate set (the documented recall trade),
+    on a 100-vector sample."""
+    import math
+
+    from logparser_spark.operators import similarity
+
+    sub = emb.filter(F.col("vec_id") < 100)
+    tau = 0.2
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.embedding_near_dup_pairs(sub, tau=tau).collect()
+    }
+
+    rows = {r["vec_id"]: list(r["embedding"]) for r in sub.collect()}
+
+    def bucket(v):
+        return sum(1 << j for j in range(8) if v[j] >= 0)
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return round(d / (na * nb), 6)
+
+    want = {}
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(bucket(rows[a]) ^ bucket(rows[b])).count("1") <= 1:
+                c = cos(rows[a], rows[b])
+                if c >= tau:
+                    want[(a, b)] = c
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 2e-6, k
+
+
 def test_ann_bucketed_writer_prunes_partitions(spark, emb, tmp_path):
     """write_embeddings_bucketed + cosine_topk_ann_pruned: the scan must
     touch only the hamming+1 candidate bucket DIRECTORIES (real

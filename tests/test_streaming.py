@@ -93,3 +93,43 @@ def test_windowed_counts_watermark(spark, work):
     assert len(rows) > 0
     total = sum(r["n"] for r in rows if r["matched_format"] == "default")
     assert total > 0
+
+
+def test_replayed_batch_is_idempotent(spark, work):
+    """The at-least-once hazard: foreachBatch may re-deliver a micro-batch
+    after a partial sink write. Re-invoking the writer with the SAME
+    batch_id must leave each sink's contents unchanged (dynamic partition
+    overwrite keyed by __batch_id replaces exactly that partition)."""
+    from logparser_spark.functions.formats import DEFAULT_FORMAT, compile_format
+    from logparser_spark.operators.parse import explode_lines, parse_lines
+    from logparser_spark.operators.route import SinkSpec
+    from logparser_spark.streaming.pipeline import make_batch_writer
+
+    spec = compile_format(DEFAULT_FORMAT)
+    sinks = [SinkSpec("s_info", "Level EQ INFO"), SinkSpec("s_all", None)]
+
+    pages = spark.read.parquet(f"{work}/src")
+    parsed = parse_lines(
+        explode_lines(pages, keep_cols=["doc_id", "url", "lang"]), spec
+    )
+    fn = make_batch_writer(sinks, spec, f"{work}/out2")
+
+    fn(parsed, 7)       # first delivery of batch 7
+    first = {
+        s.name: spark.read.parquet(f"{work}/out2/{s.name}").count()
+        for s in sinks
+    }
+    assert all(v > 0 for v in first.values())
+    fn(parsed, 7)       # REPLAY of batch 7 (simulated retry)
+    second = {
+        s.name: spark.read.parquet(f"{work}/out2/{s.name}").count()
+        for s in sinks
+    }
+    assert second == first  # no duplicates
+
+    fn(parsed, 8)       # a genuinely new batch appends
+    third = {
+        s.name: spark.read.parquet(f"{work}/out2/{s.name}").count()
+        for s in sinks
+    }
+    assert third == {k: 2 * v for k, v in first.items()}
