@@ -26,7 +26,8 @@ IMAGE_META_SCHEMA = (
 )
 
 AUDIO_META_SCHEMA = (
-    "doc_id long, n_bytes long, fake_sample_rate int, fake_n_samples long"
+    "doc_id long, n_bytes long, format string, sample_rate int, "
+    "channels int, bits_per_sample int, n_samples long"
 )
 
 FRAME_SAMPLE_SCHEMA = "doc_id long, frame_no int, frame_hash long"
@@ -143,25 +144,74 @@ def synth_png(df, id_col: str = "doc_id", out_col: str = "img",
     return df.select(*keep).mapInPandas(fn, schema)
 
 
+def audio_dims(b: bytes) -> Optional[tuple]:
+    """(format, sample_rate, channels, bits_per_sample, n_samples) from
+    raw header bytes, or None. WAV (RIFF/WAVE fmt + data chunks) is
+    parsed for REAL with ``struct`` — no audio library. Compressed
+    formats (mp3/ogg/flac) genuinely need a codec library and return
+    None here (``strict`` mode in audio_metadata raises for them)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = ch = bits = None
+    n_samples = None
+    while i + 8 <= len(b):
+        tag = b[i:i + 4]
+        size = struct.unpack("<I", b[i + 4:i + 8])[0]
+        if tag == b"fmt " and i + 24 <= len(b):
+            ch, rate = struct.unpack("<HI", b[i + 10:i + 16])
+            bits = struct.unpack("<H", b[i + 22:i + 24])[0]
+        elif tag == b"data" and ch and bits:
+            n_samples = size // max(ch * (bits // 8), 1)
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None:
+        return None
+    return "wav", rate, ch, bits, n_samples
+
+
+def make_wav(sample_rate: int, n_samples: int, channels: int = 1,
+             bits: int = 16) -> bytes:
+    """A minimal valid PCM WAV (silence) — the deterministic test feed
+    for ``audio_metadata``'s real header parser."""
+    data = b"\x00" * (n_samples * channels * (bits // 8))
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * (bits // 8), channels * (bits // 8), bits,
+    )
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
 def audio_metadata(df, binary_col: str = "html", id_col: str = "doc_id",
                    strict: bool = False):
     """mapInPandas stage: binary column → typed audio metadata struct.
-    STUB decode as above (soundfile/ffmpeg unavailable)."""
+    WAV headers are decoded for REAL (``audio_dims``); compressed
+    formats need soundfile/ffmpeg (unavailable here) — ``strict=True``
+    raises exactly where that codec call belongs, otherwise they yield
+    null metadata."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "audio decode requires soundfile/ffmpeg (unavailable)"
-                )
             rows = []
             for did, buf in zip(pdf[id_col], pdf[binary_col]):
                 b = bytes(buf) if buf is not None else b""
-                rows.append((did, len(b), 16000, len(b) // 2))
+                dims = audio_dims(b)
+                if dims is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "non-WAV audio decode requires soundfile/"
+                            "ffmpeg (unavailable here)"
+                        )
+                    rows.append((did, len(b), None, None, None, None,
+                                 None))
+                else:
+                    fmt, rate, ch, bits, n = dims
+                    rows.append((did, len(b), fmt, rate, ch, bits, n))
             yield pd.DataFrame(
                 rows,
-                columns=[id_col, "n_bytes", "fake_sample_rate",
-                         "fake_n_samples"],
+                columns=[id_col, "n_bytes", "format", "sample_rate",
+                         "channels", "bits_per_sample", "n_samples"],
             )
 
     return df.select(id_col, binary_col).mapInPandas(fn, AUDIO_META_SCHEMA)

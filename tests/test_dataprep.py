@@ -329,7 +329,17 @@ def test_image_metadata_real_decode(spark):
     for r in multimodal.image_metadata(pages).collect():
         assert r["format"] is None and r["width"] is None
 
-    # audio path is still an explicit stub
+    # WAV headers decode for REAL; compressed formats stay strict-stubbed
+    wav = multimodal.make_wav(44100, 2_000, channels=2, bits=16)
+    assert multimodal.audio_dims(wav) == ("wav", 44100, 2, 16, 2_000)
+    assert multimodal.audio_dims(b"ID3\x03mp3data") is None
+    wdf = spark.createDataFrame(
+        [(1, bytearray(wav))], "doc_id LONG, snd BINARY"
+    )
+    w = multimodal.audio_metadata(wdf, binary_col="snd").collect()[0]
+    assert (w["format"], w["sample_rate"], w["channels"],
+            w["bits_per_sample"], w["n_samples"]) == ("wav", 44100, 2, 16,
+                                                      2_000)
     with pytest.raises(Exception) as exc:
         multimodal.audio_metadata(pages, strict=True).collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(
