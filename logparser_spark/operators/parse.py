@@ -266,7 +266,15 @@ def make_parse_udf(spec: FormatSpec):
     def parse(lines: pd.Series) -> pd.DataFrame:
         return _batch_parse(lines, spec)
 
-    return parse
+    # The parse IS deterministic; the marker is an optimizer fence.
+    # Without it, predicate pushdown substitutes the UDF expression into
+    # filters referencing the parsed struct, and the planner then emits
+    # TWO ArrowEvalPython nodes — the whole parse runs twice on
+    # filter+project queries (measured). The cost: upstream predicates
+    # no longer push below the parse projection, which never matters
+    # here (the pipeline filters on parse OUTPUT; source-level pruning
+    # happens before explode_lines).
+    return parse.asNondeterministic()
 
 
 def explode_lines(
@@ -491,7 +499,11 @@ def make_arrow_parse_udf(spec: FormatSpec):
         outs, wf = _batch_parse_arrow(lines, spec, rx, unset_suffix)
         return pa.StructArray.from_arrays(outs + [wf], names=names)
 
-    return parse
+    # deterministic in fact; marked non-deterministic as an optimizer
+    # fence so predicate pushdown cannot clone the UDF into filters —
+    # without this, filter+project queries plan TWO ArrowEvalPython
+    # nodes and parse every line twice (see make_parse_udf note).
+    return parse.asNondeterministic()
 
 
 def parse_lines_arrow(
