@@ -555,7 +555,8 @@ def _dataprep_sql() -> dict[str, str]:
         AND sb.shingle_hash = sa.shingle_hash
       GROUP BY 1, 2)
     SELECT i.id_a, i.id_b,
-           ROUND(i.n_inter::DOUBLE / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+           ((2000000 * i.n_inter + (za.sz + zb.sz - i.n_inter))
+            // (2 * (za.sz + zb.sz - i.n_inter))) / 1000000.0 AS jaccard
     FROM inter i
     JOIN sizes za ON za.doc_id = i.id_a
     JOIN sizes zb ON zb.doc_id = i.id_b"""
@@ -661,7 +662,7 @@ def _dataprep_sql() -> dict[str, str]:
         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
       FROM documents),
     m AS (
-      SELECT doc_id, n_chars, n_words,
+      SELECT doc_id, n_chars, n_words, n_nonspace, stop_hits, n_alpha,
         CASE WHEN n_words > 0 THEN n_nonspace::DOUBLE / n_words
              ELSE 0.0 END AS mean_word_len,
         CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words
@@ -670,9 +671,15 @@ def _dataprep_sql() -> dict[str, str]:
              ELSE 0.0 END AS alpha_ratio
       FROM base)
     SELECT doc_id, n_chars, n_words,
-      ROUND(mean_word_len, 6) AS mean_word_len,
-      ROUND(stopword_ratio, 6) AS stopword_ratio,
-      ROUND(alpha_ratio, 6) AS alpha_ratio,
+      CASE WHEN n_words > 0
+           THEN ((2000000 * n_nonspace + n_words) // (2 * n_words)) / 1000000.0
+           ELSE 0.0 END AS mean_word_len,
+      CASE WHEN n_words > 0
+           THEN ((2000000 * stop_hits + n_words) // (2 * n_words)) / 1000000.0
+           ELSE 0.0 END AS stopword_ratio,
+      CASE WHEN n_chars > 0
+           THEN ((2000000 * n_alpha + n_chars) // (2 * n_chars)) / 1000000.0
+           ELSE 0.0 END AS alpha_ratio,
       (CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 25 ELSE 0 END
        + CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 25 ELSE 0 END
        + CASE WHEN stopword_ratio >= 0.05 THEN 25 ELSE 0 END

@@ -200,12 +200,18 @@ def ngram_jaccard_pairs(df, pairs_df, text_col: str = "text",
         .join(sizes.withColumnRenamed(id_col, "id_b")
               .withColumnRenamed("sz", "sz_b"), "id_b")
     )
-    jac = F.col("n_inter") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
-    )
+    # exact half-up rounding to 6 decimals IN INTEGER SPACE: jaccard is
+    # a small-denominator rational, so double ROUND ties are common and
+    # engines break them differently (Spark half-up, DuckDB half-even —
+    # a real mismatch surfaced at sf0.1). DIV on int64 is bit-exact in
+    # both engines; the final /1e6 maps equal integers to equal doubles.
+    jac = F.expr(
+        "(2000000 * n_inter + (sz_a + sz_b - n_inter))"
+        " div (2 * (sz_a + sz_b - n_inter))"
+    ) / F.lit(1_000_000.0)
     return out.select(
         "id_a", "id_b",
-        F.round(jac, 6).alias("jaccard"),
+        jac.alias("jaccard"),
     )
 
 

@@ -115,12 +115,33 @@ def quality_score(df, text_col: str = "text", id_col: str = "doc_id"):
         + F.when(stop_ratio >= 0.05, 25).otherwise(0)
         + F.when(alpha_ratio >= 0.70, 25).otherwise(0)
     )
-    return df.select(
+    # the REPORTED ratios round half-up to 6 decimals in INTEGER space
+    # (x DIV y on int64): these are small-denominator rationals, and
+    # double ROUND ties break half-up in Spark but half-even in DuckDB.
+    # The score thresholds above stay on the raw double ratio — IEEE
+    # division is bit-identical across engines, only ROUND is not.
+    base = df.select(
         F.col(id_col),
         F.length(t).cast("long").alias("n_chars"),
         words.cast("long").alias("n_words"),
-        F.round(mean_wlen, 6).alias("mean_word_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("long")
+        .alias("__nsp"),
+        stop_hits.cast("long").alias("__stop"),
+        alpha.cast("long").alias("__alpha"),
         score.cast("long").alias("quality_score"),
+    )
+
+    def r6(num: str, den: str):
+        return F.when(
+            F.col(den) > 0,
+            F.expr(f"(2000000 * {num} + {den}) div (2 * {den})")
+            / F.lit(1_000_000.0),
+        ).otherwise(F.lit(0.0))
+
+    return base.select(
+        id_col, "n_chars", "n_words",
+        r6("__nsp", "n_words").alias("mean_word_len"),
+        r6("__stop", "n_words").alias("stopword_ratio"),
+        r6("__alpha", "n_chars").alias("alpha_ratio"),
+        "quality_score",
     )
