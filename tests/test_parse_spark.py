@@ -311,6 +311,40 @@ class TestParseMulti:
         lines = GOLDEN_LINES[:10] + DBL_EDGE_LINES + GOLDEN_LINES[24:30]
         self._check_cascade(spark, lines, specs)
 
+    def test_cascade_fuzz_differential(self, spark):
+        """600 adversarial lines (random garbage + corpus mutations)
+        through a 3-spec cascade with OVERLAPPING formats — first-match
+        semantics must equal the per-line oracle loop exactly."""
+        import random
+
+        rng = random.Random(1234)
+        alphabet = list("0123456789abcXYZ.: \t-x")
+        lines = []
+        for _ in range(300):
+            lines.append("".join(
+                rng.choice(alphabet)
+                for _ in range(rng.randint(0, 30))
+            ))
+        for _ in range(300):
+            base = list(rng.choice(GOLDEN_LINES))
+            for _ in range(rng.randint(0, 4)):
+                pos = rng.randrange(len(base)) if base else 0
+                op = rng.randint(0, 2)
+                if op == 0 and base:
+                    base[pos] = rng.choice(alphabet)
+                elif op == 1 and base:
+                    del base[pos]
+                else:
+                    base.insert(pos, rng.choice(alphabet))
+            lines.append("".join(base))
+
+        specs = [
+            SPEC,
+            compile_format(self.HEX, "hexdump"),
+            compile_format("{INT:A}x{STR:B}", "intx"),  # overlaps hexdump
+        ]
+        self._check_cascade(spark, lines, specs)
+
     def test_cascade_counts_match_reference(self, spark):
         from pyspark.sql import functions as F
 
