@@ -7,10 +7,12 @@ sketches — the standard near-dup stack for Common-Crawl-scale corpora
 components).
 
 Engine-portability: every hash is derived from md5 (identical in Spark
-and DuckDB), via ``HASH64`` = first 15 hex chars of md5 as a bigint, so
-the DuckDB oracle reproduces results bit-for-bit. No murmur/xxhash
-(engine-specific). All randomness is deterministic: the k minhash
-permutations use fixed (a_i, b_i) constants derived below.
+and DuckDB) — exact dedup keys on the FULL 128-bit hex digest; the
+sketch ops use ``hash64`` = first 15 hex chars of md5 as a bigint
+(collisions are by design there) — so the DuckDB oracle reproduces
+results bit-for-bit. No murmur/xxhash (engine-specific). All randomness
+is deterministic: the k minhash permutations use fixed (a_i, b_i)
+constants derived below.
 
 Scale notes (100 TB): shingle explode is linear and map-side combined
 into per-doc signatures (one shuffle keyed by doc). The LSH join shuffles
