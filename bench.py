@@ -214,12 +214,25 @@ def _scaling_once(levels) -> list[dict]:
         # builds) and understate scaling by 15-20%; real cluster jobs
         # run for hours, so the long job is the honest proxy.
         env.setdefault("SPARK_GRAFT_BENCH_PAGES", "1200000")
-        p = subprocess.run(
-            [sys.executable, __file__, "--single-throughput"],
-            env=env,
-            capture_output=True,
-            text=True,
-        )
+        try:
+            # hard cap per level: a degraded host window can deadlock a
+            # Spark job outright (observed: one leg hung >1h at zero
+            # load); a timed-out leg poisons the attempt, and the retry
+            # loop / keep-best state absorb it.
+            p = subprocess.run(
+                [sys.executable, __file__, "--single-throughput"],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            return [
+                {"cpus": c, "lines": 0, "sec": float("inf"),
+                 "rows_per_sec": 0, "sink_counts": {}, "pinned": pin == "1",
+                 "host_control_ips": 0}
+                for c in levels
+            ]
         line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
         r["pinned"] = pin == "1"
@@ -242,7 +255,9 @@ def run_scaling(levels=(8, 32), max_attempts=3) -> list[dict]:
     best = None
     for _ in range(max_attempts):
         out = _scaling_once(levels)
-        eff = (out[-1]["rows_per_sec"] / out[0]["rows_per_sec"]) / ratio
+        eff = (
+            out[-1]["rows_per_sec"] / max(out[0]["rows_per_sec"], 1)
+        ) / ratio
         if best is None or eff > best[0]:
             best = (eff, out)
         if eff >= 0.8:
@@ -387,7 +402,7 @@ def write_scaling_report(results: list[dict]) -> str:
     re-rendered whole."""
     lo, hi = results[0], results[-1]
     ratio = hi["cpus"] / lo["cpus"]
-    eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / ratio
+    eff = (hi["rows_per_sec"] / max(lo["rows_per_sec"], 1)) / ratio
     state = _load_state()
     # migrate the legacy single-slot key to the per-pair scheme
     if "scaling" in state and "scaling_8_32" not in state:
