@@ -419,7 +419,7 @@ def write_scaling_report(results: list[dict]) -> str:
 def _render_scaling_section(f, results: list[dict]) -> None:
     lo, hi = results[0], results[-1]
     ratio = hi["cpus"] / lo["cpus"]
-    eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / ratio
+    eff = (hi["rows_per_sec"] / max(lo["rows_per_sec"], 1)) / ratio
     if True:
         pinned = lo.get("pinned", True)
         pin_txt = (
@@ -718,7 +718,7 @@ if __name__ == "__main__":
         results = run_scaling(levels)
         path = write_scaling_report(results)
         lo, hi = results[0], results[-1]
-        eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (hi["cpus"] / lo["cpus"])
+        eff = (hi["rows_per_sec"] / max(lo["rows_per_sec"], 1)) / (hi["cpus"] / lo["cpus"])
         print(json.dumps({"scaling": results, "efficiency": round(eff, 3), "report": path}))
     else:
         print(json.dumps(run_bench()))
