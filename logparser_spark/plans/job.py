@@ -41,6 +41,9 @@ class JobConfig:
     input: str
     output: str
     format: str = DEFAULT_FORMAT
+    # name -> format string; tried in insertion order AFTER `format`
+    # (the reference's runtime format swap as a declarative cascade)
+    extra_formats: dict = field(default_factory=dict)
     accept_bad_format: bool = True
     sinks: list[SinkSpec] = field(default_factory=list)
     enrich: bool = True
@@ -68,6 +71,7 @@ class JobConfig:
             input=d["input"],
             output=d["output"],
             format=d.get("format", DEFAULT_FORMAT),
+            extra_formats=d.get("extra_formats", {}),
             accept_bad_format=d.get("accept_bad_format", True),
             sinks=sinks,
             enrich=d.get("enrich", True),
@@ -99,7 +103,23 @@ def run_job(spark, cfg: JobConfig) -> dict:
     pages = read_source(spark, SinkTarget.parse(cfg.input))
     keep = [c for c in (cfg.key_col, "url", "lang") if c in pages.columns]
     lines = explode_lines(pages, text_col=cfg.text_col, keep_cols=keep)
-    parsed = parse_lines(lines, spec)
+    if cfg.extra_formats:
+        # multi-format cascade: primary format first, then the extras in
+        # declaration order; the primary's struct becomes `parsed` so
+        # sink filters (bound to the primary format's fields) apply
+        # unchanged — lines matched only by a secondary format are
+        # malformed under the primary, exactly the reference's semantics
+        # before a runtime format swap.
+        from ..operators.parse import parse_lines_multi
+
+        specs = [spec] + [
+            compile_format(f, name) for name, f in cfg.extra_formats.items()
+        ]
+        parsed = parse_lines_multi(lines, specs).withColumnRenamed(
+            f"parsed_{spec.name}", "parsed"
+        )
+    else:
+        parsed = parse_lines(lines, spec)
     if cfg.enrich and "url" in parsed.columns and "lang" in parsed.columns:
         parsed = enrich_mod.enrich_all(parsed, spark)
 

@@ -56,3 +56,45 @@ def test_sink_target_parse_and_iceberg_gate(spark):
     df = spark.range(1)
     with pytest.raises(RuntimeError, match="Iceberg runtime"):
         write_sink(df, t)
+
+
+def test_job_multi_format_cascade(spark, work):
+    """extra_formats in the job config runs the first-match cascade:
+    hex-dump lines (malformed under the primary format) are tagged with
+    the secondary format, and primary-format routing is unchanged."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.plans.job import JobConfig, run_job
+
+    cfg = JobConfig.from_dict(
+        {
+            "input": f"parquet:{work}/pages",
+            "output": f"{work}/out_mf",
+            "extra_formats": {
+                "hexdump": ("{INT:B0}x{STR:H0} {INT:B1}x{STR:H1} "
+                            "{INT:B2}x{STR:H2} {INT:B3}x{STR:H3} "
+                            "{STR:Tag}"),
+            },
+            "sinks": [
+                {"name": "info", "filter": "Level EQ INFO"},
+                {"name": "all", "filter": None},
+            ],
+            "buckets": 4,
+        }
+    )
+    m = run_job(spark, cfg)
+    assert m["rows"] == 15634
+    assert m["well_formed_rows"] == 14626  # primary-format well-formed
+
+    from logparser_spark.plans.checkpoint import read_routed
+
+    routed = read_routed(spark, f"{work}/out_mf", "all")
+    counts = {
+        r["matched_format"]: r["count"]
+        for r in routed.groupBy("matched_format").count().collect()
+    }
+    assert counts["default"] == 14626
+    assert counts["hexdump"] == 1008  # every hex line matched the 2nd spec
+    # the info sink's routing (primary-format filter) is unchanged
+    info = read_routed(spark, f"{work}/out_mf", "info")
+    assert info.filter(F.col("parsed.Level") == "INFO").count() == 2521
