@@ -595,7 +595,11 @@ def _run_scaling_executors_once(exec_cpus: int = 8, n_exec: int = 4,
     proc = mp.Process(
         target=_executor_shard, args=((0, exec_cpus, 0, total_pages, p1),)
     )
-    proc.start(); proc.join()
+    proc.start(); proc.join(timeout=900)
+    if proc.is_alive():  # degraded-window deadlock: poison the attempt
+        proc.kill(); proc.join()
+        return {"efficiency": -1, "exec_cpus": exec_cpus,
+                "n_executors": [1, n_exec], "timed_out": True}
     one = json.load(open(p1))
 
     # 4N: four JVMs, disjoint cores AND disjoint page ranges, concurrent
@@ -631,8 +635,16 @@ def _run_scaling_executors_once(exec_cpus: int = 8, n_exec: int = 4,
             ),
         )
         pr.start(); procs.append(pr)
+    deadline = time.time() + 900
     for pr in procs:
-        pr.join()
+        pr.join(timeout=max(deadline - time.time(), 1))
+    if any(pr.is_alive() for pr in procs):
+        for pr in procs:
+            if pr.is_alive():
+                pr.kill(); pr.join()
+        stop.set()
+        return {"efficiency": -1, "exec_cpus": exec_cpus,
+                "n_executors": [1, n_exec], "timed_out": True}
     stop.set()
     sys_frac = (
         sum(s[1] for s in cpu_samples) / len(cpu_samples)
@@ -664,6 +676,8 @@ def _run_scaling_executors_once(exec_cpus: int = 8, n_exec: int = 4,
 
 
 def write_executor_report(r: dict) -> None:
+    if r.get("timed_out"):
+        return  # poisoned attempt; keep whatever record exists
     state = _load_state()
     prev = state.get("executors")
     if prev is None or r["efficiency"] > prev.get("efficiency", -1):
