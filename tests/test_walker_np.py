@@ -93,3 +93,34 @@ def test_np_walker_sliced_input():
             exp_v, exp_w = parse_line(line, spec)
         got = [outs[k][r].as_py() for k in range(ncols)]
         assert wf[r].as_py() == exp_w and got == list(exp_v), (r, line)
+
+
+def test_np_walker_int_saturation_contract():
+    """>18-digit runs bail to the oracle, which saturates at int64
+    bounds (C strtol) — the walker must neither raise nor diverge."""
+    from logparser_spark.functions.oracle import INT64_MAX, INT64_MIN
+
+    spec = compile_format("{INT:X} {STR:Rest}")
+    lines = [
+        "9" * 19 + " a",
+        "9" * 25 + " b",
+        "9223372036854775807 in-range",
+        "9223372036854775808 past-max",
+        "0" * 30 + " zeros",
+        "123 normal",
+    ]
+    arr = pa.array(lines, pa.string())
+    outs, wf = batch_walk_arrow(arr, spec)
+    ncols = len(spec.output_fields())
+    for r, line in enumerate(lines):
+        exp_v, exp_w = parse_line(line, spec)
+        got = [outs[k][r].as_py() for k in range(ncols)]
+        assert wf[r].as_py() == exp_w and got == list(exp_v), (line, got)
+    assert outs[0][0].as_py() == INT64_MAX
+    assert outs[0][4].as_py() == 0
+
+    neg = compile_format("{INT:X}-{INT:Y}")
+    arr2 = pa.array(["-" + "9" * 25], pa.string())
+    outs2, wf2 = batch_walk_arrow(arr2, neg)
+    assert wf2[0].as_py() is True
+    assert outs2[0][0].as_py() == INT64_MIN
