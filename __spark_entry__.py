@@ -702,9 +702,10 @@ def _dataprep_sql() -> dict[str, str]:
       FROM embeddings)
     SELECT id_a, id_b, cos_sim FROM (
       SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-        ROUND(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+        FLOOR(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
               / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
-                 * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))), 6)
+                 * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[])))
+              * 1000000 + 0.5) / 1000000
           AS cos_sim
       FROM b x JOIN b y
         ON x.vec_id < y.vec_id AND bit_count(xor(x.bk, y.bk)) <= 1)

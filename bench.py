@@ -227,8 +227,11 @@ def _scaling_once(levels) -> list[dict]:
                 timeout=900,
             )
         except subprocess.TimeoutExpired:
+            # sec=None, not float('inf'): json.dump would emit the
+            # non-standard token `Infinity`, which strict JSON parsers
+            # reject if a poisoned attempt ever gets persisted.
             return [
-                {"cpus": c, "lines": 0, "sec": float("inf"),
+                {"cpus": c, "lines": 0, "sec": None, "timed_out": True,
                  "rows_per_sec": 0, "sink_counts": {}, "pinned": pin == "1",
                  "host_control_ips": 0}
                 for c in levels
@@ -249,20 +252,42 @@ def run_scaling(levels=(8, 32), max_attempts=3) -> list[dict]:
     itself has measured anywhere between 0.5 and 0.95 scaling efficiency
     across windows), and a clean control does NOT guarantee the Spark
     window was clean (hypervisor steal arrives in bursts). Retry until
-    the JOB efficiency clears the 0.8 bar or attempts run out; keep the
-    best-job-efficiency attempt, each with its same-window host control."""
+    the JOB efficiency clears the 0.8 bar or attempts run out.
+
+    Attempt selection is gated on the INDEPENDENT host control, not on
+    the reported metric alone (selecting the max of a noisy ratio keyed
+    on itself would bias the record upward by favoring windows where the
+    low-core leg happened to run slow): the best attempt is chosen among
+    those whose same-window pure-CPU control scaled cleanly (host_eff >=
+    0.75), falling back to the overall best only if no attempt had a
+    clean control. Every attempt's job/host efficiency is recorded on
+    the result (attempt_effs / attempt_host_effs / median_attempt_eff)
+    so the report always shows the selection spread."""
     ratio = levels[-1] / levels[0]
-    best = None
+    attempts = []
     for _ in range(max_attempts):
         out = _scaling_once(levels)
         eff = (
             out[-1]["rows_per_sec"] / max(out[0]["rows_per_sec"], 1)
         ) / ratio
-        if best is None or eff > best[0]:
-            best = (eff, out)
-        if eff >= 0.8:
+        lo_ips = out[0].get("host_control_ips") or 0
+        hi_ips = out[-1].get("host_control_ips") or 0
+        host_eff = (hi_ips / lo_ips) / ratio if lo_ips and hi_ips else 0.0
+        attempts.append((eff, host_eff, out))
+        if eff >= 0.8 and host_eff >= 0.75:
             break
-    return best[1]
+    effs = sorted(a[0] for a in attempts)
+    mid = len(effs) // 2
+    median_eff = (
+        effs[mid] if len(effs) % 2 else (effs[mid - 1] + effs[mid]) / 2
+    )
+    clean = [a for a in attempts if a[1] >= 0.75]
+    best = max(clean or attempts, key=lambda a: a[0])
+    best[2][-1]["attempt_effs"] = [round(a[0], 3) for a in attempts]
+    best[2][-1]["attempt_host_effs"] = [round(a[1], 3) for a in attempts]
+    best[2][-1]["median_attempt_eff"] = round(median_eff, 3)
+    best[2][-1]["control_gated"] = bool(clean)
+    return best[2]
 
 
 def single_throughput() -> dict:
@@ -409,14 +434,21 @@ def write_scaling_report(results: list[dict]) -> str:
         state["scaling_8_32"] = state.pop("scaling")
     key = f"scaling_{lo['cpus']}_{hi['cpus']}"
     prev = state.get(key)
+    # eff_history accumulates EVERY invocation's efficiency (kept or
+    # not) so the keep-best record always shows its selection spread
+    # next to the retained maximum.
+    hist = list((prev or {}).get("eff_history", []))
+    hist.append(round(eff, 3))
     if prev is None or eff > prev.get("efficiency", -1):
         state[key] = {"results": results, "efficiency": round(eff, 3)}
-        _save_state(state)
+    state[key]["eff_history"] = hist
+    _save_state(state)
     _render_baseline_md(state)
     return "BENCH/BASELINE.md"
 
 
-def _render_scaling_section(f, results: list[dict]) -> None:
+def _render_scaling_section(f, results: list[dict],
+                            eff_history=None) -> None:
     lo, hi = results[0], results[-1]
     ratio = hi["cpus"] / lo["cpus"]
     eff = (hi["rows_per_sec"] / max(lo["rows_per_sec"], 1)) / ratio
@@ -456,6 +488,28 @@ def _render_scaling_section(f, results: list[dict]) -> None:
             f"{eff:.3f}** (target ≥ 0.8; efficiency = speedup / core "
             f"ratio).\n"
         )
+        # selection-spread disclosure: the recorded number is keep-best
+        # across noisy-host windows; show every attempt so the max is
+        # never mistaken for a typical draw.
+        if hi.get("attempt_effs"):
+            gate = (
+                "chosen among clean-host-control attempts"
+                if hi.get("control_gated")
+                else "NO attempt had a clean host control; overall best kept"
+            )
+            f.write(
+                f"\nWithin-run attempts (job eff): {hi['attempt_effs']}, "
+                f"host-control eff per attempt: "
+                f"{hi.get('attempt_host_effs')}, median "
+                f"{hi.get('median_attempt_eff')} — {gate}.\n"
+            )
+        if eff_history and len(eff_history) > 1:
+            med = sorted(eff_history)[len(eff_history) // 2]
+            f.write(
+                f"\nKeep-best history across invocations: {eff_history} "
+                f"(median {med}; the table above shows the best "
+                f"clean-window draw).\n"
+            )
         if lo.get("host_control_ips") and hi.get("host_control_ips"):
             host_eff = (hi["host_control_ips"] / lo["host_control_ips"]) / ratio
             if host_eff >= 0.98:
@@ -493,7 +547,9 @@ def _render_baseline_md(state: dict) -> None:
     )
     with open("BENCH/BASELINE.md", "w") as f:
         for k in keys:
-            _render_scaling_section(f, state[k]["results"])
+            _render_scaling_section(
+                f, state[k]["results"], state[k].get("eff_history")
+            )
         if state.get("executors"):
             _render_executor_section(f, state["executors"])
         f.write(INTERPRETATION_MD)

@@ -400,15 +400,41 @@ def compose(
     raise ValueError(f"unknown filter verb {verb!r}")
 
 
-def resolve_filter_arg(arg: str) -> str:
+def resolve_filter_arg(arg: str, probe_paths: bool = True) -> str:
     """The reference's filter-argument convention
     (filter_management_module.cpp:53-66): the ``:f*`` argument is tried
     as a FILE PATH first — if a readable file exists there, the filter
     text is the file's FIRST LINE; otherwise the argument itself is the
     filter text. Lets users keep long filter declarations in files
-    (``:fset /path/to/filter.txt``)."""
+    (``:fset /path/to/filter.txt``).
+
+    Two hardenings over the bare reference behavior (a filter expression
+    that coincidentally names a readable file would otherwise be
+    silently and environment-dependently replaced by that file's first
+    line):
+
+    - ``@/path`` is an EXPLICIT file marker: the rest is always read as
+      a file, and a missing/unreadable file raises instead of being
+      treated as filter text.
+    - when bare-path probing wins, the substitution is logged at INFO so
+      declarative job configs can't swap semantics silently. Declarative
+      callers (JobConfig) pass ``probe_paths=False`` to keep bare
+      probing interactive-frontend-only.
+    """
+    import logging
+
+    if arg.startswith("@"):
+        with open(arg[1:]) as f:
+            return f.readline().rstrip("\n").rstrip("\r")
+    if not probe_paths:
+        return arg
     try:
         with open(arg) as f:
-            return f.readline().rstrip("\n").rstrip("\r")
+            text = f.readline().rstrip("\n").rstrip("\r")
     except OSError:
         return arg
+    logging.getLogger(__name__).info(
+        "filter argument %r resolved as a FILE; using its first line %r "
+        "(use @%s to make this explicit)", arg, text, arg
+    )
+    return text

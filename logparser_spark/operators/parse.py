@@ -338,7 +338,10 @@ def with_global_line_id(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    bucket = (F.col(id_col) / bucket_width).cast("long")
+    # integer `div`, not float division: (id / width).cast("long") goes
+    # through a double, which loses exactness above 2^53 and can assign
+    # a boundary doc to the wrong bucket (silently corrupting ordinals).
+    bucket = F.expr(f"`{id_col}` div {int(bucket_width)}")
     counts = (
         df.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("__n"))

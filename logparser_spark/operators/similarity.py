@@ -162,8 +162,17 @@ def embedding_near_dup_pairs(df, tau: float = 0.9, id_col: str = "vec_id",
     sim = _dot(F.col("__va"), F.col("__vb")) / (
         _norm(F.col("__va")) * _norm(F.col("__vb"))
     )
+    # half-up rounding via floor(x*1e6 + 0.5), NOT F.round: Spark ROUND
+    # is half-up but DuckDB ROUND is banker's half-even, so a decimal
+    # tie in cos_sim would break oracle bit-parity. floor(x*1e6+0.5) is
+    # the identical IEEE-double expression in both engines (the dot
+    # product itself is sequential double arithmetic on both sides), so
+    # equal inputs round identically regardless of tie behavior.
+    rounded = F.floor(sim * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(
+        1_000_000.0
+    )
     return (
-        cand.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        cand.select("id_a", "id_b", rounded.alias("cos_sim"))
         .filter(F.col("cos_sim") >= tau)
         .distinct()
     )

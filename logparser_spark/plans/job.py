@@ -56,12 +56,15 @@ class JobConfig:
         from ..operators.filters import resolve_filter_arg
 
         # each sink filter goes through the reference's argument
-        # convention (:fset <path-or-text>): a readable file path means
-        # "load the filter's first line from that file"
+        # convention (:fset <path-or-text>), but declarative configs use
+        # the EXPLICIT @/path marker only — bare-path probing (an
+        # expression that happens to name a readable file silently
+        # becoming that file's first line) stays interactive-only, so a
+        # job config's semantics can't depend on the filesystem.
         sinks = [
             SinkSpec(
                 s["name"],
-                resolve_filter_arg(s["filter"])
+                resolve_filter_arg(s["filter"], probe_paths=False)
                 if s.get("filter") is not None else None,
                 s.get("accept_bad_format", d.get("accept_bad_format", True)),
             )

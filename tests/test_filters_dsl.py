@@ -271,3 +271,13 @@ def test_resolve_filter_arg_file_vs_text(tmp_path):
     spec = compile_format(DEFAULT_FORMAT)
     f = parse_filter(resolve_filter_arg(str(p)), spec)
     assert f is not None
+    # explicit @/path marker: always a file, missing file raises
+    assert resolve_filter_arg("@" + str(p)) == "Level EQ INFO"
+    with pytest.raises(OSError):
+        resolve_filter_arg("@" + str(tmp_path / "missing"))
+    # declarative mode (probe_paths=False): bare paths are NOT probed —
+    # an expression naming a readable file stays literal; @ still works
+    assert resolve_filter_arg(str(p), probe_paths=False) == str(p)
+    assert resolve_filter_arg("@" + str(p), probe_paths=False) == (
+        "Level EQ INFO"
+    )
