@@ -375,8 +375,16 @@ def q_ngram_jaccard(spark, sf_dir):
     from logparser_spark.operators import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = dedup.lsh_candidate_pairs(docs)
-    return dedup.ngram_jaccard_pairs(docs, pairs)
+    # the shingle explode (~len(text) rows/doc) is the dominant cost of
+    # the near-dup stack at scale — compute it ONCE, persist, and feed
+    # the LSH pipeline AND all three jaccard consumers from it (Spark's
+    # ReusedExchange can't dedupe logically-equal recomputes across
+    # these five subtrees)
+    shingles = dedup.shingle_hashes(docs).persist()
+    pairs = dedup.lsh_candidate_pairs(docs, shingle_df=shingles)
+    return dedup.ngram_jaccard_pairs(
+        docs, pairs, shingle_df=shingles
+    )
 
 
 def q_simhash(spark, sf_dir):
@@ -527,10 +535,13 @@ def _dataprep_sql() -> dict[str, str]:
       WHERE a.doc_id < b.doc_id)"""
 
     sqls["exact_dedup"] = """
-    SELECT md5(text) AS text_md5,
+    SELECT (('0x' || substr(md5(text), 1, 16))::UBIGINT::HUGEINT
+            - 9223372036854775808)::BIGINT AS md5_hi,
+           (('0x' || substr(md5(text), 17, 16))::UBIGINT::HUGEINT
+            - 9223372036854775808)::BIGINT AS md5_lo,
            MIN(doc_id) AS canonical_id,
            COUNT(*)::BIGINT AS n_copies
-    FROM documents GROUP BY 1"""
+    FROM documents GROUP BY 1, 2"""
 
     sqls["minhash_signature"] = f"""WITH {shingle_cte},
     {sig_cte}

@@ -54,22 +54,51 @@ def hash64(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def md5_s64_pair(col):
+    """Full 128-bit md5 of a string column as TWO signed int64 columns
+    (hi = bits 127..64, lo = bits 63..0, each biased by -2^63 into
+    signed range). Exact in both engines: Spark ``conv(hex,16,10)``
+    yields the unsigned decimal string, the DECIMAL(20,0) subtraction is
+    lossless, and DuckDB mirrors it with
+    ``(('0x'||substr(md5(x),1,16))::UBIGINT::HUGEINT
+    - 9223372036854775808)::BIGINT`` (and ``substr(...,17,16)``).
+
+    This is the exact-dedup shuffle key: 16 fixed-width bytes per row
+    instead of a 32-char hex string (+UTF8String overhead) — halves
+    dedup shuffle volume at 10^12 rows and compares as two long ints
+    rather than a byte-string."""
+    from pyspark.sql import functions as F
+
+    md5 = F.md5(col)
+    bias = F.lit("9223372036854775808").cast("decimal(20,0)")
+
+    def s64(hexcol):
+        return (
+            F.conv(hexcol, 16, 10).cast("decimal(20,0)") - bias
+        ).cast("long")
+
+    return s64(F.substring(md5, 1, 16)), s64(F.substring(md5, 17, 16))
+
+
 # ── exact dedup ───────────────────────────────────────────────────────
 
 
 def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id"):
     """Hash-groupBy exact dedup: one row per distinct text with the
     canonical (min) id and the duplicate count. One shuffle keyed by the
-    FULL 128-bit md5 (hex string; DuckDB parity via ``md5(text)``) — at
-    10^12 rows a truncated 60-bit key would silently merge ~10^5 distinct
-    documents (birthday bound), so the full digest is the shuffle key.
-    Never ``dropDuplicates`` on the raw text — the 32-byte digest is what
-    shuffles, not document bodies."""
+    FULL 128-bit md5 split into two signed BIGINTs (``md5_hi``/``md5_lo``,
+    see :func:`md5_s64_pair`) — at 10^12 rows a truncated 60-bit key
+    would silently merge ~10^5 distinct documents (birthday bound), so
+    all 128 bits key the shuffle; and two fixed-width longs (16 bytes)
+    shuffle/compare cheaper than the 32-char hex string. Never
+    ``dropDuplicates`` on the raw text — the digest is what shuffles,
+    not document bodies."""
     from pyspark.sql import functions as F
 
+    hi, lo = md5_s64_pair(F.col(text_col))
     return (
-        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
-        .groupBy("text_md5")
+        df.select(F.col(id_col), hi.alias("md5_hi"), lo.alias("md5_lo"))
+        .groupBy("md5_hi", "md5_lo")
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count(F.lit(1)).alias("n_copies"),
@@ -99,13 +128,21 @@ def shingle_hashes(df, text_col: str = "text", id_col: str = "doc_id",
 
 
 def minhash_signature(df, text_col: str = "text", id_col: str = "doc_id",
-                      k: int = MINHASH_K):
+                      k: int = MINHASH_K, shingle_df=None):
     """Per-doc minhash signature: k columns ``mh0..mh{k-1}``, each
     ``min((a_i * (h % p) + b_i) % p)`` over the doc's shingle set.
-    groupBy gets map-side partial mins for free."""
+    groupBy gets map-side partial mins for free.
+
+    ``shingle_df``: precomputed :func:`shingle_hashes` output. At scale
+    the shingle explode (~len(text) rows/doc) dominates the near-dup
+    stack's cost — compute it ONCE, persist (or write) it, and pass it
+    to every consumer (signatures, sizes, both jaccard join sides)
+    instead of re-deriving it per stage; Spark's ReusedExchange only
+    catches bit-identical subtrees, not logically-equal recomputes."""
     from pyspark.sql import functions as F
 
-    sh = shingle_hashes(df, text_col, id_col)
+    sh = (shingle_df if shingle_df is not None
+          else shingle_hashes(df, text_col, id_col))
     h = F.col("shingle_hash") % MERSENNE31
     aggs = [
         F.min((MINHASH_A[i] * h + MINHASH_B[i]) % MERSENNE31).alias(f"mh{i}")
@@ -118,29 +155,40 @@ def lsh_bands(sig_df, id_col: str = "doc_id", bands: int = 4,
               rows: int = 4):
     """Signature → (id, band_id, band_hash): hash each band of ``rows``
     consecutive signature values. Docs sharing any (band_id, band_hash)
-    bucket are candidate near-dups."""
+    bucket are candidate near-dups.
+
+    Shape note: ONE ``explode(array(struct...))`` over the signature
+    table, NOT a union of per-band selects. The union form lets column
+    pruning push each band's 4-column projection into its own copy of
+    the signature aggregation — canonically different subtrees, so
+    exchange reuse can't dedupe them and the shingle→signature groupBy
+    (the stack's big shuffle) runs ``bands``× per consumer. The explode
+    form keeps a single signature subtree; its exchange is planned once
+    and ReusedExchange-shared across every downstream use."""
     from pyspark.sql import functions as F
 
-    pieces = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows + r}").cast("string")
-                for r in range(rows)]
-        pieces.append(
-            sig_df.select(
-                F.col(id_col),
-                F.lit(b).alias("band_id"),
-                hash64(F.concat_ws("-", *cols)).alias("band_hash"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            hash64(F.concat_ws("-", *[
+                F.col(f"mh{b * rows + r}").cast("string")
+                for r in range(rows)
+            ])).alias("band_hash"),
         )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionAll(p)
-    return out
+        for b in range(bands)
+    ]
+    return (
+        sig_df.select(
+            F.col(id_col), F.explode(F.array(*band_structs)).alias("__bb")
+        )
+        .select(id_col, "__bb.band_id", "__bb.band_hash")
+    )
 
 
 def lsh_candidate_pairs(df, text_col: str = "text", id_col: str = "doc_id",
                         bands: int = 4, rows: int = 4,
-                        max_bucket: int | None = LSH_MAX_BUCKET):
+                        max_bucket: int | None = LSH_MAX_BUCKET,
+                        shingle_df=None):
     """Distinct candidate pairs (id_a < id_b) sharing an LSH bucket.
     The join key is (band_id, band_hash): only same-bucket rows shuffle
     together — the whole point of LSH at 10^12 docs. Skewed buckets
@@ -152,7 +200,8 @@ def lsh_candidate_pairs(df, text_col: str = "text", id_col: str = "doc_id",
     from pyspark.sql import functions as F
 
     bands_df = lsh_bands(
-        minhash_signature(df, text_col, id_col), id_col, bands, rows
+        minhash_signature(df, text_col, id_col, shingle_df=shingle_df),
+        id_col, bands, rows,
     )
     if max_bucket is not None:
         ok = (
@@ -179,13 +228,19 @@ def lsh_candidate_pairs(df, text_col: str = "text", id_col: str = "doc_id",
 
 
 def ngram_jaccard_pairs(df, pairs_df, text_col: str = "text",
-                        id_col: str = "doc_id"):
+                        id_col: str = "doc_id", shingle_df=None):
     """Exact n-gram Jaccard similarity for given candidate pairs:
     |A ∩ B| / |A ∪ B| over distinct shingle-hash sets. Joins shingles
-    only for candidate ids (semi-join pushdown), never all-pairs."""
+    only for candidate ids (semi-join pushdown), never all-pairs.
+
+    Pass a persisted ``shingle_df`` (see :func:`minhash_signature`) so
+    the shingle explode — the stack's dominant cost at 100 TB — is
+    computed once for ``sa``, ``sb``, ``sizes`` AND the caller's LSH
+    pipeline, instead of up to 3x here plus once upstream."""
     from pyspark.sql import functions as F
 
-    sh = shingle_hashes(df, text_col, id_col)
+    sh = (shingle_df if shingle_df is not None
+          else shingle_hashes(df, text_col, id_col))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle_hash")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle_hash")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -250,13 +305,14 @@ def simhash(df, text_col: str = "text", id_col: str = "doc_id",
 
 
 def doc_fingerprint(df, text_col: str = "text", id_col: str = "doc_id",
-                    k: int = FINGERPRINT_K):
+                    k: int = FINGERPRINT_K, shingle_df=None):
     """Bottom-k sketch: k salted minima over the doc's shingle-hash set
     (columns ``fp0..fp{k-1}``). Equal sketches ⇒ near-identical content;
     the streaming-friendly cousin of winnowing fingerprints."""
     from pyspark.sql import functions as F
 
-    sh = shingle_hashes(df, text_col, id_col)
+    sh = (shingle_df if shingle_df is not None
+          else shingle_hashes(df, text_col, id_col))
     h = F.col("shingle_hash") % MERSENNE31
     aggs = [
         F.min((MINHASH_A[i] * h + 17 * (i + 1)) % MERSENNE31).alias(f"fp{i}")

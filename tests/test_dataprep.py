@@ -76,7 +76,17 @@ def test_exact_dedup_key_is_full_digest(spark):
     out = dedup.exact_dedup(df).collect()
     assert len(out) == 2
     assert all(r["n_copies"] == 1 for r in out)
-    assert all(len(r["text_md5"]) == 32 for r in out)
+    # the (md5_hi, md5_lo) BIGINT pair covers ALL 128 digest bits:
+    # un-biasing and recombining the two longs reconstructs the exact
+    # md5 integer of each text (so no prefix/suffix bits are dropped by
+    # the fixed-width shuffle key)
+    texts = {0: a, 1: b}
+    for r in out:
+        full = ((r["md5_hi"] + 2**63) << 64) | (r["md5_lo"] + 2**63)
+        expect = int(
+            hashlib.md5(texts[r["canonical_id"]].encode()).hexdigest(), 16
+        )
+        assert full == expect
 
 
 def test_lsh_bucket_cap_bounds_degenerate_bucket(spark):
