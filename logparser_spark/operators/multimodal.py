@@ -2,13 +2,16 @@
 metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 IMAGE metadata is REAL: PNG/GIF/JPEG/BMP dimensions are parsed straight
-from the header bytes with ``struct`` — no imaging library needed.
-AUDIO decode and VIDEO frame extraction remain STUBBED (soundfile/ffmpeg
-are not available in this environment): each stub either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-derived from the bytes, so pipelines exercise the exact dataflow a real
-decoder would see — one binary column in, a struct of typed features
-out, Arrow batches end to end, no driver collect.
+from the header bytes with ``struct``. AUDIO metadata is REAL for WAV,
+FLAC (STREAMINFO) and MP3 (frame-header walk) — no codec library
+needed for header-level rate/channels/bits/sample counts. Full sample
+DECODE of compressed audio and VIDEO frame extraction remain STUBBED
+(soundfile/ffmpeg are not available in this environment): each stub
+either raises ``NotImplementedError`` (strict mode) or produces a
+deterministic fake derived from the bytes, so pipelines exercise the
+exact dataflow a real decoder would see — one binary column in, a
+struct of typed features out, Arrow batches end to end, no driver
+collect.
 
 ``decode_html`` is NOT a stub: pages.html really is UTF-8 HTML and is
 decoded/stripped with Catalyst expressions only.
@@ -144,29 +147,119 @@ def synth_png(df, id_col: str = "doc_id", out_col: str = "img",
     return df.select(*keep).mapInPandas(fn, schema)
 
 
+# MPEG audio frame-header tables (Layer III only — the overwhelmingly
+# common case in crawls). Bitrate in kbps, indexed by the 4-bit field;
+# index 0 = "free" and 15 = invalid (both rejected).
+_MP3_BITRATE_V1 = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                   224, 256, 320, None)
+_MP3_BITRATE_V2 = (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                   144, 160, None)
+# sample-rate table keyed by the 2-bit version field (0=MPEG2.5, 2=MPEG2,
+# 3=MPEG1; 1 is reserved)
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_frame(b: bytes, i: int) -> Optional[tuple[int, int, int, int]]:
+    """Parse one MPEG Layer III frame header at offset ``i``:
+    (sample_rate, channels, samples_per_frame, frame_length_bytes), or
+    None if no valid frame starts there."""
+    if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+        return None
+    version = (b[i + 1] >> 3) & 0x3
+    layer = (b[i + 1] >> 1) & 0x3
+    if version == 1 or layer != 0x1:  # reserved version / not Layer III
+        return None
+    br_idx = (b[i + 2] >> 4) & 0xF
+    sr_idx = (b[i + 2] >> 2) & 0x3
+    if sr_idx == 3:
+        return None
+    bitrate = (_MP3_BITRATE_V1 if version == 3 else _MP3_BITRATE_V2)[br_idx]
+    if bitrate is None:
+        return None
+    rate = _MP3_RATES[version][sr_idx]
+    padding = (b[i + 2] >> 1) & 0x1
+    channels = 1 if ((b[i + 3] >> 6) & 0x3) == 0x3 else 2
+    spf = 1152 if version == 3 else 576  # Layer III samples per frame
+    frame_len = (spf // 8 * bitrate * 1000) // rate + padding
+    return rate, channels, spf, frame_len
+
+
 def audio_dims(b: bytes) -> Optional[tuple]:
     """(format, sample_rate, channels, bits_per_sample, n_samples) from
-    raw header bytes, or None. WAV (RIFF/WAVE fmt + data chunks) is
-    parsed for REAL with ``struct`` — no audio library. Compressed
-    formats (mp3/ogg/flac) genuinely need a codec library and return
-    None here (``strict`` mode in audio_metadata raises for them)."""
-    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+    raw header bytes, or None. Parsed for REAL with ``struct``/bit math
+    — no audio library:
+
+    - WAV: RIFF/WAVE ``fmt `` + ``data`` chunks.
+    - FLAC: the mandatory STREAMINFO metadata block (rate/channels/bits/
+      total samples live in a packed 64-bit field).
+    - MP3: MPEG Layer III frame headers (optionally behind an ID3v2
+      tag); rate/channels from the first frame, n_samples by walking
+      CBR/VBR frame lengths; bits_per_sample is null (lossy format).
+
+    Full sample DECODE of compressed audio still needs a codec library
+    (``strict`` mode in audio_metadata raises where that call belongs).
+    """
+    # ── WAV ──
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i = 12
+        rate = ch = bits = None
+        n_samples = None
+        while i + 8 <= len(b):
+            tag = b[i:i + 4]
+            size = struct.unpack("<I", b[i + 4:i + 8])[0]
+            if tag == b"fmt " and i + 24 <= len(b):
+                ch, rate = struct.unpack("<HI", b[i + 10:i + 16])
+                bits = struct.unpack("<H", b[i + 22:i + 24])[0]
+            elif tag == b"data" and ch and bits:
+                n_samples = size // max(ch * (bits // 8), 1)
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if rate is None:
+            return None
+        return "wav", rate, ch, bits, n_samples
+    # ── FLAC: walk metadata blocks to STREAMINFO (type 0, 34 bytes) ──
+    if len(b) >= 8 and b[:4] == b"fLaC":
+        i = 4
+        while i + 4 <= len(b):
+            hdr = b[i]
+            blen = int.from_bytes(b[i + 1:i + 4], "big")
+            if (hdr & 0x7F) == 0 and i + 4 + 34 <= len(b):
+                si = b[i + 4:i + 38]
+                # bytes 10..17: 20-bit rate, 3-bit ch-1, 5-bit bps-1,
+                # 36-bit total samples (0 = unknown)
+                v = int.from_bytes(si[10:18], "big")
+                rate = v >> 44
+                if rate == 0:
+                    return None
+                n = v & ((1 << 36) - 1)
+                return ("flac", rate, ((v >> 41) & 0x7) + 1,
+                        ((v >> 36) & 0x1F) + 1, n if n else None)
+            if hdr & 0x80:  # last-metadata-block flag
+                break
+            i += 4 + blen
         return None
-    i = 12
-    rate = ch = bits = None
-    n_samples = None
-    while i + 8 <= len(b):
-        tag = b[i:i + 4]
-        size = struct.unpack("<I", b[i + 4:i + 8])[0]
-        if tag == b"fmt " and i + 24 <= len(b):
-            ch, rate = struct.unpack("<HI", b[i + 10:i + 16])
-            bits = struct.unpack("<H", b[i + 22:i + 24])[0]
-        elif tag == b"data" and ch and bits:
-            n_samples = size // max(ch * (bits // 8), 1)
-        i += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None:
-        return None
-    return "wav", rate, ch, bits, n_samples
+    # ── MP3: optional ID3v2 tag, then MPEG Layer III frames ──
+    i = 0
+    if len(b) >= 10 and b[:3] == b"ID3":
+        size = 0
+        for x in b[6:10]:  # syncsafe 28-bit size
+            size = (size << 7) | (x & 0x7F)
+        i = 10 + size
+    first = _mp3_frame(b, i)
+    if first is not None:
+        rate, ch, spf, _ = first
+        n_frames = 0
+        while True:
+            fr = _mp3_frame(b, i)
+            if fr is None:
+                break
+            n_frames += 1
+            i += fr[3]
+        return "mp3", rate, ch, None, n_frames * spf
+    return None
 
 
 def make_wav(sample_rate: int, n_samples: int, channels: int = 1,
@@ -183,13 +276,47 @@ def make_wav(sample_rate: int, n_samples: int, channels: int = 1,
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+def make_flac(sample_rate: int, n_samples: int, channels: int = 1,
+              bits: int = 16) -> bytes:
+    """A minimal valid FLAC header (magic + STREAMINFO, no frames) —
+    deterministic test feed for the real STREAMINFO parser."""
+    v = ((sample_rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36)
+         | (n_samples & ((1 << 36) - 1)))
+    si = (struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+          + v.to_bytes(8, "big") + b"\x00" * 16)
+    assert len(si) == 34
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si
+
+
+def make_mp3(sample_rate: int = 44100, n_frames: int = 4,
+             channels: int = 1, bitrate_kbps: int = 128,
+             id3: bool = False) -> bytes:
+    """Minimal valid CBR MPEG1 Layer III byte stream (silence payloads,
+    optional empty ID3v2 tag) — deterministic test feed for the real
+    frame-header walker. sample_rate must be one of 44100/48000/32000."""
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    br_idx = _MP3_BITRATE_V1.index(bitrate_kbps)
+    frame_len = (1152 // 8 * bitrate_kbps * 1000) // sample_rate
+    hdr = bytes([
+        0xFF, 0xFB,  # sync + MPEG1 + Layer III + no CRC
+        (br_idx << 4) | (sr_idx << 2),
+        0xC0 if channels == 1 else 0x00,
+    ])
+    frame = hdr + b"\x00" * (frame_len - 4)
+    out = b""
+    if id3:
+        out += b"ID3\x04\x00\x00\x00\x00\x00\x00"  # empty ID3v2.4 tag
+    return out + frame * n_frames
+
+
 def audio_metadata(df, binary_col: str = "html", id_col: str = "doc_id",
                    strict: bool = False):
     """mapInPandas stage: binary column → typed audio metadata struct.
-    WAV headers are decoded for REAL (``audio_dims``); compressed
-    formats need soundfile/ffmpeg (unavailable here) — ``strict=True``
-    raises exactly where that codec call belongs, otherwise they yield
-    null metadata."""
+    WAV, FLAC STREAMINFO, and MP3 frame headers are decoded for REAL
+    (``audio_dims``); full sample decode of compressed audio needs
+    soundfile/ffmpeg (unavailable here) — ``strict=True`` raises exactly
+    where that codec call belongs for payloads no header parser
+    recognizes, otherwise they yield null metadata."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

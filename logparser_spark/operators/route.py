@@ -105,6 +105,12 @@ def route(parsed_df, sinks: list[SinkSpec], spec: FormatSpec,
 
     Persists the parsed DF (MEMORY_AND_DISK) so the parse UDF runs exactly
     once across all sinks; caller owns unpersist via the returned handle.
+
+    SMALL-N ONLY: persisting the full parse output is not viable at
+    10^12 rows. At that scale use :func:`write_routes_single_pass`
+    (one streamed pass, no persist) for writers, or
+    :func:`route_mask` / ``aggregate.sink_count_frame`` when the sinks
+    feed aggregates.
     """
     if persist:
         from pyspark.storagelevel import StorageLevel
@@ -120,9 +126,73 @@ def write_routes(routes: dict, base_path: str, fmt: str = "parquet",
                  mode: str = "overwrite", partition_by: Optional[list] = None):
     """Write each routed view to ``{base_path}/{name}``. Parquet locally;
     on a real cluster pass fmt='iceberg' table identifiers instead (the
-    sink abstraction in sources/sinks.py)."""
+    sink abstraction in sources/sinks.py).
+
+    Scale note: this is the SMALL-N strategy — it scans the persisted
+    parse output once per sink, and :func:`route`'s persist of the full
+    parse output is not viable at 10^12 rows. For large N (or any time
+    the parse output can't be cached) use
+    :func:`write_routes_single_pass`, which streams every row
+    source→parse→explode→writer exactly once."""
     for name, df in routes.items():
         w = df.write.format(fmt).mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.save(f"{base_path}/{name}")
+
+
+def routed_sink_ids(sinks: list[SinkSpec], spec: FormatSpec,
+                    parsed_col: str = "parsed"):
+    """Array column of the sink names whose predicate accepts the row
+    (empty array = row routes nowhere)."""
+    from pyspark.sql import functions as F
+
+    return F.array_compact(F.array(*[
+        F.when(sink_column(s, spec, parsed_col), F.lit(s.name))
+        for s in sinks
+    ]))
+
+
+def write_routes_single_pass(parsed_df, sinks: list[SinkSpec],
+                             spec: FormatSpec, base_path: str,
+                             fmt: str = "parquet", mode: str = "overwrite",
+                             parsed_col: str = "parsed"):
+    """Large-N fan-out writer (SURVEY §4 custom item 3's
+    route_mask+explode shape): ONE scan of the parse output, every sink
+    predicate evaluated in a single projection, each row exploded to its
+    matching sink names, one write dynamic-partitioned by ``sink``.
+
+    Layout: ``{base_path}/sink=<name>/part-*`` — per-sink reads are
+    single-directory scans via partition pruning
+    (:func:`read_routed_sink`).
+
+    Why this exists: :func:`route` + :func:`write_routes` persist the
+    full parse output and scan it N times — fine for N=7 at bench scale,
+    impossible at 10^12 rows (nothing that size fits a cache tier, and N
+    re-scans of cold parquet re-pay the IO N times). Here rows flow
+    source→parse→explode→writer exactly once; a row matching k sinks is
+    duplicated k times AT THE WRITER ONLY — the same total output bytes
+    ``write_routes`` produces, without persisting or re-scanning the
+    input. Rows matching no sink are dropped by the explode (no
+    pass-through cost)."""
+    from pyspark.sql import functions as F
+
+    out = parsed_df.withColumn(
+        "sink", F.explode(routed_sink_ids(sinks, spec, parsed_col))
+    )
+    out.write.format(fmt).mode(mode).partitionBy("sink").save(base_path)
+    return base_path
+
+
+def read_routed_sink(spark, base_path: str, name: str,
+                     fmt: str = "parquet"):
+    """Read one sink's rows from a :func:`write_routes_single_pass`
+    layout; the ``sink = name`` filter prunes to one partition
+    directory, so this scans only that sink's files."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.format(fmt).load(base_path)
+        .filter(F.col("sink") == name)
+        .drop("sink")
+    )

@@ -339,17 +339,40 @@ def test_image_metadata_real_decode(spark):
     for r in multimodal.image_metadata(pages).collect():
         assert r["format"] is None and r["width"] is None
 
-    # WAV headers decode for REAL; compressed formats stay strict-stubbed
+    # WAV/FLAC/MP3 headers decode for REAL; sample decode stays stubbed
     wav = multimodal.make_wav(44100, 2_000, channels=2, bits=16)
     assert multimodal.audio_dims(wav) == ("wav", 44100, 2, 16, 2_000)
     assert multimodal.audio_dims(b"ID3\x03mp3data") is None
+
+    flac = multimodal.make_flac(48000, 123_456, channels=2, bits=24)
+    assert multimodal.audio_dims(flac) == ("flac", 48000, 2, 24, 123_456)
+    # unknown total-samples (0) reads as null, not 0
+    assert multimodal.audio_dims(
+        multimodal.make_flac(8000, 0)
+    ) == ("flac", 8000, 1, 16, None)
+
+    # MP3: 4 CBR MPEG1 LayerIII frames = 4*1152 samples; ID3v2 skipped;
+    # stereo + MPEG2 (576 spf) variants exercise both table branches
+    mp3 = multimodal.make_mp3(44100, n_frames=4, channels=1)
+    assert multimodal.audio_dims(mp3) == ("mp3", 44100, 1, None, 4 * 1152)
+    mp3s = multimodal.make_mp3(32000, n_frames=2, channels=2, id3=True)
+    assert multimodal.audio_dims(mp3s) == ("mp3", 32000, 2, None, 2 * 1152)
+    # truncated garbage after a valid sync byte -> rejected
+    assert multimodal.audio_dims(b"\xff\xfb") is None
+
     wdf = spark.createDataFrame(
-        [(1, bytearray(wav))], "doc_id LONG, snd BINARY"
+        [(1, bytearray(wav)), (2, bytearray(flac)), (3, bytearray(mp3))],
+        "doc_id LONG, snd BINARY",
     )
-    w = multimodal.audio_metadata(wdf, binary_col="snd").collect()[0]
+    got = {r["doc_id"]: r for r in
+           multimodal.audio_metadata(wdf, binary_col="snd").collect()}
+    w = got[1]
     assert (w["format"], w["sample_rate"], w["channels"],
             w["bits_per_sample"], w["n_samples"]) == ("wav", 44100, 2, 16,
                                                       2_000)
+    assert (got[2]["format"], got[2]["n_samples"]) == ("flac", 123_456)
+    assert (got[3]["format"], got[3]["sample_rate"],
+            got[3]["n_samples"]) == ("mp3", 44100, 4608)
     with pytest.raises(Exception) as exc:
         multimodal.audio_metadata(pages, strict=True).collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(

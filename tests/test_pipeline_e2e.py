@@ -150,6 +150,50 @@ class TestRouting:
                     if (r["route_bits"] >> i) & 1}
             assert bits == want, f"bitmask {sink.name}"
 
+    def test_single_pass_writer_matches_route(self, parsed_df, spark,
+                                              tmp_path):
+        """write_routes_single_pass: per-sink row sets identical to
+        route()'s for all 7 fixture sinks, from ONE scan of the input —
+        no persist, no per-sink re-scan (the large-N shape; SURVEY §4
+        custom item 3)."""
+        from logparser_spark.operators.route import (
+            read_routed_sink,
+            routed_sink_ids,
+            write_routes_single_pass,
+        )
+
+        base = str(tmp_path / "routed")
+        write_routes_single_pass(parsed_df, fixture_sinks(), SPEC, base)
+        for sink in fixture_sinks():
+            got = {
+                (r["doc_id"], r["line_no"])
+                for r in read_routed_sink(spark, base, sink.name)
+                .select("doc_id", "line_no").collect()
+            }
+            assert got == oracle_routed(sink), sink.name
+
+        # plan shape: the exploded write input scans its source ONCE and
+        # parses once — N sinks never multiply the scan or the Python
+        # stage (contrast: route() persists + N filtered scans)
+        from pyspark.sql import functions as F
+
+        out = parsed_df.withColumn(
+            "sink", F.explode(routed_sink_ids(fixture_sinks(), SPEC))
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("FileScan")
+        n_py = (plan.count("ArrowEvalPython") + plan.count("MapInArrow")
+                + plan.count("MapInPandas"))
+        assert n_scans == 1, plan
+        assert n_py <= 1, plan
+        assert "InMemoryTableScan" not in plan
+
+        # per-sink reads prune to the one sink=<name> directory
+        files = read_routed_sink(spark, base, "sink_info").select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+        assert files and all("sink=sink_info" in r["f"] for r in files)
+
 
 class TestAggregates:
     def test_level_histogram(self, parsed_df):
