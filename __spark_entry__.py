@@ -966,6 +966,52 @@ def _route_rows_for(spark, sf_dir, sink):
 
 
 NCHAR_FORMAT = "{STR:Tag,4}:{CHR:,-,1}{INT:Num}"
+UTF8_NCHAR_FORMAT = "{STR:Head,6}{STR:Rest}"
+
+
+def q_parse_nchar_utf8(spark, sf_dir):
+    """BYTE-semantics NCHAR over multi-byte UTF-8 (reference parity:
+    parsing_basics.cpp walks char*, so NCHAR counts BYTES). Three line
+    families per doc_id % 3:
+
+    - 0: 'héllo wörld-<id>' — 'héllo' is exactly 6 bytes (5 codepoints),
+      so byte mode captures Head='héllo' where codepoint mode would
+      swallow the space; exercises the walker's native byte path.
+    - 1: 'zzzzzé<id>' — the 6-byte boundary SPLITS é; the capture
+      carries U+FFFD for each orphan byte (documented stand-in for raw
+      split bytes a UTF-8 column cannot hold); exercises the byte
+      oracle via the walker's split detection.
+    - 2: 'ascii-<id>' — pure ASCII, decided by the RE2 fast tier
+      (byte == codepoint there).
+
+    The DuckDB oracle predicts every value arithmetically from the
+    construction rule (byte semantics are not expressible in DuckDB's
+    codepoint string functions)."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.functions.formats import compile_format
+    from logparser_spark.operators.parse import parse_lines
+
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    fam = F.col("doc_id") % 3
+    lines = docs.select(
+        "doc_id",
+        F.when(fam == 0,
+               F.concat(F.lit("héllo wörld-"), F.col("doc_id")))
+        .when(fam == 1, F.concat(F.lit("zzzzzé"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("ascii-"), F.col("doc_id")))
+        .alias("raw_line"),
+    )
+    spec = compile_format(UTF8_NCHAR_FORMAT, name="utf8_nchar")
+    parsed = parse_lines(lines, spec, with_matched_format=False,
+                         byte_mode=True)
+    return parsed.select(
+        "doc_id",
+        F.col("parsed.Head").alias("head"),
+        F.col("parsed.Rest").alias("rest"),
+        F.col("parsed.well_formed").alias("well_formed"),
+    )
 
 
 def q_parse_nchar_spec(spark, sf_dir):
@@ -1083,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_dbl_spec": q_parse_dbl_spec,
         "crlf_identity": q_crlf_identity,
         "parse_nchar_spec": q_parse_nchar_spec,
+        "parse_nchar_utf8": q_parse_nchar_utf8,
         "route_raw_contains": q_route_raw_contains,
         "route_ew_rows": q_route_ew_rows,
         "route_nor_rows": q_route_nor_rows,
@@ -1288,6 +1335,19 @@ def oracle_sql() -> dict[str, str]:
     sqls["route_nor_rows"] = f"""{_prelude()}
     SELECT doc_id, line_no, level, f_time, mesg FROM parsed
     WHERE {_accept("NOT (level = 'TRACE' OR f_time < 85353)")}"""
+
+    sqls["parse_nchar_utf8"] = """
+    SELECT doc_id,
+      CASE doc_id % 3
+        WHEN 0 THEN 'héllo'
+        WHEN 1 THEN 'zzzzz' || chr(65533)
+        ELSE 'ascii-' END AS head,
+      CASE doc_id % 3
+        WHEN 0 THEN ' wörld-' || doc_id::VARCHAR
+        WHEN 1 THEN chr(65533) || doc_id::VARCHAR
+        ELSE doc_id::VARCHAR END AS rest,
+      true AS well_formed
+    FROM documents"""
 
     sqls["parse_nchar_spec"] = """
     WITH raw AS (

@@ -362,6 +362,36 @@ class FormatSpec:
                 frags.append(f"[{re.escape(WS_NO_NEWLINE)}]{arity}")
         return "^" + "".join(frags) + "$"
 
+    def byte_sensitive(self) -> bool:
+        """True iff byte-mode and codepoint-mode parsing can DIFFER for
+        this spec on valid UTF-8 input.
+
+        The reference walks raw bytes (``parsing_basics.cpp:41-69``
+        operates on ``char*``); this engine's default contract counts
+        codepoints. The two are PROVABLY identical whenever every
+        position-sensitive comparison involves only ASCII: UTF-8
+        continuation/lead bytes are all >= 0x80 and can never equal an
+        ASCII stop/target/digit/whitespace byte, and byte offsets map
+        1:1 monotonically onto codepoint offsets, so INT / DBL / WS /
+        CHR(ascii) / STR-DELIM(ascii) / STR-ANY_WS consume the same TEXT
+        either way. Divergence needs one of:
+
+        - an ``NCHAR`` STR field with n > 0 (counts bytes vs codepoints);
+        - a CHR target or STR delimiter outside ASCII (the reference
+          compiler would have read a single BYTE of its multi-byte
+          encoding there).
+        """
+        for f in self.fields:
+            if (f.ftype == FieldType.STR and f.stop == StrStop.NCHAR
+                    and f.nchar > 0):
+                return True
+            if f.ftype == FieldType.CHR and f.target and ord(f.target) > 127:
+                return True
+            if (f.ftype == FieldType.STR and f.stop == StrStop.DELIM
+                    and f.delim != "\0" and ord(f.delim) > 127):
+                return True
+        return False
+
     def spark_schema(self):
         """StructType for the parsed struct (imported lazily; this module
         stays importable without a JVM for the pure-Python oracle tests)."""

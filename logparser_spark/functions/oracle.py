@@ -179,6 +179,46 @@ def parse_line(line: str, spec: FormatSpec) -> tuple[list, bool]:
     return values, True
 
 
+def parse_line_bytes(line, spec: FormatSpec) -> tuple[list, bool]:
+    """BYTE-semantics parse — the reference's exact contract
+    (``parsing_basics.cpp:41-69`` walks ``char*``, so NCHAR counts
+    BYTES, not codepoints). Accepts ``bytes`` or ``str`` (encoded UTF-8
+    first).
+
+    Implementation: the latin-1 trick. Decoding bytes as latin-1 maps
+    every byte to exactly one codepoint (0x00-0xFF), so running the
+    codepoint walker on that string IS the byte walker — every cursor
+    comparison against ASCII digits/whitespace/targets behaves
+    identically (continuation bytes >= 0x80 never equal them), and NCHAR
+    counts bytes. Captured STR/CHR values are then re-encoded latin-1
+    (recovering the raw bytes) and decoded UTF-8 with ``replace``: a
+    capture whose NCHAR boundary split a multi-byte sequence carries
+    U+FFFD where the reference would emit the raw split bytes — which a
+    UTF-8 string column cannot represent; the replacement char is the
+    deterministic stand-in (documented contract).
+
+    For pure-ASCII input this returns exactly what :func:`parse_line`
+    returns; for specs where ``FormatSpec.byte_sensitive()`` is False
+    the two agree on ANY valid-UTF-8 input (see that docstring's proof
+    sketch). Non-ASCII CHR targets / STR delimiters are rejected: the
+    reference compiler reads single BYTES there, so such specs already
+    compile differently and have no meaningful parity."""
+    for f in spec.fields:
+        if f.ftype == FieldType.CHR and f.target and ord(f.target) > 127:
+            raise ValueError("byte-mode needs ASCII CHR targets")
+        if (f.ftype == FieldType.STR and f.stop == StrStop.DELIM
+                and f.delim != "\0" and ord(f.delim) > 127):
+            raise ValueError("byte-mode needs ASCII STR delimiters")
+    b = line.encode("utf-8") if isinstance(line, str) else bytes(line)
+    values, wf = parse_line(b.decode("latin-1"), spec)
+    out = [
+        v.encode("latin-1").decode("utf-8", errors="replace")
+        if isinstance(v, str) else v
+        for v in values
+    ]
+    return out, wf
+
+
 def split_lines(text: str) -> list[str]:
     """Split a document payload into lines the way the reference reads a
     file: split on ``\\n``, then strip exactly one trailing ``\\r`` from each

@@ -26,9 +26,18 @@ strip) and downstream (filters, joins, aggregates) is pure Catalyst, so
 predicate pushdown and whole-stage codegen are unaffected. The Python
 worker cost is one C-regex pass per batch; fallback rows are O(malformed).
 
-Unicode caveat: the reference parses raw bytes; we parse Python ``str``
-codepoints. For ASCII payloads (the mandated fixtures) these agree
-byte-for-byte; NCHAR counts would differ on multi-byte UTF-8.
+Unicode contract: the reference parses raw BYTES (``parsing_basics.cpp``
+walks ``char*``); the default mode here counts codepoints — the two are
+provably identical for any spec where ``FormatSpec.byte_sensitive()`` is
+False (all stops/targets ASCII, no NCHAR — continuation bytes never
+collide with ASCII comparisons), which covers the crawl pipeline's
+formats. For byte-sensitive specs, ``byte_mode=True`` gives exact
+reference parity on multi-byte UTF-8: the RE2 fast tier decides only
+pure-ASCII rows (byte == codepoint there), the NumPy walker — which
+already advances over raw UTF-8 bytes — handles the rest vectorized,
+and only captures whose NCHAR boundary splits a codepoint fall to
+``oracle.parse_line_bytes`` (whose U+FFFD replacement stands in for raw
+split bytes a UTF-8 column cannot carry).
 """
 
 from __future__ import annotations
@@ -138,20 +147,27 @@ def _batch_parse_fast(lines: pd.Series, spec: FormatSpec, fast_rx: str,
     return result, valid_np
 
 
-def _batch_parse(lines: pd.Series, spec: FormatSpec) -> pd.DataFrame:
+def _batch_parse(lines: pd.Series, spec: FormatSpec,
+                 byte_mode: bool = False) -> pd.DataFrame:
     """Parse one Arrow batch: tier-1 pyarrow flat regex, then the nested
     regex + walker on the remainder."""
     s = lines.astype("object")
     fast_rx, unset_suffix = _fast_plan(spec)
     if fast_rx is None:
-        return _batch_parse_nested(s, spec)
+        return _batch_parse_nested(s, spec, byte_mode=byte_mode)
 
     result, decided = _batch_parse_fast(s, spec, fast_rx, unset_suffix)
+    if byte_mode and spec.byte_sensitive():
+        # fast tier counts codepoints; only pure-ASCII rows are decided
+        nonascii = s.map(
+            lambda x: isinstance(x, str) and not x.isascii()
+        ).to_numpy(dtype=bool)
+        decided = decided & ~nonascii
     if decided.all():
         result["well_formed"] = True
         return result
     rest_idx = s.index[~decided]
-    rest = _batch_parse_nested(s.loc[rest_idx], spec)
+    rest = _batch_parse_nested(s.loc[rest_idx], spec, byte_mode=byte_mode)
     result["well_formed"] = pd.Series(decided, index=s.index, dtype=bool)
     if len(rest_idx):
         cols = spec.column_names()
@@ -168,9 +184,13 @@ def _batch_parse(lines: pd.Series, spec: FormatSpec) -> pd.DataFrame:
     return result
 
 
-def _batch_parse_nested(lines: pd.Series, spec: FormatSpec) -> pd.DataFrame:
+def _batch_parse_nested(lines: pd.Series, spec: FormatSpec,
+                        byte_mode: bool = False) -> pd.DataFrame:
     """Tiers 2+3: anchored possessive Python regex via str.extract, walker
-    on the rows it rejects/flags. Exact for every spec."""
+    on the rows it rejects/flags. Exact for every spec.
+
+    In byte_mode on a byte-sensitive spec, non-ASCII rows go straight to
+    the byte oracle (the Python regex counts codepoints)."""
     pattern = re.compile(spec.to_regex())
     cols = spec.column_names()
     out_fields = spec.output_fields()
@@ -185,6 +205,10 @@ def _batch_parse_nested(lines: pd.Series, spec: FormatSpec) -> pd.DataFrame:
     #  - regex failed (walker can still succeed: sign/ws-led numbers);
     #  - any DBL capture in the atof-divergence set (see to_regex docstring).
     fallback = ~matched
+    if byte_mode and spec.byte_sensitive():
+        fallback |= s.map(
+            lambda x: isinstance(x, str) and not x.isascii()
+        ).astype(bool)
     for k, (i, f) in enumerate(out_fields):
         if f.ftype == FieldType.INT:
             # int64 saturation contract: >18-digit captures go to the
@@ -224,11 +248,17 @@ def _batch_parse_nested(lines: pd.Series, spec: FormatSpec) -> pd.DataFrame:
     well = matched & ~null_line
 
     if fallback.any():
+        from ..functions.oracle import parse_line_bytes
+
+        oracle_fn = (
+            parse_line_bytes if byte_mode and spec.byte_sensitive()
+            else oracle_parse_line
+        )
         fb_idx = s.index[fallback]
         fb_vals: dict[str, list] = {c: [] for c in cols}
         fb_wf = []
         for raw in s.loc[fb_idx]:
-            values, wf = oracle_parse_line(raw, spec)
+            values, wf = oracle_fn(raw, spec)
             fb_wf.append(wf)
             for k, v in enumerate(values):
                 fb_vals[cols[k]].append(v)
@@ -252,7 +282,7 @@ def _batch_parse_nested(lines: pd.Series, spec: FormatSpec) -> pd.DataFrame:
     return result
 
 
-def make_parse_udf(spec: FormatSpec):
+def make_parse_udf(spec: FormatSpec, byte_mode: bool = False):
     """Build the pandas UDF ``string -> struct<fields..., well_formed>``.
 
     The compiled spec travels to executors via closure capture (the Spark
@@ -264,7 +294,7 @@ def make_parse_udf(spec: FormatSpec):
 
     @pandas_udf(schema)
     def parse(lines: pd.Series) -> pd.DataFrame:
-        return _batch_parse(lines, spec)
+        return _batch_parse(lines, spec, byte_mode=byte_mode)
 
     # The parse IS deterministic; the marker is an optimizer fence.
     # Without it, predicate pushdown substitutes the UDF expression into
@@ -381,6 +411,7 @@ def parse_lines(
     line_col: str = "raw_line",
     out_col: str = "parsed",
     with_matched_format: bool = True,
+    byte_mode: bool = False,
 ):
     """Attach the parsed struct (and the ``matched_format`` tag used by the
     per-format aggregate counts).
@@ -388,13 +419,20 @@ def parse_lines(
     Picks the Arrow-native mapInArrow path automatically when the spec has
     a provably-sound flat regex (~0.5-0.8M rows/s/core); falls back to the
     pandas-UDF nested-regex path otherwise (DBL fields, ambiguous specs).
+
+    ``byte_mode=True`` selects the reference's exact BYTE semantics
+    (NCHAR counts bytes; see the module docstring's Unicode contract) —
+    a no-op for specs where ``byte_sensitive()`` is False.
     """
     from pyspark.sql import functions as F
 
     if spec.to_fast_regex() is not None:
-        out = parse_lines_arrow(df, spec, line_col=line_col, out_col=out_col)
+        out = parse_lines_arrow(
+            df, spec, line_col=line_col, out_col=out_col,
+            byte_mode=byte_mode,
+        )
     else:
-        udf = make_parse_udf(spec)
+        udf = make_parse_udf(spec, byte_mode=byte_mode)
         out = df.withColumn(out_col, udf(F.col(line_col)))
     if with_matched_format:
         out = out.withColumn(
@@ -407,17 +445,29 @@ def parse_lines(
 # ── Arrow-native hot path (mapInArrow) ────────────────────────────────
 
 
-def _batch_parse_arrow(arr, spec: FormatSpec, rx: str, unset_suffix: list):
+def _batch_parse_arrow(arr, spec: FormatSpec, rx: str, unset_suffix: list,
+                       byte_mode: bool = False):
     """Tier-1 + walker, entirely in Arrow: no Python string objects for
     decided rows. Returns (list of output pa.Arrays, well_formed array).
     Undecided rows (flat-regex misses: malformed, trailing-optional,
     zero-width-WS, walker-only quirks) are resolved by the exact oracle
-    walker per row."""
+    walker per row.
+
+    ``byte_mode`` (reference byte-semantics parity): the RE2 fast regex
+    counts CODEPOINTS for NCHAR, so for byte-sensitive specs it may only
+    decide pure-ASCII rows (where byte and codepoint counts coincide);
+    multi-byte rows route to the byte-native NumPy walker. Specs that
+    are not byte-sensitive need no gate — both semantics agree."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     st = pc.extract_regex(arr, pattern=rx)
     valid = pc.is_valid(st)
+    if byte_mode and spec.byte_sensitive():
+        ascii_only = pc.fill_null(
+            pc.equal(pc.utf8_length(arr), pc.binary_length(arr)), False
+        )
+        valid = pc.and_(valid, ascii_only)
     # int64 saturation contract: >18-digit INT captures are "undecided"
     # here and resolved by the walker -> oracle (which clamps per C
     # strtol); pa.int64 cast on them would raise ArrowInvalid.
@@ -456,7 +506,9 @@ def _batch_parse_arrow(arr, spec: FormatSpec, rx: str, unset_suffix: list):
         sub = arr.filter(undecided)
         # vectorized NumPy walker (itself bails per-row to the python
         # oracle only for atol-overflow/unicode/DBL territory)
-        walker_outs, walker_wf = batch_walk_arrow(sub, spec)
+        walker_outs, walker_wf = batch_walk_arrow(
+            sub, spec, byte_mode=byte_mode
+        )
 
     outs = []
     for k, (i, f) in enumerate(out_fields):
@@ -474,7 +526,7 @@ def _batch_parse_arrow(arr, spec: FormatSpec, rx: str, unset_suffix: list):
     return outs, wf_arr
 
 
-def make_arrow_parse_udf(spec: FormatSpec):
+def make_arrow_parse_udf(spec: FormatSpec, byte_mode: bool = False):
     """Scalar Arrow UDF ``string -> struct`` over the tier-1 kernel, or
     None when the spec has no flat fast regex or the runtime predates
     ``pyspark.sql.functions.arrow_udf`` (Spark 4.0).
@@ -499,7 +551,9 @@ def make_arrow_parse_udf(spec: FormatSpec):
     def parse(lines: pa.Array) -> pa.Array:
         if isinstance(lines, pa.ChunkedArray):
             lines = lines.combine_chunks()
-        outs, wf = _batch_parse_arrow(lines, spec, rx, unset_suffix)
+        outs, wf = _batch_parse_arrow(
+            lines, spec, rx, unset_suffix, byte_mode=byte_mode
+        )
         return pa.StructArray.from_arrays(outs + [wf], names=names)
 
     # deterministic in fact; marked non-deterministic as an optimizer
@@ -516,6 +570,7 @@ def parse_lines_arrow(
     out_col: str = "parsed",
     drop_cols: Optional[Iterable[str]] = None,
     strategy: Optional[str] = None,
+    byte_mode: bool = False,
 ):
     """Arrow-native parse stage: zero pandas/object materialization on
     the fast path. Two physical strategies over the SAME kernel:
@@ -551,7 +606,7 @@ def parse_lines_arrow(
     if strategy is None:
         strategy = os.environ.get("SPARK_GRAFT_PARSE_STRATEGY", "arrowudf")
     if strategy == "arrowudf":
-        udf = make_arrow_parse_udf(spec)
+        udf = make_arrow_parse_udf(spec, byte_mode=byte_mode)
         if udf is not None:
             from pyspark.sql import functions as F
 
@@ -574,7 +629,9 @@ def parse_lines_arrow(
                 arr = arr.combine_chunks()
             if not pa.types.is_string(arr.type):
                 arr = arr.cast(pa.string())
-            outs, wf = _batch_parse_arrow(arr, spec, rx, unset_suffix)
+            outs, wf = _batch_parse_arrow(
+                arr, spec, rx, unset_suffix, byte_mode=byte_mode
+            )
             struct = pa.StructArray.from_arrays(outs + [wf], names=names)
             if drop:
                 keep_idx = [

@@ -36,6 +36,7 @@ from ..functions.formats import (
     StrStop,
 )
 from ..functions.oracle import parse_line as oracle_parse_line
+from ..functions.oracle import parse_line_bytes as oracle_parse_line_bytes
 
 _WS_SET = np.frombuffer(WS_NO_NEWLINE.encode("latin-1"), dtype=np.uint8)
 _CWS_SET = np.frombuffer(C_WHITESPACE.encode("latin-1"), dtype=np.uint8)
@@ -104,10 +105,19 @@ def _complement(member: np.ndarray) -> np.ndarray:
     return np.setdiff1d(all_bytes, member)
 
 
-def batch_walk_arrow(lines: pa.Array, spec: FormatSpec):
+def batch_walk_arrow(lines: pa.Array, spec: FormatSpec,
+                     byte_mode: bool = False):
     """Walk an Arrow string batch. Returns (outs, wf): one pa.Array per
     output field (int64/float64/string) + a bool array, byte-exact vs
-    the oracle."""
+    the oracle.
+
+    ``byte_mode``: the walker ALREADY advances over raw UTF-8 bytes —
+    exactly the reference's ``char*`` semantics — so in byte mode
+    multi-byte rows stay vectorized instead of bailing to the codepoint
+    oracle; the only per-row work left is captures whose NCHAR boundary
+    lands mid-codepoint (they need the U+FFFD replacement contract of
+    ``oracle.parse_line_bytes``). In the default codepoint mode,
+    multi-byte rows bail to the codepoint oracle as before."""
     n_rows = len(lines)
     out_fields = spec.output_fields()
     out_idx = {i: k for k, (i, _) in enumerate(out_fields)}
@@ -140,7 +150,9 @@ def batch_walk_arrow(lines: pa.Array, spec: FormatSpec):
     has_dbl = any(f.ftype == FieldType.DBL for f in spec.fields)
     if has_dbl:
         bail = ~null_row
-    else:
+    elif not byte_mode:
+        # codepoint contract: the walker counts BYTES, so multi-byte
+        # rows go to the codepoint oracle; in byte_mode they stay here
         hi = np.flatnonzero(buf >= 0x80)
         if len(hi):
             cnt = np.searchsorted(hi, ends) - np.searchsorted(hi, starts)
@@ -269,14 +281,40 @@ def batch_walk_arrow(lines: pa.Array, spec: FormatSpec):
 
     landed = ~failed & (cur == ends) & ~dead
 
+    if byte_mode and len(buf):
+        # a landed NCHAR capture whose stop byte is a UTF-8 continuation
+        # byte split a multi-byte sequence: route the row to the byte
+        # oracle so the capture carries the documented U+FFFD stand-in
+        # (an Arrow string column cannot hold the raw split bytes).
+        for i, f in enumerate(spec.fields):
+            if (f.ftype != FieldType.STR or f.stop != StrStop.NCHAR
+                    or f.nchar <= 0):
+                continue
+            k = out_idx[i]
+            if k not in str_stop:
+                continue
+            sp = str_stop[k]
+            inside = str_valid[k] & landed & (sp < ends)
+            if inside.any():
+                pos = np.minimum(sp, len(buf) - 1)
+                cont = np.zeros(n_rows, dtype=bool)
+                cont[inside] = (buf[pos[inside]] & 0xC0) == 0x80
+                bail |= cont
+
     # resolve bail rows with the byte-exact oracle (rare by construction)
+    oracle_fn = oracle_parse_line_bytes if byte_mode else oracle_parse_line
     oracle_vals: dict[int, list] = {}
     bail_rows = np.flatnonzero(bail)
     wf = landed.copy()
     if len(bail_rows):
+        # a bail row's outputs come SOLELY from the oracle: clearing
+        # landed nulls its vectorized values (including any split NCHAR
+        # capture, which would otherwise materialize invalid UTF-8)
+        # before the oracle's replacements land
+        landed[bail_rows] = False
         bail_texts = lines.take(pa.array(bail_rows)).to_pylist()
         for r, text in zip(bail_rows, bail_texts):
-            vals, ok = oracle_parse_line(text, spec)
+            vals, ok = oracle_fn(text, spec)
             wf[r] = bool(ok)
             oracle_vals[r] = vals
 
