@@ -602,6 +602,11 @@ def _executor_shard(args):
     # handoffs (single-JVM throughput is flat across this range — see
     # the sweep in BASELINE.md).
     os.environ.setdefault("SPARK_GRAFT_ARROW_BATCH", "262144")
+    # non-purging Arrow allocator for the python workers (they inherit
+    # this env through the JVM): jemalloc's background purge issues
+    # madvise storms that show up as system CPU when 4 JVM+worker trees
+    # share one kernel (round-2 diagnosis; now actually wired).
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     # same per-executor heap at BOTH levels; 4 concurrent JVMs must fit
     # in host RAM (4 x 48g would thrash a 125g box)
     spark = make_spark(cpus, memory="16g")
