@@ -50,6 +50,14 @@ class JobConfig:
     buckets: int = 64
     text_col: str = "text"
     key_col: str = "doc_id"
+    # "checkpoint": lineage-bucketed fan-out with idempotent resume (the
+    # default; one persisted scan per bucket, right for small sink
+    # counts). "single_pass": route.write_routes_single_pass — ONE
+    # streamed scan, explode by matching sink, dynamic-partitioned
+    # write; the 10^12-row / large-N strategy (no persist of the parse
+    # output, no per-sink re-scan; resume = re-run, the write is a
+    # single atomic overwrite).
+    route_strategy: str = "checkpoint"
 
     @classmethod
     def from_dict(cls, d: dict) -> "JobConfig":
@@ -81,6 +89,7 @@ class JobConfig:
             buckets=d.get("buckets", 64),
             text_col=d.get("text_col", "text"),
             key_col=d.get("key_col", "doc_id"),
+            route_strategy=d.get("route_strategy", "checkpoint"),
         )
 
     @classmethod
@@ -125,6 +134,36 @@ def run_job(spark, cfg: JobConfig) -> dict:
         parsed = parse_lines(lines, spec)
     if cfg.enrich and "url" in parsed.columns and "lang" in parsed.columns:
         parsed = enrich_mod.enrich_all(parsed, spark)
+
+    if cfg.route_strategy == "single_pass":
+        from ..operators.route import (
+            read_routed_sink,
+            write_routes_single_pass,
+        )
+
+        base = f"{cfg.output}/routed"
+        write_routes_single_pass(parsed, cfg.sinks, spec, base)
+        for s in cfg.sinks:
+            routed = read_routed_sink(spark, base, s.name)
+            hist = aggregate.field_histogram(routed, "Level")
+            write_sink(
+                hist.withColumn("sink", F.lit(s.name)),
+                SinkTarget.parse(f"{cfg.output}/_agg/{s.name}_level_hist"),
+                mode="overwrite",
+            )
+        counts = {
+            r["sink"]: r["n"]
+            for r in spark.read.parquet(base)
+            .groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        return {"strategy": "single_pass",
+                "sink_rows": {s.name: int(counts.get(s.name, 0))
+                              for s in cfg.sinks}}
+    if cfg.route_strategy != "checkpoint":
+        raise ValueError(
+            f"unknown route_strategy {cfg.route_strategy!r} "
+            "(expected 'checkpoint' or 'single_pass')"
+        )
 
     C.route_checkpointed(
         parsed, cfg.sinks, spec, cfg.output,

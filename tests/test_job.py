@@ -45,6 +45,61 @@ def test_job_run_and_resume(spark, work):
     assert {(r["Level"], r["n"]) for r in hist} == {("INFO", 2521)}
 
 
+def test_job_single_pass_strategy_matches_checkpoint(spark, work):
+    """route_strategy='single_pass' (one streamed scan, partitioned
+    write) must land the same per-sink row sets as the checkpointed
+    strategy, and its aggregate tables must agree."""
+    from logparser_spark.plans import checkpoint as C
+    from logparser_spark.plans.job import JobConfig, run_job
+
+    base_cfg = {
+        "input": f"parquet:{work}/pages",
+        "sinks": [
+            {"name": "info", "filter": "Level EQ INFO"},
+            {"name": "all", "filter": None},
+        ],
+        "buckets": 8,
+    }
+    cfg_cp = JobConfig.from_dict(
+        {**base_cfg, "output": f"{work}/out_cp"}
+    )
+    cfg_sp = JobConfig.from_dict(
+        {**base_cfg, "output": f"{work}/out_sp",
+         "route_strategy": "single_pass"}
+    )
+    run_job(spark, cfg_cp)
+    m = run_job(spark, cfg_sp)
+    assert m["strategy"] == "single_pass"
+
+    from logparser_spark.operators.route import read_routed_sink
+
+    for name in ("info", "all"):
+        cp = {
+            (r["doc_id"], r["line_no"])
+            for r in C.read_routed(spark, f"{work}/out_cp", name)
+            .select("doc_id", "line_no").collect()
+        }
+        sp = {
+            (r["doc_id"], r["line_no"])
+            for r in read_routed_sink(spark, f"{work}/out_sp/routed", name)
+            .select("doc_id", "line_no").collect()
+        }
+        assert sp == cp, name
+        assert m["sink_rows"][name] == len(cp)
+
+    h_cp = {(r["Level"], r["n"]) for r in spark.read.parquet(
+        f"{work}/out_cp/_agg/info_level_hist").collect()}
+    h_sp = {(r["Level"], r["n"]) for r in spark.read.parquet(
+        f"{work}/out_sp/_agg/info_level_hist").collect()}
+    assert h_cp == h_sp
+
+    with pytest.raises(ValueError, match="route_strategy"):
+        run_job(spark, JobConfig.from_dict(
+            {**base_cfg, "output": f"{work}/out_bad",
+             "route_strategy": "bogus"}
+        ))
+
+
 def test_sink_target_parse_and_iceberg_gate(spark):
     from logparser_spark.sources.sinks import SinkTarget, write_sink
 
