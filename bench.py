@@ -600,6 +600,32 @@ def _render_baseline_md(state: dict) -> None:
             )
         if state.get("executors"):
             _render_executor_section(f, state["executors"])
+        last = state.get("executors_instr")
+        if last and last is not state.get("executors") and (
+            last.get("host_stream_eff") is not None
+        ):
+            f.write(
+                "\n### Best fully-instrumented attempt "
+                "(dual same-window controls)\n\n"
+                "The keep-best record above predates the dual-control "
+                "instrumentation; this is the best attempt with both "
+                "controls measured in the same window as its Spark "
+                "legs:\n\n"
+                f"- raw efficiency {last['efficiency']} "
+                f"(rows/s {last.get('rows_per_sec')}), "
+                f"sys-CPU {last.get('sys_cpu_frac_4way')}\n"
+                f"- control A (cache-resident CPU): "
+                f"{last.get('host_control_eff')} "
+                f"(items/s {last.get('host_control_ips')})\n"
+                f"- control B (memory-streaming, the kernel itself, no "
+                f"Spark): {last.get('host_stream_eff')} "
+                f"(tasks/s {last.get('host_stream_ips')})\n"
+                f"- attempts this run: {last.get('attempt_effs')} "
+                f"(host A per attempt {last.get('attempt_host_effs')}, "
+                f"median {last.get('median_attempt_eff')})\n"
+                f"- per-sink counts equal across sharding: "
+                f"{last.get('counts_equal')}\n"
+            )
         f.write(INTERPRETATION_MD)
 
 
@@ -889,6 +915,14 @@ def write_executor_report(r: dict) -> None:
     if prev is None or r["efficiency"] > prev.get("efficiency", -1):
         state["executors"] = r
     state["executors"]["eff_history"] = hist
+    # ALSO keep the best fully-instrumented attempt: the keep-best
+    # record may predate the dual-control instrumentation, and the
+    # attribution evidence (host CPU + streaming controls measured in
+    # the same window) matters even when the attempt's raw number lost
+    if r.get("host_stream_eff") is not None:
+        li = state.get("executors_instr")
+        if li is None or r["efficiency"] > li.get("efficiency", -1):
+            state["executors_instr"] = r
     _save_state(state)
     _render_baseline_md(state)
 
