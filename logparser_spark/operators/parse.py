@@ -750,6 +750,7 @@ def parse_lines_multi(
     out_prefix: str = "parsed_",
     matched_col: str = "matched_format",
     drop_cols: Optional[Iterable[str]] = None,
+    byte_mode: bool = False,
 ):
     """Multi-format cascade: try each spec in order; the FIRST spec that
     parses a line well-formed wins and tags ``matched_format`` with its
@@ -815,10 +816,13 @@ def parse_lines_multi(
                     sub = arr.take(pa.array(idx))
                     if rx is not None:
                         outs, wf = _batch_parse_arrow(
-                            sub, spec, rx, unset_suffix
+                            sub, spec, rx, unset_suffix,
+                            byte_mode=byte_mode,
                         )
                     else:
-                        outs, wf = batch_walk_arrow(sub, spec)
+                        outs, wf = batch_walk_arrow(
+                            sub, spec, byte_mode=byte_mode
+                        )
                     wf_np = wf.to_numpy(zero_copy_only=False)
                     win = idx[wf_np]
                     full_wf[win] = True

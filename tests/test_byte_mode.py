@@ -163,6 +163,29 @@ class TestSparkByteMode:
                 r["raw_line"]
             )
 
+    def test_multi_cascade_byte_mode(self, spark, unicode_df):
+        """parse_lines_multi(byte_mode=True): a cascade where the NCHAR
+        spec decides under byte semantics and the remainder falls to a
+        catch-all EOL spec."""
+        from logparser_spark.functions.formats import compile_format
+        from logparser_spark.operators.parse import parse_lines_multi
+
+        rest = compile_format("{STR:All}", name="rest")
+        out = parse_lines_multi(
+            unicode_df, [NCHAR_SPEC, rest], byte_mode=True
+        )
+        rows = {r["doc_id"]: r for r in out.collect()}
+        for r in unicode_df.collect():
+            evals, ewf = parse_line_bytes(r["raw_line"], NCHAR_SPEC)
+            got = rows[r["doc_id"]]
+            if ewf:
+                assert got["matched_format"] == "n6", r["raw_line"]
+                g = got["parsed_n6"]
+                assert [g["Head"], g["Num"], g["Rest"]] == evals
+            else:
+                assert got["matched_format"] == "rest", r["raw_line"]
+                assert got["parsed_rest"]["All"] == r["raw_line"]
+
     def test_default_mode_keeps_codepoint_semantics(self, spark,
                                                     unicode_df):
         from logparser_spark.operators.parse import parse_lines
