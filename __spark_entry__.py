@@ -499,6 +499,20 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_video_meta(spark, sf_dir):
+    """REAL video-container decode: synthesize a valid MP4 (even ids)
+    or AVI (odd ids) header per document, then walk the boxes/chunks
+    back out of the raw bytes (`multimodal.video_dims`) — width/height/
+    duration/frame-count all arithmetic in doc_id, so the oracle
+    predicts every field and any box-walker bug mismatches."""
+    from logparser_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.video_metadata(
+        multimodal.synth_video(docs), binary_col="vid"
+    )
+
+
 
 
 def _dhash(e: str) -> str:
@@ -757,6 +771,18 @@ def _dataprep_sql() -> dict[str, str]:
     SELECT doc_id, 45::BIGINT AS n_bytes, 'png' AS format,
       ((doc_id % 640) + 1)::INT AS width,
       ((doc_id % 480) + 1)::INT AS height
+    FROM documents"""
+
+    sqls["video_meta"] = """
+    SELECT doc_id,
+      (CASE WHEN doc_id % 2 = 0 THEN 284 + 4 * ((doc_id % 30) + 1)
+            ELSE 88 END)::BIGINT AS n_bytes,
+      CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format,
+      ((doc_id % 640) + 1)::INT AS width,
+      ((doc_id % 480) + 1)::INT AS height,
+      (CASE WHEN doc_id % 2 = 0 THEN (doc_id % 5000) + 1
+            ELSE 40 * ((doc_id % 30) + 1) END)::BIGINT AS duration_ms,
+      ((doc_id % 30) + 1)::BIGINT AS n_frames
     FROM documents"""
 
     return sqls
@@ -1144,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
         "multimodal_meta": q_multimodal_meta,
+        "video_meta": q_video_meta,
         "embedding_near_dup": q_embedding_near_dup,
         # checkpoint/lineage + skew
         "lineage_buckets": q_lineage_buckets,

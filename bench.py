@@ -632,16 +632,30 @@ def _render_baseline_md(state: dict) -> None:
 def _executor_shard(args):
     """One 'executor': own JVM with N task slots, disjoint input shard.
 
-    Deliberately NOT CPU-pinned: hard-pinning a JVM+its python workers to
-    exactly N saturated cores collapses the Arrow socket producer-consumer
-    handoff (measured 5-9x slowdown — every wakeup waits out a timeslice).
-    Real executors are scheduled by the OS the same floating way. The solo
-    baseline may therefore borrow idle cores, which makes the reported
-    efficiency a LOWER bound."""
-    cpu_lo, cpu_hi, start, n_pages, out_path = args
+    Default mode is NOT CPU-pinned: hard-pinning a JVM+its python workers
+    to exactly N SATURATED cores collapses the Arrow socket
+    producer-consumer handoff (measured 5-9x slowdown — every wakeup
+    waits out a timeslice). Real executors are scheduled by the OS the
+    same floating way. The solo baseline may therefore borrow idle
+    cores, which makes the reported efficiency a LOWER bound.
+
+    Symmetric-pinned mode (``pin=True``, optional 6th/7th tuple slots):
+    the shard is pinned to a 2N-core set for its N task slots — N JVM
+    task threads + N python workers = 2N heavy threads on 2N dedicated
+    cores, so nothing is oversubscribed and the trap above (2N threads
+    on N cores) does not apply. EVERY JVM in the comparison — the solo
+    baseline included — gets the identical 2N-core grant, which is
+    exactly how a cgroup-isolated cluster executor is sized; the solo
+    leg can no longer borrow the idle host, so the ratio measures the
+    software, not the scheduler's charity."""
+    cpu_lo, cpu_hi, start, n_pages, out_path = args[:5]
+    pin = bool(args[5]) if len(args) > 5 else False
+    task_cpus = args[6] if len(args) > 6 else None
     import json as _json
 
-    cpus = cpu_hi - cpu_lo
+    if pin:
+        os.sched_setaffinity(0, range(cpu_lo, cpu_hi))
+    cpus = task_cpus if task_cpus is not None else cpu_hi - cpu_lo
     # bigger Arrow batches for CO-RESIDENT JVMs: each batch is a socket
     # handoff between the JVM and its python workers, and with 4 JVMs
     # sharing one kernel the handoff wakeups are the syscall pressure
@@ -760,7 +774,8 @@ def _host_control_stream(nprocs: int) -> float:
 
 def run_scaling_executors(exec_cpus: int = 8, n_exec: int = 4,
                           total_pages: int = 800_000,
-                          max_attempts: int = 3) -> dict:
+                          max_attempts: int = 3,
+                          pin_symmetric: bool = False) -> dict:
     """Retry wrapper: the host intermittently enters windows where ANY
     concurrent multi-process work crawls 10x (same script measured 17s
     and 168s per shard an hour apart).
@@ -773,7 +788,8 @@ def run_scaling_executors(exec_cpus: int = 8, n_exec: int = 4,
     efficiency is recorded on the result."""
     attempts = []
     for _ in range(max_attempts):
-        r = _run_scaling_executors_once(exec_cpus, n_exec, total_pages)
+        r = _run_scaling_executors_once(exec_cpus, n_exec, total_pages,
+                                        pin_symmetric=pin_symmetric)
         attempts.append(r)
         if (r["efficiency"] >= 0.8
                 and r.get("host_control_eff", 0) >= 0.75):
@@ -795,7 +811,8 @@ def run_scaling_executors(exec_cpus: int = 8, n_exec: int = 4,
 
 
 def _run_scaling_executors_once(exec_cpus: int = 8, n_exec: int = 4,
-                                total_pages: int = 800_000) -> dict:
+                                total_pages: int = 800_000,
+                                pin_symmetric: bool = False) -> dict:
     """Executor-model N vs 4N: one 8-core JVM over the full input vs
     four concurrent 8-core JVMs over disjoint quarters (each JVM = one
     executor, its own scheduler/allocator — the honest cluster proxy;
@@ -813,7 +830,9 @@ def _run_scaling_executors_once(exec_cpus: int = 8, n_exec: int = 4,
     # N executors = 1: full input on one 8-core JVM
     p1 = os.path.join(d, "one.json")
     proc = mp.Process(
-        target=_executor_shard, args=((0, exec_cpus, 0, total_pages, p1),)
+        target=_executor_shard,
+        args=((0, 2 * exec_cpus if pin_symmetric else exec_cpus, 0,
+               total_pages, p1, pin_symmetric, exec_cpus),)
     )
     proc.start(); proc.join(timeout=900)
     if proc.is_alive():  # degraded-window deadlock: poison the attempt
@@ -848,10 +867,12 @@ def _run_scaling_executors_once(exec_cpus: int = 8, n_exec: int = 4,
     for i in range(n_exec):
         pth = os.path.join(d, f"q{i}.json")
         paths.append(pth)
+        w = 2 * exec_cpus if pin_symmetric else exec_cpus
         pr = mp.Process(
             target=_executor_shard,
             args=(
-                (i * exec_cpus, (i + 1) * exec_cpus, i * shard, shard, pth),
+                (i * w, (i + 1) * w, i * shard, shard, pth,
+                 pin_symmetric, exec_cpus),
             ),
         )
         pr.start(); procs.append(pr)
@@ -888,6 +909,7 @@ def _run_scaling_executors_once(exec_cpus: int = 8, n_exec: int = 4,
     rps4 = lines4 / wall4
     eff = (rps4 / rps1) / n_exec
     return {
+        "pin_symmetric": pin_symmetric,
         "sys_cpu_frac_4way": round(sys_frac, 3),
         "host_control_ips": [round(ctl_lo, 2), round(ctl_hi, 2)],
         "host_control_eff": round(host_eff, 3),
@@ -935,13 +957,29 @@ def _render_executor_section(f, r: dict) -> None:
             "A 1000-executor cluster is many independent JVMs, not one "
             "giant local[N]: a single local JVM shares one DAG scheduler, "
             "one Arrow allocator and one daemon across all cores, which "
-            "caps in-JVM scaling. This run compares ONE local[8] JVM over "
-            "the full input vs FOUR concurrent local[8] JVMs over disjoint "
-            "quarters (each JVM = one executor; unpinned — see "
-            "bench.py:_executor_shard for why hard pinning is "
-            "unrepresentative; the solo baseline may borrow idle cores, "
-            "so the efficiency is a lower bound).\n\n"
-            f"| config | lines | sec | rows/sec |\n|---|---|---|---|\n"
+            "caps in-JVM scaling. This run compares ONE "
+            f"local[{r['exec_cpus']}] JVM over "
+            f"the full input vs FOUR concurrent local[{r['exec_cpus']}] "
+            "JVMs over disjoint "
+            "quarters (each JVM = one executor"
+            + ("; every JVM pinned to its own dedicated core set — see "
+               "the paragraph below"
+               if r.get("pin_symmetric") else
+               "; unpinned — see bench.py:_executor_shard for why "
+               "oversubscribed hard pinning is unrepresentative; the "
+               "solo baseline may borrow idle cores, so the efficiency "
+               "is a lower bound")
+            + ").\n\n"
+            + ("Recorded run is SYMMETRIC-PINNED: every JVM (the solo "
+               "baseline included) holds an identical dedicated "
+               "2N-core set for its N task slots (N task threads + N "
+               "python workers = 2N threads on 2N cores — nothing "
+               "oversubscribed, so the known pin-collapse trap does "
+               "not apply). This is the cgroup grant a real cluster "
+               "executor gets; it removes the solo leg's idle-host "
+               "core borrowing that made the unpinned number a lower "
+               "bound.\n\n" if r.get("pin_symmetric") else "")
+            + f"| config | lines | sec | rows/sec |\n|---|---|---|---|\n"
             f"| 1 x local[{r['exec_cpus']}] | {r['lines']} | "
             f"{r['one_jvm_sec']} | {r['rows_per_sec'][0]} |\n"
             f"| 4 x local[{r['exec_cpus']}] | {r['lines']} | "
@@ -964,7 +1002,10 @@ def _render_executor_section(f, r: dict) -> None:
             )
         stream_eff = r.get("host_stream_eff")
         if stream_eff:
-            attributed = min(r["efficiency"] / stream_eff, 1.0)
+            # a control that scaled cleanly (>= 1, incl. noisy
+            # super-linear draws) certifies NO host penalty — never
+            # divide by it, or noise inflates/deflates the attribution
+            attributed = min(r["efficiency"] / min(stream_eff, 1.0), 1.0)
             f.write(
                 f"Same-window host control B (memory-STREAMING: the "
                 f"engine's own Arrow parse kernel over in-RAM lines, NO "
@@ -978,7 +1019,9 @@ def _render_executor_section(f, r: dict) -> None:
                 f"multi-node cluster adds memory controllers with every "
                 f"node, so this wall does not exist across executors). "
                 f"Host-attributed software efficiency = "
-                f"{r['efficiency']:.3f} / {stream_eff:.3f} = "
+                f"{r['efficiency']:.3f} / "
+                f"{min(stream_eff, 1.0):.3f} (ceiling clamped at 1: a "
+                f"clean control certifies no host penalty) = "
                 f"**{attributed:.3f}**.\n\n"
             )
         if r.get("attempt_effs"):
@@ -1009,7 +1052,25 @@ def _render_executor_section(f, r: dict) -> None:
 
 if __name__ == "__main__":
     if "--scaling-executors" in sys.argv:
-        r = run_scaling_executors()
+        # optional positional overrides: exec_cpus [total_pages].
+        # exec_cpus=4 is the fair-fit config on a 32-core host: the
+        # 4-executor leg runs 4 x (4 task + 4 python) = 32 threads,
+        # exactly the host's cores — the same structure that makes the
+        # in-JVM 4/16 pair the fair one (8-core executors put 64
+        # threads on 32 cores, a 2x oversubscription no real cluster
+        # has).
+        i = sys.argv.index("--scaling-executors")
+        nums = [int(a) for a in sys.argv[i + 1:i + 3] if a.isdigit()]
+        kw = {}
+        if nums:
+            kw["exec_cpus"] = nums[0]
+        if len(nums) > 1:
+            kw["total_pages"] = nums[1]
+        if "--pinned" in sys.argv:
+            # symmetric 2N-core grants for every JVM (solo included);
+            # needs 2 * exec_cpus * 4 <= host cores
+            kw["pin_symmetric"] = True
+        r = run_scaling_executors(**kw)
         write_executor_report(r)
         print(json.dumps(r))
     elif "--single-throughput" in sys.argv:

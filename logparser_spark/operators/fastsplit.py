@@ -57,6 +57,8 @@ tests/test_fastsplit.py.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from ..functions.formats import (
     WS_NO_NEWLINE,
     FieldSpec,
@@ -204,45 +206,276 @@ class SplitPlan:
             if self.tail_idx is not None:
                 sub_children[self.out_pos[self.tail_idx]] = cols[k]
 
-        # INT typing + int64 saturation routing (>18 digits -> walker)
-        for i, f in spec.output_fields():
-            kk = self.out_pos[i]
-            if f.ftype == FieldType.INT:
-                tok = sub_children[kk]
-                short = pc.fill_null(
-                    pc.less_equal(pc.binary_length(tok), 18), False
-                )
-                ok = pc.and_(ok, short)
-                tok = pc.if_else(short, tok, pa.scalar(None, pa.string()))
-                sub_children[kk] = tok.cast(pa.int64())
+        # INT typing + saturation routing + scatter (shared epilogue)
+        return _type_and_scatter(
+            spec, self.out_pos, n, m, ok, sub_children, n_sub
+        )
 
-        # scatter the matched-subset results back to full row space
-        m_np = m.to_numpy(zero_copy_only=False)
-        ok_np = ok.to_numpy(zero_copy_only=False)
-        valid_np = m_np.copy()
-        valid_np[m_np] = ok_np
-        valid = pa.array(valid_np)
-        m_mask = pa.array(m_np)
 
-        children: dict[int, pa.Array] = {}
-        for i, f in spec.output_fields():
-            kk = self.out_pos[i]
-            if f.ftype == FieldType.CHR:
-                # a matched CHR capture is its constant target char
-                children[kk] = pc.if_else(
-                    valid, pa.scalar(f.target, pa.string()),
-                    pa.scalar(None, pa.string()),
+def _type_and_scatter(spec, out_pos, n, m, ok, sub_children, n_sub):
+    """Shared epilogue for both plan kinds: int64-type the INT columns
+    (>18-digit runs routed to the walker per the saturation contract),
+    then scatter the matched-subset results back to full row space.
+    Returns (children, valid)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for i, f in spec.output_fields():
+        kk = out_pos[i]
+        if f.ftype == FieldType.INT:
+            tok = sub_children[kk]
+            short = pc.fill_null(
+                pc.less_equal(pc.binary_length(tok), 18), False
+            )
+            ok = pc.and_(ok, short)
+            tok = pc.if_else(short, tok, pa.scalar(None, pa.string()))
+            sub_children[kk] = tok.cast(pa.int64())
+
+    m_np = m.to_numpy(zero_copy_only=False)
+    ok_np = ok.to_numpy(zero_copy_only=False)
+    valid_np = m_np.copy()
+    valid_np[m_np] = ok_np
+    valid = pa.array(valid_np)
+    m_mask = pa.array(m_np)
+
+    children: dict[int, pa.Array] = {}
+    for i, f in spec.output_fields():
+        kk = out_pos[i]
+        if f.ftype == FieldType.CHR:
+            # a matched CHR capture is its constant target char
+            children[kk] = pc.if_else(
+                valid, pa.scalar(f.target, pa.string()),
+                pa.scalar(None, pa.string()),
+            )
+            continue
+        typ = pa.int64() if f.ftype == FieldType.INT else pa.string()
+        base = pa.nulls(n, type=typ)
+        if n_sub:
+            ch = sub_children[kk]
+            if isinstance(ch, pa.ChunkedArray):
+                ch = ch.combine_chunks()
+            base = pc.replace_with_mask(base, m_mask, ch)
+        children[kk] = base
+    return children, valid
+
+
+class SeqPlan:
+    """Generalized capture-free decomposition: the spec compiled to a
+    SEQUENCE of cheap byte-scan ops applied left-to-right to a shrinking
+    ``rest`` array. Covers multi-anchor shapes the single-anchor
+    ``SplitPlan`` cannot (brackets ``[{STR:T}] {STR:L}: {STR:M}``,
+    repeated delimiters ``{STR:A}: {STR:B}: {STR:C}``, glued literals
+    ``{INT:Pid}@{STR:Host}``).
+
+    Soundness is SIMPLER than SplitPlan's: because tokens are carved by
+    whitespace splits BEFORE any anchor-char split runs, the "anchor
+    char inside a token" misalignment cannot arise — each op consumes
+    exactly what the walker would at the same position, by induction:
+
+    - ``ws``: the gate emits every WS as ``+`` (to_fast_regex pass A),
+      so ltrim-all == the walker's maximal ws consumption; the
+      changed-check routes zero-width rows to the walker.
+    - ``lit(c)``/``run(b)``: fixed CHR / maximal char-run — starts-with
+      check + trim, byte-exact both semantics.
+    - ``upto(c)``: a ``STR_DELIM(c)`` field can never contain ``c``, so
+      the first ``c`` in ``rest`` IS the structural closing CHR;
+      ``split_pattern(max_splits=1)`` lands exactly there. Rows with no
+      remaining ``c`` (only reachable off the gate-proven path) fail
+      the 2-part check and route to the walker.
+    - ``toks_ws``/``toks_end``/``toks_lit``: INT/ANY_WS tokens cannot
+      contain whitespace, so the ws-split boundaries reproduce them
+      exactly; the element-count check routes every structural surprise
+      (including Arrow's leading/trailing-empty split artifacts) to the
+      walker. ``toks_lit`` (group glued to a literal, ``{INT:A}:``)
+      requires all-INT tokens with the literal outside the digit/ws
+      sets, so the first occurrence is provably structural.
+
+    Rejected (→ extract_regex path): NCHAR fields (keeps the family
+    non-byte-sensitive), DBL (no fast regex at all), non-ASCII /
+    newline targets and delims, ``STR_DELIM(c)`` closed by a repeat
+    CHR(c) (walker consumes the whole run, upto only one char).
+
+    Per-op trims/splits copy the shrinking tail, so for the
+    single-anchor family ``SplitPlan`` (one 3-way split, ~2 copies) is
+    kept as the preferred compilation — ``compile_any_split_plan``
+    tries it first.
+    """
+
+    def __init__(self, spec: FormatSpec, ops: list):
+        self.spec = spec
+        self.ops = ops
+        self.out_pos = {i: k for k, (i, _) in enumerate(spec.output_fields())}
+
+    def run(self, arr, rx: str):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = len(arr)
+        m = pc.fill_null(pc.match_substring_regex(arr, pattern=rx), False)
+        sub = arr.filter(m)
+        n_sub = len(sub)
+        ok = pa.array(np.ones(n_sub, dtype=bool))
+        sub_children: dict[int, pa.Array] = {}
+        rest = sub
+        consumed_all = False
+
+        def chk(b):
+            return pc.fill_null(b, False)
+
+        for op in self.ops:
+            kind = op[0]
+            if kind == "ws":
+                lt = pc.utf8_ltrim(rest, characters=_WS)
+                ok = pc.and_(ok, chk(pc.not_equal(lt, rest)))
+                rest = lt
+            elif kind == "run":
+                b = op[1]
+                ok = pc.and_(ok, chk(pc.starts_with(rest, pattern=b)))
+                rest = pc.utf8_ltrim(rest, characters=b)
+            elif kind == "lit":
+                c = op[1]
+                ok = pc.and_(ok, chk(pc.starts_with(rest, pattern=c)))
+                rest = pc.utf8_slice_codeunits(rest, start=1)
+            elif kind == "upto":
+                c, fi = op[1], op[2]
+                parts = pc.split_pattern(rest, pattern=c, max_splits=1)
+                ok = pc.and_(
+                    ok, chk(pc.equal(pc.list_value_length(parts), 2))
                 )
-                continue
-            typ = pa.int64() if f.ftype == FieldType.INT else pa.string()
-            base = pa.nulls(n, type=typ)
-            if n_sub:
-                ch = sub_children[kk]
-                if isinstance(ch, pa.ChunkedArray):
-                    ch = ch.combine_chunks()
-                base = pc.replace_with_mask(base, m_mask, ch)
-            children[kk] = base
-        return children, valid
+                head, rest = _guarded_elements(parts, [0, 1])
+                sub_children[self.out_pos[fi]] = head
+            elif kind == "toks_lit":
+                toks, c = op[1], op[2]
+                parts2 = pc.split_pattern(rest, pattern=c, max_splits=1)
+                ok = pc.and_(
+                    ok, chk(pc.equal(pc.list_value_length(parts2), 2))
+                )
+                head, rest = _guarded_elements(parts2, [0, 1])
+                toks_arr = pc.ascii_split_whitespace(head)
+                ok = pc.and_(
+                    ok,
+                    chk(pc.equal(pc.list_value_length(toks_arr), len(toks))),
+                )
+                cols = _guarded_elements(toks_arr, list(range(len(toks))))
+                for j, fi in enumerate(toks):
+                    sub_children[self.out_pos[fi]] = cols[j]
+            elif kind == "toks_ws":
+                toks = op[1]
+                k = len(toks)
+                parts = pc.ascii_split_whitespace(rest, max_splits=k)
+                ok = pc.and_(
+                    ok, chk(pc.equal(pc.list_value_length(parts), k + 1))
+                )
+                cols = _guarded_elements(parts, list(range(k + 1)))
+                for j, fi in enumerate(toks):
+                    sub_children[self.out_pos[fi]] = cols[j]
+                rest = cols[k]
+            elif kind == "toks_end":
+                toks = op[1]
+                k = len(toks)
+                parts = pc.ascii_split_whitespace(rest)
+                ok = pc.and_(
+                    ok, chk(pc.equal(pc.list_value_length(parts), k))
+                )
+                cols = _guarded_elements(parts, list(range(k)))
+                for j, fi in enumerate(toks):
+                    sub_children[self.out_pos[fi]] = cols[j]
+                consumed_all = True
+            else:  # "eol"
+                sub_children[self.out_pos[op[1]]] = rest
+                consumed_all = True
+
+        if not consumed_all:
+            ok = pc.and_(ok, chk(pc.equal(rest, "")))
+        return _type_and_scatter(
+            self.spec, self.out_pos, n, m, ok, sub_children, n_sub
+        )
+
+
+def _ok_char(c: Optional[str]) -> bool:
+    return bool(c) and len(c) == 1 and ord(c) < 128 and c != "\n"
+
+
+def compile_seq_plan(spec: FormatSpec):
+    """Compile the sequential op list, or None when a field falls
+    outside the family (NCHAR, DBL, non-ASCII/newline chars, delim
+    closed by a repeat run, token group glued to a non-INT-safe
+    literal)."""
+    if spec.to_fast_regex() is None:
+        return None
+    f = spec.fields
+    n = len(f)
+    ops: list = []
+    i = 0
+    while i < n:
+        fd = f[i]
+        if fd.ftype == FieldType.WS:
+            if not (ops and ops[-1][0] == "ws"):
+                ops.append(("ws",))
+            i += 1
+        elif fd.ftype == FieldType.CHR:
+            if not _ok_char(fd.target):
+                return None
+            ops.append(("run", fd.target) if fd.repeat
+                       else ("lit", fd.target))
+            i += 1
+        elif fd.ftype == FieldType.STR and fd.stop == StrStop.DELIM \
+                and fd.delim == "\0":
+            if i != n - 1:
+                return None
+            ops.append(("eol", i))
+            i += 1
+        elif fd.ftype == FieldType.STR and fd.stop == StrStop.DELIM:
+            # must be closed by a NON-repeat CHR on the same char (a
+            # repeat closer consumes a whole run; upto eats only one)
+            if not (i + 1 < n and f[i + 1].ftype == FieldType.CHR
+                    and not f[i + 1].repeat
+                    and f[i + 1].target == fd.delim
+                    and _ok_char(fd.delim)):
+                return None
+            ops.append(("upto", fd.delim, i))
+            i += 2
+        elif _is_tok(fd):
+            toks = [i]
+            i += 1
+            while i + 1 < n and f[i].ftype == FieldType.WS \
+                    and _is_tok(f[i + 1]):
+                toks.append(i + 1)
+                i += 2
+            if i >= n:
+                ops.append(("toks_end", toks))
+            elif f[i].ftype == FieldType.WS:
+                # consumes the tokens AND the following mandatory ws;
+                # if the spec ends here the epilogue's rest == "" check
+                # closes it
+                ops.append(("toks_ws", toks))
+                i += 1
+            elif f[i].ftype == FieldType.CHR and not f[i].repeat:
+                c = f[i].target
+                if not _ok_char(c) or c in _WS or c in _DIGITS:
+                    return None
+                if any(f[t].ftype != FieldType.INT for t in toks):
+                    # an ANY_WS token could contain the literal; only
+                    # all-INT groups are provably first-occurrence-safe
+                    return None
+                ops.append(("toks_lit", toks, c))
+                i += 1
+            else:
+                return None
+        else:
+            return None  # NCHAR / DBL / unknown
+    return SeqPlan(spec, ops)
+
+
+def compile_any_split_plan(spec: FormatSpec):
+    """Best capture-free plan for the spec: the single-anchor
+    ``SplitPlan`` when its (fewer-copies) family matches, else the
+    generalized sequential plan, else None (extract_regex path)."""
+    plan = compile_split_plan(spec)
+    if plan is not None:
+        return plan
+    return compile_seq_plan(spec)
 
 
 def compile_split_plan(spec: FormatSpec):

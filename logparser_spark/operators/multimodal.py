@@ -35,6 +35,11 @@ AUDIO_META_SCHEMA = (
 
 FRAME_SAMPLE_SCHEMA = "doc_id long, frame_no int, frame_hash long"
 
+VIDEO_META_SCHEMA = (
+    "doc_id long, n_bytes long, format string, width int, height int, "
+    "duration_ms long, n_frames long"
+)
+
 
 def decode_html(df, html_col: str = "html", out_col: str = "html_text"):
     """binary HTML → text: decode UTF-8 and strip tags. Pure Catalyst
@@ -307,6 +312,228 @@ def make_mp3(sample_rate: int = 44100, n_frames: int = 4,
     if id3:
         out += b"ID3\x04\x00\x00\x00\x00\x00\x00"  # empty ID3v2.4 tag
     return out + frame * n_frames
+
+
+# ISO BMFF container boxes that hold child boxes directly (no payload
+# before the first child) — the only ones the metadata walk descends into.
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(b: bytes, lo: int, hi: int):
+    """Yield (type, payload_lo, payload_hi) for each top-level box in
+    ``b[lo:hi]``. Handles 64-bit largesize boxes; stops on corruption."""
+    i = lo
+    while i + 8 <= hi:
+        size = struct.unpack(">I", b[i:i + 4])[0]
+        typ = b[i + 4:i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize follows the type
+            if i + 16 > hi:
+                return
+            size = struct.unpack(">Q", b[i + 8:i + 16])[0]
+            body = i + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = hi - i
+        if size < 8 or i + size > hi:
+            return
+        yield typ, body, i + size
+        i += size
+
+
+def video_dims(b: bytes) -> Optional[tuple]:
+    """(format, width, height, duration_ms, n_frames) parsed from raw
+    container bytes, or None when the payload is not a recognized video
+    container. Pure ``struct``/bit math — no ffmpeg:
+
+    - MP4/ISO BMFF (``ftyp`` + ``moov``): duration from ``mvhd``
+      (timescale + duration, v0 and v1), width/height from the first
+      video ``tkhd`` (16.16 fixed point), frame count from the first
+      non-empty ``stsz`` sample table.
+    - AVI (RIFF): ``avih`` MainAVIHeader — dwTotalFrames, dwWidth,
+      dwHeight, duration from dwMicroSecPerFrame x frames.
+
+    Frame PIXEL extraction still needs a codec (``strict`` mode in
+    ``frame_sample`` raises where that call belongs).
+    """
+    # ── MP4 / ISO BMFF ──
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        dur_ms = width = height = n_frames = None
+
+        def walk(lo, hi):
+            nonlocal dur_ms, width, height, n_frames
+            for typ, blo, bhi in _mp4_boxes(b, lo, hi):
+                if typ == b"mvhd" and bhi - blo >= 20:
+                    ver = b[blo]
+                    if ver == 1 and bhi - blo >= 28:
+                        ts, dur = struct.unpack(
+                            ">IQ", b[blo + 20:blo + 32]
+                        )
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", b[blo + 12:blo + 20]
+                        )
+                    if ts:
+                        dur_ms = dur * 1000 // ts
+                elif typ == b"tkhd" and width is None:
+                    ver = b[blo]
+                    # ver/flags 4 + ctime/mtime/id/rsvd/duration
+                    # (20 at v0, 32 at v1) + rsvd 8 + layer/alt/vol/
+                    # rsvd 8 + matrix 36 → width at 76 (v0) / 88 (v1)
+                    off = blo + (88 if ver == 1 else 76)
+                    if off + 8 <= bhi:
+                        w, h = struct.unpack(">II", b[off:off + 8])
+                        if w and h:  # audio tracks carry 0x0
+                            width, height = w >> 16, h >> 16
+                elif typ == b"stsz" and n_frames is None \
+                        and bhi - blo >= 12:
+                    cnt = struct.unpack(">I", b[blo + 8:blo + 12])[0]
+                    if cnt:
+                        n_frames = cnt
+                elif typ in _MP4_CONTAINERS:
+                    walk(blo, bhi)
+
+        walk(0, len(b))
+        if dur_ms is None and width is None:
+            return None
+        return "mp4", width, height, dur_ms, n_frames
+    # ── AVI ──
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        # walk RIFF chunks; descend into LIST chunks to find 'avih'
+        def find_avih(lo, hi):
+            i = lo
+            while i + 8 <= hi:
+                tag = b[i:i + 4]
+                size = struct.unpack("<I", b[i + 4:i + 8])[0]
+                if i + 8 + size > hi:
+                    return None
+                if tag == b"avih":
+                    return i + 8
+                if tag == b"LIST":
+                    r = find_avih(i + 12, i + 8 + size)
+                    if r is not None:
+                        return r
+                i += 8 + size + (size & 1)
+            return None
+
+        off = find_avih(12, len(b))
+        if off is None or off + 40 > len(b):
+            return None
+        us_pf, = struct.unpack("<I", b[off:off + 4])
+        frames, = struct.unpack("<I", b[off + 16:off + 20])
+        w, h = struct.unpack("<II", b[off + 32:off + 40])
+        dur_ms = us_pf * frames // 1000 if us_pf else None
+        return "avi", w, h, dur_ms, frames
+    return None
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + tag + payload
+
+
+def make_mp4(width: int, height: int, duration_ms: int,
+             n_frames: int, timescale: int = 1000) -> bytes:
+    """A minimal valid ISO BMFF header (ftyp + moov/mvhd + trak/tkhd +
+    mdia/minf/stbl/stsz, no media data) — deterministic test feed for
+    the real box walker. duration_ms must be exact at ``timescale``."""
+    mvhd = (b"\x00" + b"\x00" * 3 + b"\x00" * 8
+            + struct.pack(">II", timescale, duration_ms * timescale // 1000)
+            + b"\x00" * 80)
+    tkhd = (b"\x00" + b"\x00" * 3 + b"\x00" * 72
+            + struct.pack(">II", width << 16, height << 16))
+    stsz = _box(b"stsz", struct.pack(">III", 0, 0, n_frames)
+                + b"\x00" * 4 * n_frames)
+    stbl = _box(b"stbl", stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", minf)
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def make_avi(width: int, height: int, n_frames: int,
+             us_per_frame: int = 40000) -> bytes:
+    """A minimal valid AVI header (RIFF/AVI LIST hdrl avih, no movi
+    data) — deterministic test feed for the real avih parser."""
+    avih = struct.pack(
+        "<IIIIIIIIII", us_per_frame, 0, 0, 0, n_frames, 0, 1, 0,
+        width, height,
+    ) + b"\x00" * 16
+    hdrl = b"hdrl" + _avi_chunk(b"avih", avih)
+    body = b"AVI " + _avi_chunk(b"LIST", hdrl)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_chunk(tag: bytes, payload: bytes) -> bytes:
+    return tag + struct.pack("<I", len(payload)) + payload \
+        + (b"\x00" if len(payload) & 1 else b"")
+
+
+def synth_video(df, id_col: str = "doc_id", out_col: str = "vid",
+                keep_cols: Optional[list] = None):
+    """Deterministic video-container synthesizer: even ids get a valid
+    MP4 (ISO BMFF) header, odd ids a valid AVI header, with
+    width = (id % 640) + 1, height = (id % 480) + 1,
+    n_frames = (id % 30) + 1, and duration_ms = (id % 5000) + 1 for MP4
+    / 40 ms x n_frames for AVI — so an oracle predicts every decoded
+    field arithmetically while the engine really walks the boxes."""
+
+    keep = keep_cols if keep_cols is not None else [id_col]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keep).schema.fields
+    ) + f", {out_col} binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = (i % 640) + 1, (i % 480) + 1
+                nf = (i % 30) + 1
+                if i % 2 == 0:
+                    out.append(make_mp4(w, h, (i % 5000) + 1, nf))
+                else:
+                    out.append(make_avi(w, h, nf, us_per_frame=40000))
+            pdf[out_col] = out
+            yield pdf
+
+    return df.select(*keep).mapInPandas(fn, schema)
+
+
+def video_metadata(df, binary_col: str = "html", id_col: str = "doc_id",
+                   strict: bool = False):
+    """mapInPandas stage: binary column → typed video metadata struct.
+    MP4 (ISO BMFF box walk) and AVI (avih) container headers are decoded
+    for REAL (``video_dims``); frame PIXEL extraction needs ffmpeg
+    (unavailable here) — ``strict=True`` raises exactly where that codec
+    call belongs for unrecognized payloads, otherwise they yield null
+    metadata."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, buf in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(buf) if buf is not None else b""
+                dims = video_dims(b)
+                if dims is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "non-MP4/AVI video decode requires ffmpeg "
+                            "(unavailable here)"
+                        )
+                    rows.append((did, len(b), None, None, None, None,
+                                 None))
+                else:
+                    fmt, w, h, dur, nf = dims
+                    rows.append((did, len(b), fmt, w, h, dur, nf))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_bytes", "format", "width", "height",
+                         "duration_ms", "n_frames"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(fn, VIDEO_META_SCHEMA)
 
 
 def audio_metadata(df, binary_col: str = "html", id_col: str = "doc_id",

@@ -455,9 +455,9 @@ def _split_plan_for(spec: FormatSpec):
         return None
     cached = spec.__dict__.get("_split_plan", "unset")
     if cached == "unset":
-        from .fastsplit import compile_split_plan
+        from .fastsplit import compile_any_split_plan
 
-        cached = compile_split_plan(spec)
+        cached = compile_any_split_plan(spec)
         spec.__dict__["_split_plan"] = cached
     return cached
 

@@ -384,6 +384,81 @@ def test_image_metadata_real_decode(spark):
     assert all(r["count"] >= 1 for r in per_doc)
 
 
+def test_video_dims_header_parsers(spark):
+    """Real struct-based container decode: MP4 box walk + AVI avih."""
+    import struct as st
+
+    from logparser_spark.operators import multimodal
+    from logparser_spark.operators.multimodal import (
+        make_avi,
+        make_mp4,
+        video_dims,
+    )
+
+    # MP4: synthesized valid boxes round-trip every field
+    assert video_dims(make_mp4(640, 360, 12345, 42)) == \
+        ("mp4", 640, 360, 12345, 42)
+    # v1 mvhd (64-bit duration) + v1 tkhd offsets
+    mvhd1 = (b"\x01" + b"\x00" * 3 + b"\x00" * 16
+             + st.pack(">IQ", 90000, 90 * 90000) + b"\x00" * 80)
+    tkhd1 = (b"\x01" + b"\x00" * 3 + b"\x00" * 84
+             + st.pack(">II", 1280 << 16, 720 << 16))
+    box = multimodal._box
+    moov = box(b"moov", box(b"mvhd", mvhd1)
+               + box(b"trak", box(b"tkhd", tkhd1)))
+    b1 = box(b"ftyp", b"isom") + moov
+    assert video_dims(b1) == ("mp4", 1280, 720, 90_000, None)
+    # audio-only tkhd (0x0 dims) is skipped, not reported as 0x0
+    tkhd_a = (b"\x00" + b"\x00" * 3 + b"\x00" * 72 + b"\x00" * 8)
+    moov2 = box(b"moov", box(b"trak", box(b"tkhd", tkhd_a))
+                + box(b"trak", box(b"tkhd",
+                                   b"\x00" * 76
+                                   + st.pack(">II", 320 << 16,
+                                             240 << 16))))
+    assert video_dims(box(b"ftyp", b"mp42") + moov2) == \
+        ("mp4", 320, 240, None, None)
+    # AVI: avih fields incl. duration from us/frame
+    assert video_dims(make_avi(320, 240, 250, us_per_frame=40000)) == \
+        ("avi", 320, 240, 10_000, 250)
+    # non-videos -> None; truncation never crashes
+    assert video_dims(b"") is None
+    assert video_dims(b"RIFF\x00\x00\x00\x00WAVE") is None
+    full = make_mp4(64, 48, 100, 3)
+    for cut in (4, 11, 20, 40, len(full) - 1):
+        video_dims(full[:cut])  # must not raise
+    assert video_dims(b"\x00" * 4 + b"ftyp") is None
+
+    # the Spark stage: synth per-doc containers, decode them back
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(24)
+    meta = multimodal.video_metadata(
+        multimodal.synth_video(docs), binary_col="vid"
+    ).collect()
+    assert len(meta) == 24
+    for r in meta:
+        i = r["doc_id"]
+        assert r["width"] == (i % 640) + 1
+        assert r["height"] == (i % 480) + 1
+        assert r["n_frames"] == (i % 30) + 1
+        if i % 2 == 0:
+            assert r["format"] == "mp4"
+            assert r["duration_ms"] == (i % 5000) + 1
+            assert r["n_bytes"] == 284 + 4 * ((i % 30) + 1)
+        else:
+            assert r["format"] == "avi"
+            assert r["duration_ms"] == 40 * ((i % 30) + 1)
+            assert r["n_bytes"] == 88
+
+    # strict mode raises where the ffmpeg call belongs
+    from logparser_spark.sources.pages import build_pages_from_documents
+
+    pages = build_pages_from_documents(spark, SF_DIR).limit(3)
+    with pytest.raises(Exception) as exc:
+        multimodal.video_metadata(pages, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
 def test_decode_html_roundtrip(spark):
     from logparser_spark.operators import multimodal
     from logparser_spark.sources.pages import build_pages_from_documents

@@ -19,7 +19,11 @@ from logparser_spark.functions.formats import (
     compile_format,
 )
 from logparser_spark.functions.oracle import parse_line
-from logparser_spark.operators.fastsplit import compile_split_plan
+from logparser_spark.operators.fastsplit import (
+    compile_any_split_plan,
+    compile_seq_plan,
+    compile_split_plan,
+)
 from logparser_spark.operators.parse import _fast_plan
 from logparser_spark.sources.corpus import GOLDEN_LINES
 
@@ -89,13 +93,13 @@ def _run_extract(spec, arr):
     return out, valid
 
 
-def _assert_plan_subset_equal(fmt, lines):
+def _assert_plan_subset_equal(fmt, lines, compile_fn=compile_split_plan):
     """Plan-accepted rows must carry exactly the extract kernel's
     values; plan-rejected-but-regex-matched rows are allowed (walker
     fallback) — their children are unspecified and masked by the
     kernel (test_kernel_end_to_end_identical covers that)."""
     spec = compile_format(fmt)
-    plan = compile_split_plan(spec)
+    plan = compile_fn(spec)
     assert plan is not None, fmt
     rx, _ = _fast_plan(spec)
     arr = pa.array(lines)
@@ -165,6 +169,109 @@ class TestDifferential:
             lines.append("".join(base))
         _assert_plan_subset_equal(fmt, lines)
 
+SEQ_SPECS = [
+    "[{STR:Time}] {STR:Level}: {STR:Msg}",   # bracket + second anchor
+    "{STR:A}: {STR:B}: {STR:C}",             # repeated delimiter
+    "{INT:Pid}@{STR:Host} {STR:Rest}",       # glued literal, no ws
+    "{INT:A}:{STR:B}",                       # all-INT group glued to lit
+    "{STR:All}",                             # catch-all EOL (zero-copy)
+    "{INT:A} {INT:B} {STR:C}: {STR:D}",      # tokens then anchor chain
+    # dot-run + TWO anchor segments (legacy family allows only one)
+    "{STR:Lvl} :{CHR:,.,1}{STR:Src}: {STR:Op}: {STR:Msg}",
+]
+
+SEQ_ADVERSARIAL = ADVERSARIAL + [
+    "[12:30] INFO: all good",
+    "[a]b",
+    "[] W: ",
+    "[t]  DOUBLE:  spaced msg ",
+    "[t] a: b: c",
+    "a: b: c: d",
+    ": : ",
+    "a:  b : c",
+    "123@example.com hello world",
+    "12@ x",
+    "12@h ",
+    "7:",
+    "5:a:b",
+    "[x[y]z] a: b",
+    "]x[ a: b",
+    "@@@",
+    "1 2 c: d",
+    "1 2 c:d",
+]
+
+
+class TestSeqPlan:
+    def test_seq_specs_compile(self):
+        """Multi-anchor shapes the single-anchor plan rejects compile
+        to sequential plans (compile_any_split_plan covers them)."""
+        for fmt in SEQ_SPECS:
+            spec = compile_format(fmt)
+            assert compile_seq_plan(spec) is not None, fmt
+            assert compile_any_split_plan(spec) is not None, fmt
+
+    def test_non_plan_specs_still_rejected(self):
+        for fmt in NO_PLAN_SPECS[:2]:  # NCHAR, DBL
+            assert compile_any_split_plan(compile_format(fmt)) is None, fmt
+        # "{INT:A}x{STR:B}" was outside the LEGACY family but the seq
+        # plan handles it (all-INT group glued to a literal)
+        assert compile_seq_plan(compile_format("{INT:A}x{STR:B}")) \
+            is not None
+
+    def test_legacy_family_prefers_splitplan(self):
+        """compile_any_split_plan keeps the measured single-anchor plan
+        (fewer string copies) for its family."""
+        from logparser_spark.operators.fastsplit import SplitPlan
+
+        plan = compile_any_split_plan(compile_format(DEFAULT_FORMAT))
+        assert isinstance(plan, SplitPlan)
+
+    @pytest.mark.parametrize("fmt", SEQ_SPECS)
+    def test_adversarial_lines(self, fmt):
+        _assert_plan_subset_equal(fmt, SEQ_ADVERSARIAL,
+                                  compile_fn=compile_seq_plan)
+
+    @pytest.mark.parametrize("fmt", SEQ_SPECS)
+    def test_fuzzed_lines(self, fmt):
+        rng = random.Random(1337)
+        alphabet = list("0123456789abcXYZ.:[]@ \t-") + [""]
+        lines = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+            for _ in range(4000)
+        ]
+        for _ in range(500):
+            base = list(rng.choice(GOLDEN_LINES))
+            for _ in range(rng.randint(1, 3)):
+                pos = rng.randrange(len(base))
+                base[pos] = rng.choice("0:[]@ .x\t")
+            lines.append("".join(base))
+        _assert_plan_subset_equal(fmt, lines,
+                                  compile_fn=compile_seq_plan)
+
+    @pytest.mark.parametrize(
+        "fmt", ["[{STR:Time}] {STR:Level}: {STR:Msg}",
+                "{INT:Pid}@{STR:Host} {STR:Rest}"]
+    )
+    def test_kernel_end_to_end_identical_seq(self, fmt):
+        """_batch_parse_arrow (seq plan on) vs (plan off) bit-identical
+        INCLUDING walker fallback resolution and unset-suffix nulling."""
+        from logparser_spark.operators.parse import _batch_parse_arrow
+
+        spec_on = compile_format(fmt)
+        spec_off = compile_format(fmt)
+        spec_off.__dict__["_split_plan"] = None
+        rx, suffix = _fast_plan(spec_on)
+        lines = GOLDEN_LINES + SEQ_ADVERSARIAL + [None]
+        arr = pa.array(lines, type=pa.string())
+        outs_on, wf_on = _batch_parse_arrow(arr, spec_on, rx, suffix)
+        outs_off, wf_off = _batch_parse_arrow(arr, spec_off, rx, suffix)
+        assert wf_on.to_pylist() == wf_off.to_pylist()
+        for a, b in zip(outs_on, outs_off):
+            assert a.to_pylist() == b.to_pylist()
+
+
+class TestDifferentialE2E:
     def test_kernel_end_to_end_identical(self):
         """_batch_parse_arrow (plan on) vs (plan off) must be
         bit-identical INCLUDING walker fallback resolution."""
