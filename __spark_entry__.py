@@ -476,6 +476,29 @@ def q_token_stats(spark, sf_dir):
     return textstats.token_stats(docs)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style word/2-gram repetition filters as per-row Catalyst
+    array expressions — no explode, no shuffle (the plan-shape test
+    locks this): the scalable form of the repetition scan at 10^12
+    docs, where an explode+groupBy would shuffle ~10^15 word rows."""
+    from logparser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.repetition_stats(docs)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4s / SSN-shaped ids) with typed
+    placeholders + per-kind counts — pure regexp_replace/extract_all in
+    RE2-compatible patterns. The feed plants deterministic PII
+    (arithmetic in doc_id) so the oracle predicts both the scrubbed
+    text and the counts exactly."""
+    from logparser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.pii_scrub(textstats.with_pii(docs))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via the sign-bucket candidate
     join (never all-pairs); tau tuned to the synthetic corpus's cosine
@@ -772,6 +795,63 @@ def _dataprep_sql() -> dict[str, str]:
       ((doc_id % 640) + 1)::INT AS width,
       ((doc_id % 480) + 1)::INT AS height
     FROM documents"""
+
+    # integer-space half-up 6-decimal rounding (same contract as
+    # quality_score: IEEE division is cross-engine exact, ROUND is not)
+    def _r6(num: str, den: str) -> str:
+        return (f"CASE WHEN {den} > 0 THEN "
+                f"((2000000 * {num} + {den}) // (2 * {den})) / 1000000.0 "
+                f"ELSE 0.0 END")
+
+    sqls["repetition_stats"] = f"""
+    WITH w AS (
+      SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+      FROM documents),
+    c AS (
+      SELECT doc_id, len(w)::BIGINT AS n_words,
+        len(list_distinct(w))::BIGINT AS n_distinct_words,
+        coalesce(list_max(list_transform(list_distinct(w),
+            y -> len(list_filter(w, x -> x = y)))), 0)::BIGINT AS topw,
+        list_transform(generate_series(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i + 1]) AS g
+      FROM w),
+    d AS (
+      SELECT doc_id, n_words, n_distinct_words, topw,
+        len(g)::BIGINT AS ng,
+        coalesce(list_max(list_transform(list_distinct(g),
+            y -> len(list_filter(g, x -> x = y)))), 0)::BIGINT AS topg
+      FROM c)
+    SELECT doc_id, n_words, n_distinct_words,
+      {_r6('(n_words - n_distinct_words)', 'n_words')} AS dup_word_frac,
+      {_r6('topw', 'n_words')} AS top_word_frac,
+      {_r6('topg', 'ng')} AS top_2gram_frac
+    FROM d"""
+
+    from logparser_spark.operators.textstats import (
+        PII_EMAIL_RX,
+        PII_IPV4_RX,
+        PII_SSN_RX,
+    )
+
+    sqls["pii_scrub"] = f"""
+    WITH p AS (
+      SELECT doc_id,
+        text || ' contact user' || doc_id || '@example.com from 10.'
+          || (doc_id % 256) || '.0.' || (doc_id % 250) || ' ssn '
+          || lpad((doc_id % 900 + 100)::VARCHAR, 3, '0') || '-'
+          || lpad((doc_id % 90 + 10)::VARCHAR, 2, '0') || '-'
+          || lpad((doc_id % 9000 + 1000)::VARCHAR, 4, '0') AS text
+      FROM documents)
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '{PII_EMAIL_RX}', '<EMAIL>', 'g'),
+        '{PII_SSN_RX}', '<SSN>', 'g'),
+        '{PII_IPV4_RX}', '<IP>', 'g') AS scrubbed_text,
+      len(regexp_extract_all(text, '{PII_EMAIL_RX}'))::BIGINT AS n_emails,
+      len(regexp_extract_all(text, '{PII_IPV4_RX}'))::BIGINT AS n_ipv4,
+      len(regexp_extract_all(text, '{PII_SSN_RX}'))::BIGINT AS n_ssn
+    FROM p"""
 
     sqls["video_meta"] = """
     SELECT doc_id,
@@ -1169,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
         "multimodal_meta": q_multimodal_meta,
         "video_meta": q_video_meta,
         "embedding_near_dup": q_embedding_near_dup,

@@ -145,3 +145,135 @@ def quality_score(df, text_col: str = "text", id_col: str = "doc_id"):
         r6("__alpha", "n_chars").alias("alpha_ratio"),
         "quality_score",
     )
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition filters, word / 2-gram level, as PURE
+    per-row Catalyst array expressions — no explode, no shuffle, so the
+    operator scales embarrassingly (one codegen'd projection over the
+    scan at any row count).
+
+    Outputs per document:
+
+    - ``n_words`` / ``n_distinct_words``
+    - ``dup_word_frac``: 1 - distinct/total (0 when empty)
+    - ``top_word_frac``: occurrences of the most frequent word / total
+    - ``top_2gram_frac``: occurrences of the most frequent adjacent
+      2-gram / total 2-grams
+
+    The max-frequency scans are O(distinct x total) per document —
+    bounded by the document length, deliberately NOT a groupBy: at
+    10^12 rows a per-doc quadratic over <=10^3 words stays in the
+    codegen'd row pipeline while an explode+groupBy would shuffle
+    ~10^15 word rows. Ratios round half-up in integer space (the same
+    Spark/DuckDB ROUND-tie contract as quality_score).
+    """
+    from pyspark.sql import functions as F
+
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+    )
+    base = df.select(
+        F.col(id_col),
+        words.alias("__w"),
+        F.zip_with(
+            F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+            F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ).alias("__g"),
+    )
+
+    def top_freq(col):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(col),
+                lambda w: F.size(F.filter(col, lambda x: x == w)),
+            )
+        )
+
+    counted = base.select(
+        id_col,
+        F.size("__w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("__w")).cast("long")
+        .alias("n_distinct_words"),
+        F.coalesce(top_freq(F.col("__w")), F.lit(0)).cast("long")
+        .alias("__topw"),
+        F.size("__g").cast("long").alias("__ng"),
+        F.coalesce(top_freq(F.col("__g")), F.lit(0)).cast("long")
+        .alias("__topg"),
+    )
+
+    def r6(num, den):
+        return F.when(
+            F.col(den) > 0,
+            F.expr(f"(2000000 * {num} + {den}) div (2 * {den})")
+            / F.lit(1_000_000.0),
+        ).otherwise(F.lit(0.0))
+
+    return counted.select(
+        id_col, "n_words", "n_distinct_words",
+        r6("(n_words - n_distinct_words)", "n_words")
+        .alias("dup_word_frac"),
+        r6("__topw", "n_words").alias("top_word_frac"),
+        r6("__topg", "__ng").alias("top_2gram_frac"),
+    )
+
+
+# deterministic PII feed: arithmetic in doc_id so a SQL oracle predicts
+# the exact pre-scrub text AND the post-scrub text
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RX = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_SSN_RX = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+def with_pii(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Test feed: plant deterministic PII (one email, one IPv4, one
+    SSN-shaped id, all arithmetic in doc_id) into each document, where
+    a crawl would carry real leaked PII. Catalyst concat — no Python."""
+    from pyspark.sql import functions as F
+
+    i = F.col(id_col)
+    return df.withColumn(
+        text_col,
+        F.concat(
+            F.col(text_col),
+            F.lit(" contact user"), i.cast("string"),
+            F.lit("@example.com from 10."), (i % 256).cast("string"),
+            F.lit(".0."), (i % 250).cast("string"),
+            F.lit(" ssn "),
+            F.lpad((i % 900 + 100).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad((i % 90 + 10).cast("string"), 2, "0"),
+            F.lit("-"), F.lpad((i % 9000 + 1000).cast("string"), 4, "0"),
+        ),
+    )
+
+
+def pii_scrub(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Redact emails / IPv4s / SSN-shaped ids with typed placeholders
+    and count each redaction — pure Catalyst ``regexp_replace`` +
+    ``regexp_count`` (RE2-compatible patterns, no lookarounds, so the
+    same regexes run identically on Spark's Java engine and DuckDB's
+    RE2). Per-row, shuffle-free; the standard scrub pass a crawl
+    pipeline runs before training-data export."""
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    n_email = F.size(
+        F.regexp_extract_all(t, F.lit(PII_EMAIL_RX), F.lit(0))
+    )
+    n_ip = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RX), F.lit(0)))
+    n_ssn = F.size(F.regexp_extract_all(t, F.lit(PII_SSN_RX), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RX, "<EMAIL>"),
+            PII_SSN_RX, "<SSN>",
+        ),
+        PII_IPV4_RX, "<IP>",
+    )
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed_text"),
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ipv4"),
+        n_ssn.cast("long").alias("n_ssn"),
+    )

@@ -384,6 +384,62 @@ def test_image_metadata_real_decode(spark):
     assert all(r["count"] >= 1 for r in per_doc)
 
 
+def test_repetition_stats_edges(spark):
+    """Word/2-gram repetition: hand-computed docs incl. empty and
+    single-word edges; plan must stay shuffle-free (per-row arrays)."""
+    from logparser_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),        # topw a=3/5, 2-grams: a b, b a, a b, b a
+         (2, "x"),                # single word, zero 2-grams
+         (3, ""),                 # empty
+         (4, "u v w"),            # all distinct
+         (5, "  s   s  ")],       # ws runs filtered out
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    assert (got[1]["n_words"], got[1]["n_distinct_words"]) == (5, 2)
+    assert got[1]["top_word_frac"] == 0.6          # 3/5
+    assert got[1]["top_2gram_frac"] == 0.5         # 2/4
+    assert got[1]["dup_word_frac"] == 0.6          # (5-2)/5
+    assert (got[2]["n_words"], got[2]["top_2gram_frac"]) == (1, 0.0)
+    assert (got[3]["n_words"], got[3]["dup_word_frac"]) == (0, 0.0)
+    assert got[4]["dup_word_frac"] == 0.0
+    assert (got[5]["n_words"], got[5]["n_distinct_words"]) == (2, 1)
+    plan = textstats.repetition_stats(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_pii_scrub_patterns(spark):
+    from logparser_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c_1@sub.domain.io and 192.168.0.1 ssn 123-45-6789"),
+         (2, "no pii here, just words and 1234 numbers"),
+         (3, "two mails x@y.com z@w.org; bad ip 999.1.2 is not 1.2.3.4x"),
+         (4, "")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in textstats.pii_scrub(df).collect()}
+    assert got[1]["scrubbed_text"] == "mail <EMAIL> and <IP> ssn <SSN>"
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_ssn"]) == (1, 1, 1)
+    assert got[2]["scrubbed_text"] == \
+        "no pii here, just words and 1234 numbers"  # untouched
+    assert (got[2]["n_emails"], got[2]["n_ipv4"], got[2]["n_ssn"]) == (0, 0, 0)
+    assert got[3]["n_emails"] == 2
+    assert (got[4]["n_emails"], got[4]["scrubbed_text"]) == (0, "")
+
+    # the deterministic feed round-trips: every planted item scrubbed
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    out = textstats.pii_scrub(textstats.with_pii(docs)).collect()
+    for r in out:
+        assert r["n_emails"] >= 1 and r["n_ipv4"] >= 1 and r["n_ssn"] >= 1
+        s = r["scrubbed_text"]
+        assert "<EMAIL>" in s and "<IP>" in s and "<SSN>" in s
+        assert "@example.com" not in s
+
+
 def test_video_dims_header_parsers(spark):
     """Real struct-based container decode: MP4 box walk + AVI avih."""
     import struct as st
