@@ -536,6 +536,52 @@ def q_video_meta(spark, sf_dir):
     )
 
 
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: every 13th document stands in for the
+    benchmark suite; per-doc distinct word 3-grams are semi-joined
+    against the broadcast benchmark n-gram set. Benchmark docs come out
+    100% contaminated; the rest land wherever the shared word soup puts
+    them, so the 500k-ppm flag splits the corpus non-trivially."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    benchmark = docs.where(F.col("doc_id") % 13 == 0)
+    return corpus.contamination_check(
+        docs, benchmark, n=3, threshold_ppm=500_000
+    )
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Token-window chunking (window=8, stride=6) followed by exact
+    chunk-level dedup with the deterministic keep-first rule — the
+    map-only shard splitter plus its digest-only dedup shuffle."""
+    from logparser_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.chunk_dedup(corpus.chunk_documents(
+        docs, window=8, stride=6
+    ))
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language Bernoulli sample via salted-md5
+    buckets — map-only, no RNG state, identical selection on re-run and
+    across engines (the property df.sample cannot give)."""
+    from logparser_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.sample_stratified(docs)
+
+
+def q_domain_mix(spark, sf_dir):
+    """Per-language mixing report (target vs achieved ppm) in one
+    aggregation over the scan — the sample itself never materializes."""
+    from logparser_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.domain_mix(docs)
 
 
 def _dhash(e: str) -> str:
@@ -864,6 +910,74 @@ def _dataprep_sql() -> dict[str, str]:
             ELSE 40 * ((doc_id % 30) + 1) END)::BIGINT AS duration_ms,
       ((doc_id % 30) + 1)::BIGINT AS n_frames
     FROM documents"""
+
+    sqls["contamination_check"] = """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(w) >= 3 THEN
+          list_transform(generate_series(1, len(w) - 2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+          ELSE [] END) AS g
+      FROM w),
+    bg AS (SELECT DISTINCT unnest(g) AS ngram FROM g WHERE doc_id % 13 = 0),
+    hits AS (
+      SELECT doc_id, count(*)::BIGINT AS n_contaminated
+      FROM (SELECT doc_id, unnest(g) AS ngram FROM g) e
+      JOIN bg USING (ngram) GROUP BY 1)
+    SELECT g.doc_id, len(g.g)::BIGINT AS n_ngrams,
+      coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+      CASE WHEN len(g.g) > 0 THEN
+        ((2000000 * coalesce(h.n_contaminated, 0) + len(g.g))
+         // (2 * len(g.g))) / 1000000.0
+      ELSE 0.0 END AS contamination_frac,
+      (len(g.g) > 0 AND coalesce(h.n_contaminated, 0) * 1000000
+         >= 500000 * len(g.g)) AS is_contaminated
+    FROM g LEFT JOIN hits h USING (doc_id)"""
+
+    sqls["chunk_dedup"] = """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+      FROM documents),
+    ch AS (
+      SELECT doc_id,
+        unnest(generate_series(1, len(starts))) - 1 AS chunk_id,
+        array_to_string(w[unnest(starts):unnest(starts)+7], ' ') AS chunk_text,
+        len(w[unnest(starts):unnest(starts)+7]) AS n_tokens
+      FROM (SELECT doc_id, w,
+              CASE WHEN len(w) > 0 THEN generate_series(1, len(w), 6)
+                   ELSE [] END AS starts
+            FROM w))
+    SELECT md5(chunk_text) AS chunk_md5,
+      (min(doc_id * 1000000 + chunk_id) // 1000000)::BIGINT AS keep_doc_id,
+      (min(doc_id * 1000000 + chunk_id) % 1000000)::BIGINT AS keep_chunk_id,
+      count(*)::BIGINT AS n_copies,
+      min(n_tokens)::BIGINT AS n_tokens
+    FROM ch GROUP BY 1"""
+
+    _bucket = ("('0x' || substr(md5('salt42|' || doc_id::VARCHAR), 1, 8))"
+               "::BIGINT % 1000000")
+    _rate = ("CASE lang WHEN 'en' THEN 620000 WHEN 'de' THEN 370000 "
+             "WHEN 'fr' THEN 250000 WHEN 'es' THEN 180000 "
+             "ELSE 120000 END")
+
+    sqls["sample_stratified"] = f"""
+    SELECT doc_id, lang, source,
+      ({_bucket})::BIGINT AS bucket,
+      ({_rate})::BIGINT AS rate_ppm
+    FROM documents
+    WHERE {_bucket} < {_rate}"""
+
+    sqls["domain_mix"] = f"""
+    SELECT lang, ({_rate})::BIGINT AS rate_ppm,
+      count(*)::BIGINT AS n_total,
+      sum(CASE WHEN {_bucket} < {_rate} THEN 1 ELSE 0 END)::BIGINT
+        AS n_sampled,
+      ((2000000 * sum(CASE WHEN {_bucket} < {_rate} THEN 1 ELSE 0 END)
+        + count(*)) // (2 * count(*)))::BIGINT AS achieved_ppm
+    FROM documents GROUP BY 1, 2"""
 
     return sqls
 
@@ -1254,6 +1368,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "video_meta": q_video_meta,
         "embedding_near_dup": q_embedding_near_dup,
+        # corpus construction
+        "contamination_check": q_contamination_check,
+        "chunk_dedup": q_chunk_dedup,
+        "sample_stratified": q_sample_stratified,
+        "domain_mix": q_domain_mix,
         # checkpoint/lineage + skew
         "lineage_buckets": q_lineage_buckets,
         "host_line_tally_salted": q_host_line_tally_salted,

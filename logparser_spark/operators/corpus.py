@@ -1,0 +1,287 @@
+"""Corpus-construction operators for training-data pipelines:
+benchmark-contamination checking, token-window chunking (+ chunk-level
+exact dedup), and deterministic stratified sampling / domain-mix
+accounting.
+
+All pure Catalyst expressions (no UDFs, no driver-side data): the only
+shuffles are the ones the semantics force (the contamination hit-count
+groupBy, the chunk-dedup groupBy), and the benchmark side of the
+contamination join is broadcast — the shape that survives a 10^12-row
+corpus against a ~10^5-n-gram benchmark suite.
+
+Design sources are public corpus-prep practice: n-gram train/test
+decontamination (GPT-3 appendix C / PaLM-style 13-gram overlap, here
+parameterized), fixed-window token chunking with overlap, and
+hash-bucket Bernoulli sampling for language/domain mixing. Rounding of
+reported fractions uses the same integer-space half-up contract as
+``textstats.quality_score`` so a DuckDB oracle reproduces every value
+bit-exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+# ppm = parts-per-million: a doc is kept when its 32-bit md5 bucket
+# (mod 1_000_000) falls below the stratum's rate. Deterministic in
+# doc_id — re-running the pipeline reselects the identical sample.
+DEFAULT_RATES_PPM: dict[str, int] = {
+    "en": 620_000,
+    "de": 370_000,
+    "fr": 250_000,
+    "es": 180_000,
+}
+DEFAULT_RATE_PPM = 120_000
+SAMPLE_SALT = "salt42|"
+
+
+def _words(text_col):
+    from pyspark.sql import functions as F
+
+    return F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
+
+
+def _r6(num, den):
+    """Integer-space half-up rounding of num/den to 6 decimals (the
+    cross-engine-exact form: IEEE division of exact integers)."""
+    from pyspark.sql import functions as F
+
+    return F.when(
+        F.col(den) > 0,
+        F.expr(f"(2000000 * {num} + {den}) div (2 * {den})")
+        / F.lit(1_000_000.0),
+    ).otherwise(F.lit(0.0))
+
+
+def word_ngrams(df, n: int, text_col: str = "text", id_col: str = "doc_id",
+                distinct: bool = True):
+    """Per-row array of word ``n``-grams (space-joined), optionally
+    deduplicated within the document. Pure per-row expression — the
+    n-gram blow-up never leaves the row until a caller explodes it."""
+    from pyspark.sql import functions as F
+
+    grams = F.expr(
+        f"CASE WHEN size(__w) >= {n} THEN "
+        f"transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> array_join(slice(__w, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return df.select(
+        F.col(id_col), _words(text_col).alias("__w")
+    ).select(id_col, grams.alias("ngrams"))
+
+
+def contamination_check(docs, benchmark, n: int = 5,
+                        threshold_ppm: int = 100_000,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Benchmark decontamination: per document, how many of its distinct
+    word ``n``-grams appear anywhere in the benchmark corpus.
+
+    Output: ``(doc_id, n_ngrams, n_contaminated, contamination_frac,
+    is_contaminated)`` — ``is_contaminated`` is the exact integer
+    comparison ``n_contaminated * 1_000_000 >= threshold_ppm *
+    n_ngrams`` (never a float threshold), false for empty docs.
+
+    Scale shape: the benchmark n-gram set is DISTINCT'd and broadcast
+    (benchmark suites are ~10^5-10^6 n-grams against a 10^12-row
+    corpus); the corpus side explodes only per-doc-distinct n-grams,
+    semi-joins map-side, and aggregates hit counts with map-side
+    partials on ``doc_id``. No corpus-side shuffle besides that count.
+    """
+    from pyspark.sql import functions as F
+
+    grams = word_ngrams(docs, n, text_col, id_col).persist()
+    bench_grams = (
+        word_ngrams(benchmark, n, text_col, id_col)
+        .select(F.explode("ngrams").alias("ngram")).distinct()
+    )
+    hits = (
+        grams.select(id_col, F.explode("ngrams").alias("ngram"))
+        .join(F.broadcast(bench_grams), "ngram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    per_doc = grams.select(
+        id_col, F.size("ngrams").cast("long").alias("n_ngrams")
+    )
+    return (
+        per_doc.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long")
+            .alias("n_contaminated"),
+        )
+        .select(
+            id_col, "n_ngrams", "n_contaminated",
+            _r6("n_contaminated", "n_ngrams").alias("contamination_frac"),
+            (
+                (F.col("n_ngrams") > 0)
+                & (F.col("n_contaminated") * 1_000_000
+                   >= F.lit(threshold_ppm) * F.col("n_ngrams"))
+            ).alias("is_contaminated"),
+        )
+    )
+
+
+def chunk_documents(docs, window: int = 8, stride: int = 6,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Fixed token-window chunking with overlap (``window`` tokens per
+    chunk, new chunk every ``stride``): the standard pre-tokenization
+    split for LLM training shards. Chunk starts are 1, 1+stride, ...
+    while <= n_words, so trailing chunks may be short (kept — the
+    downstream packer decides). Empty docs emit no chunks.
+
+    Output: ``(doc_id, chunk_id, chunk_text, n_tokens)``.
+
+    Scale shape: per-row explode with factor ~n_words/stride, no
+    shuffle at all — chunking 10^12 docs is a map-only stage that
+    writes straight to the shard sink.
+    """
+    from pyspark.sql import functions as F
+
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    base = docs.select(F.col(id_col), _words(text_col).alias("__w"))
+    starts = F.expr(
+        f"CASE WHEN size(__w) > 0 THEN sequence(1, size(__w), {stride}) "
+        f"ELSE array() END"
+    )
+    chunk = F.expr(f"slice(__w, __start, {window})")
+    return (
+        base.select(id_col, "__w",
+                    F.posexplode(starts).alias("__pos", "__start"))
+        .select(
+            id_col,
+            F.col("__pos").cast("long").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def chunk_dedup(chunks, text_col: str = "chunk_text",
+                id_col: str = "doc_id", ord_col: str = "chunk_id"):
+    """Exact chunk-level dedup: one row per distinct chunk text, keeping
+    the first occurrence (min (doc_id, chunk_id)) plus the copy count.
+    The deterministic keep-first rule makes re-runs reproducible.
+
+    Scale shape: a single groupBy on the md5 of the chunk — only
+    digests + the packed 64-bit keeper key shuffle, never chunk bodies
+    (the keeper's text is re-read by joining back on the key if needed;
+    here chunks are short so we carry the text through ``min`` by the
+    packed key). For 10^12 chunks switch the key to
+    :func:`logparser_spark.operators.dedup.md5_s64_pair` — hex here
+    keeps the oracle 1:1.
+    """
+    from pyspark.sql import functions as F
+
+    packed = (F.col(id_col) * 1_000_000 + F.col(ord_col)).alias("__k")
+    return (
+        chunks.select(F.md5(F.col(text_col)).alias("chunk_md5"), packed,
+                      F.col("n_tokens"))
+        .groupBy("chunk_md5")
+        .agg(
+            F.min("__k").alias("__kmin"),
+            F.count("*").alias("n_copies"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "chunk_md5",
+            F.expr("__kmin div 1000000").alias("keep_doc_id"),
+            (F.col("__kmin") % 1_000_000).alias("keep_chunk_id"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+            "n_tokens",
+        )
+    )
+
+
+def _bucket_expr(id_col: str):
+    """Deterministic 0..999_999 bucket from md5 of the salted id —
+    portable to any SQL engine (same salt, same substring, same hex
+    parse)."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(SAMPLE_SALT),
+                               F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 1_000_000
+    )
+
+
+def _rate_expr(lang_col: str, rates_ppm: Mapping[str, int],
+               default_ppm: int):
+    from pyspark.sql import functions as F
+
+    rate = F.lit(default_ppm)
+    expr = None
+    for lang, ppm in rates_ppm.items():
+        cond = (F.col(lang_col) == lang)
+        expr = F.when(cond, F.lit(ppm)) if expr is None \
+            else expr.when(cond, F.lit(ppm))
+    return expr.otherwise(rate) if expr is not None else rate
+
+
+def sample_stratified(docs, rates_ppm: Mapping[str, int] | None = None,
+                      default_ppm: int = DEFAULT_RATE_PPM,
+                      lang_col: str = "lang", id_col: str = "doc_id"):
+    """Deterministic per-stratum Bernoulli sampling for language/domain
+    mixing: keep a doc when its salted-md5 bucket (uniform 0..999_999,
+    independent of the stratum) is below the stratum's ppm rate.
+
+    Output: the selected rows with ``(doc_id, lang, source, bucket,
+    rate_ppm)``.
+
+    Scale shape: map-only filter over the scan — no shuffle, no RNG
+    state, identical selection on re-run and across engines (the
+    property Bernoulli ``df.sample`` cannot give you).
+    """
+    from pyspark.sql import functions as F
+
+    rates = DEFAULT_RATES_PPM if rates_ppm is None else dict(rates_ppm)
+    bucket = _bucket_expr(id_col).alias("bucket")
+    rate = _rate_expr(lang_col, rates, default_ppm) \
+        .cast("long").alias("rate_ppm")
+    return (
+        docs.select(id_col, lang_col, "source", bucket, rate)
+        .where(F.col("bucket") < F.col("rate_ppm"))
+    )
+
+
+def domain_mix(docs, rates_ppm: Mapping[str, int] | None = None,
+               default_ppm: int = DEFAULT_RATE_PPM,
+               lang_col: str = "lang", id_col: str = "doc_id"):
+    """Per-stratum mixing report: total docs, sampled docs, achieved
+    rate (ppm, integer half-up) vs target — the acceptance check a
+    mixing pipeline runs after :func:`sample_stratified`.
+
+    One aggregation over the scan (map-side partial sums of the 0/1
+    selection mask) — the sample itself is never materialized.
+    """
+    from pyspark.sql import functions as F
+
+    rates = DEFAULT_RATES_PPM if rates_ppm is None else dict(rates_ppm)
+    bucket = _bucket_expr(id_col)
+    rate = _rate_expr(lang_col, rates, default_ppm)
+    sel = F.when(bucket < rate, F.lit(1)).otherwise(F.lit(0))
+    return (
+        docs.select(F.col(lang_col), rate.alias("rate_ppm"),
+                    sel.alias("__sel"))
+        .groupBy(lang_col, "rate_ppm")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("__sel").cast("long").alias("n_sampled"),
+        )
+        .select(
+            lang_col,
+            F.col("rate_ppm").cast("long").alias("rate_ppm"),
+            "n_total", "n_sampled",
+            F.expr("(2000000 * n_sampled + n_total) div (2 * n_total)")
+            .cast("long").alias("achieved_ppm"),
+        )
+    )

@@ -1,0 +1,202 @@
+"""Corpus-construction operators: contamination check, token-window
+chunking + chunk dedup, deterministic stratified sampling.
+
+Every expectation here is hand-computed from the fixture — no
+golden-file regeneration, no tolerance windows."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from logparser_spark.operators import corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+
+
+class TestWordNgrams:
+    def test_basic_trigrams(self, spark):
+        df = _docs(spark, [(1, "a b c d", "en", "s")])
+        [row] = corpus.word_ngrams(df, 3).collect()
+        assert sorted(row["ngrams"]) == ["a b c", "b c d"]
+
+    def test_short_doc_yields_empty(self, spark):
+        df = _docs(spark, [(1, "a b", "en", "s"), (2, "", "en", "s")])
+        got = {r["doc_id"]: r["ngrams"]
+               for r in corpus.word_ngrams(df, 3).collect()}
+        assert got == {1: [], 2: []}
+
+    def test_distinct_dedupes_within_doc(self, spark):
+        df = _docs(spark, [(1, "x y x y x y", "en", "s")])
+        [row] = corpus.word_ngrams(df, 2).collect()
+        assert sorted(row["ngrams"]) == ["x y", "y x"]
+        [row] = corpus.word_ngrams(df, 2, distinct=False).collect()
+        assert len(row["ngrams"]) == 5
+
+    def test_multiple_spaces_collapse(self, spark):
+        df = _docs(spark, [(1, "a  b   c", "en", "s")])
+        [row] = corpus.word_ngrams(df, 2).collect()
+        assert sorted(row["ngrams"]) == ["a b", "b c"]
+
+
+class TestContamination:
+    def test_exact_fractions(self, spark):
+        # bench holds exactly {a b c}; doc 1 has 3 distinct 2-grams of
+        # which 1 ("a b" -> no wait, n=3) ... use n=3:
+        # doc 1 "a b c d e": 3-grams {a b c, b c d, c d e}, 1 hit.
+        docs = _docs(spark, [
+            (1, "a b c d e", "en", "s"),
+            (2, "x y z w", "en", "s"),
+            (3, "a b c", "en", "s"),
+            (4, "a b", "en", "s"),
+        ])
+        bench = _docs(spark, [(100, "a b c", "en", "s")])
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in corpus.contamination_check(
+                docs, bench, n=3, threshold_ppm=500_000
+            ).collect()
+        }
+        assert got[1]["n_ngrams"] == 3 and got[1]["n_contaminated"] == 1
+        # 1/3 half-up at 6 decimals = 0.333333
+        assert got[1]["contamination_frac"] == pytest.approx(0.333333)
+        assert got[1]["is_contaminated"] is False
+        assert got[2]["n_contaminated"] == 0
+        assert got[3]["n_contaminated"] == 1
+        assert got[3]["is_contaminated"] is True  # 1/1 >= 0.5
+        # doc 4 too short for any 3-gram: defined as NOT contaminated
+        assert got[4]["n_ngrams"] == 0
+        assert got[4]["is_contaminated"] is False
+        assert got[4]["contamination_frac"] == 0.0
+
+    def test_threshold_is_integer_exact(self, spark):
+        # 1 hit of 2 n-grams vs threshold 500000 ppm: 1*1e6 >= 5e5*2
+        # must be True (>=, not >) — a float 0.5 comparison could tie
+        # either way.
+        docs = _docs(spark, [(1, "a b c d", "en", "s")])
+        bench = _docs(spark, [(9, "a b c", "en", "s")])
+        [row] = corpus.contamination_check(
+            docs, bench, n=3, threshold_ppm=500_000
+        ).collect()
+        assert row["n_ngrams"] == 2 and row["n_contaminated"] == 1
+        assert row["is_contaminated"] is True
+
+
+class TestChunking:
+    def test_window_stride_boundaries(self, spark):
+        # 10 words, window 4, stride 3 -> starts 1,4,7,10:
+        # [w1..w4], [w4..w7], [w7..w10], [w10] (short tail kept)
+        words = [f"w{i}" for i in range(1, 11)]
+        df = _docs(spark, [(7, " ".join(words), "en", "s")])
+        rows = sorted(
+            corpus.chunk_documents(df, window=4, stride=3).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert [r["chunk_text"] for r in rows] == [
+            "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10",
+        ]
+        assert [r["n_tokens"] for r in rows] == [4, 4, 4, 1]
+        assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+
+    def test_empty_doc_emits_no_chunks(self, spark):
+        df = _docs(spark, [(1, "", "en", "s"), (2, "a", "en", "s")])
+        rows = corpus.chunk_documents(df, window=4, stride=3).collect()
+        assert [(r["doc_id"], r["chunk_text"]) for r in rows] == [(2, "a")]
+
+    def test_invalid_params_raise(self, spark):
+        df = _docs(spark, [(1, "a", "en", "s")])
+        with pytest.raises(ValueError):
+            corpus.chunk_documents(df, window=0, stride=3)
+        with pytest.raises(ValueError):
+            corpus.chunk_documents(df, window=4, stride=0)
+
+    def test_chunk_dedup_keep_first(self, spark):
+        # identical chunk text appears in docs 3 and 1 — keeper must be
+        # the min (doc_id, chunk_id) pair, i.e. doc 1.
+        df = _docs(spark, [
+            (3, "a b c", "en", "s"),
+            (1, "a b c", "en", "s"),
+            (2, "x y", "en", "s"),
+        ])
+        chunks = corpus.chunk_documents(df, window=8, stride=6)
+        got = {r["chunk_md5"]: r.asDict()
+               for r in corpus.chunk_dedup(chunks).collect()}
+        abc = hashlib.md5(b"a b c").hexdigest()
+        xy = hashlib.md5(b"x y").hexdigest()
+        assert set(got) == {abc, xy}
+        assert got[abc]["keep_doc_id"] == 1
+        assert got[abc]["keep_chunk_id"] == 0
+        assert got[abc]["n_copies"] == 2
+        assert got[abc]["n_tokens"] == 3
+        assert got[xy]["n_copies"] == 1
+
+    def test_chunk_dedup_distinguishes_chunk_positions(self, spark):
+        # same doc, overlapping windows that happen to repeat text:
+        # "p q p q" window 2 stride 2 -> chunks "p q", "p q" — one
+        # group, keeper chunk_id 0, 2 copies.
+        df = _docs(spark, [(5, "p q p q", "en", "s")])
+        chunks = corpus.chunk_documents(df, window=2, stride=2)
+        [row] = corpus.chunk_dedup(chunks).collect()
+        assert (row["keep_doc_id"], row["keep_chunk_id"],
+                row["n_copies"]) == (5, 0, 2)
+
+
+class TestSampling:
+    def _bucket(self, doc_id: int) -> int:
+        h = hashlib.md5(f"salt42|{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % 1_000_000
+
+    def test_bucket_matches_reference_md5(self, spark):
+        df = _docs(spark, [(i, "t", "en", "s") for i in range(50)])
+        got = {r["doc_id"]: r["bucket"]
+               for r in corpus.sample_stratified(
+                   df, rates_ppm={}, default_ppm=1_000_000
+               ).collect()}
+        assert len(got) == 50  # rate 1e6 keeps everything
+        for i in range(50):
+            assert got[i] == self._bucket(i)
+
+    def test_selection_is_rate_cut(self, spark):
+        df = _docs(spark, [
+            (i, "t", "en" if i % 2 == 0 else "zz", "s") for i in range(200)
+        ])
+        rows = corpus.sample_stratified(
+            df, rates_ppm={"en": 620_000}, default_ppm=120_000
+        ).collect()
+        expect = {
+            i for i in range(200)
+            if self._bucket(i) < (620_000 if i % 2 == 0 else 120_000)
+        }
+        assert {r["doc_id"] for r in rows} == expect
+        for r in rows:
+            assert r["rate_ppm"] == (620_000 if r["doc_id"] % 2 == 0
+                                     else 120_000)
+
+    def test_rerun_identical(self, spark):
+        df = _docs(spark, [(i, "t", "en", "s") for i in range(100)])
+        a = {r["doc_id"] for r in corpus.sample_stratified(df).collect()}
+        b = {r["doc_id"] for r in corpus.sample_stratified(df).collect()}
+        assert a == b
+
+    def test_domain_mix_accounting(self, spark):
+        df = _docs(spark, [
+            (i, "t", "en" if i < 60 else "de", "s") for i in range(100)
+        ])
+        got = {r["lang"]: r.asDict()
+               for r in corpus.domain_mix(df).collect()}
+        en_sel = sum(1 for i in range(60)
+                     if self._bucket(i) < 620_000)
+        de_sel = sum(1 for i in range(60, 100)
+                     if self._bucket(i) < 370_000)
+        assert got["en"]["n_total"] == 60
+        assert got["en"]["n_sampled"] == en_sel
+        assert got["de"]["n_sampled"] == de_sel
+        # achieved_ppm is integer half-up of n_sampled/n_total * 1e6
+        assert got["en"]["achieved_ppm"] == (
+            (2_000_000 * en_sel + 60) // 120
+        )
