@@ -536,6 +536,40 @@ def q_video_meta(spark, sf_dir):
     )
 
 
+def q_audio_meta(spark, sf_dir):
+    """REAL audio-header decode across all three parsers: synthesize a
+    valid WAV (ids % 3 == 0), FLAC (1) or MP3 (2, even ids behind an
+    ID3v2 tag) per document and parse rate/channels/bits/samples back
+    out of the raw bytes — every field arithmetic in doc_id, so the
+    oracle predicts the whole struct and any header-walk bug
+    mismatches."""
+    from logparser_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.audio_metadata(
+        multimodal.synth_audio(docs), binary_col="aud"
+    )
+
+
+def q_video_frames(spark, sf_dir):
+    """REAL frame-pixel extraction: synthesize a playable uncompressed
+    AVI per document (dims/frame-count/fill all arithmetic in doc_id,
+    every 4-byte DIB stride-padding case exercised), then walk the RIFF
+    chunks and decode each frame's raw BGR rows back out
+    (`multimodal.extract_frames_avi`) — the oracle predicts width,
+    height, pixel count and pixel SUM per frame, so any row-stride or
+    padding bug mismatches."""
+    from logparser_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = multimodal.frame_sample(
+        multimodal.synth_avi_rgb(docs), binary_col="vid"
+    )
+    return frames.select(
+        "doc_id", "frame_no", "width", "height", "n_px", "px_sum"
+    )
+
+
 def q_contamination_check(spark, sf_dir):
     """Benchmark decontamination: every 13th document stands in for the
     benchmark suite; per-doc distinct word 3-grams are semi-joined
@@ -563,6 +597,19 @@ def q_chunk_dedup(spark, sf_dir):
     return corpus.chunk_dedup(corpus.chunk_documents(
         docs, window=8, stride=6
     ))
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Concat-then-split sequence packing of the chunked corpus into
+    32-token shards across 16 hash buckets — one bounded-window shuffle,
+    every shard/offset value integer-exact."""
+    from logparser_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.pack_chunks(
+        corpus.chunk_documents(docs, window=8, stride=6),
+        budget_tokens=32, n_buckets=16,
+    )
 
 
 def q_sample_stratified(spark, sf_dir):
@@ -911,6 +958,45 @@ def _dataprep_sql() -> dict[str, str]:
       ((doc_id % 30) + 1)::BIGINT AS n_frames
     FROM documents"""
 
+    sqls["audio_meta"] = """
+    SELECT doc_id,
+      (CASE doc_id % 3
+         WHEN 0 THEN 44 + ((doc_id % 500) + 1) * ((doc_id % 2) + 1) * 2
+         WHEN 1 THEN 42
+         ELSE ((doc_id % 6) + 1)
+              * (18432000 // (CASE (doc_id // 3) % 3 WHEN 0 THEN 44100
+                              WHEN 1 THEN 48000 ELSE 32000 END))
+              + (CASE WHEN doc_id % 2 = 0 THEN 10 ELSE 0 END)
+       END)::BIGINT AS n_bytes,
+      (CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+       ELSE 'mp3' END) AS format,
+      (CASE doc_id % 3
+         WHEN 0 THEN 8000 + (doc_id % 90) * 100
+         WHEN 1 THEN 8000 + (doc_id % 40000)
+         ELSE (CASE (doc_id // 3) % 3 WHEN 0 THEN 44100
+               WHEN 1 THEN 48000 ELSE 32000 END)
+       END)::INT AS sample_rate,
+      (CASE doc_id % 3 WHEN 1 THEN (doc_id % 8) + 1
+       ELSE (doc_id % 2) + 1 END)::INT AS channels,
+      (CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 16 END)::INT
+        AS bits_per_sample,
+      (CASE doc_id % 3
+         WHEN 0 THEN (doc_id % 500) + 1
+         WHEN 1 THEN ((doc_id * 37) % 100000) + 1
+         ELSE 1152 * ((doc_id % 6) + 1)
+       END)::BIGINT AS n_samples
+    FROM documents"""
+
+    sqls["video_frames"] = """
+    SELECT doc_id,
+      unnest(generate_series(0, doc_id % 5))::INT AS frame_no,
+      ((doc_id % 8) + 1)::INT AS width,
+      ((doc_id % 6) + 1)::INT AS height,
+      (3 * ((doc_id % 8) + 1) * ((doc_id % 6) + 1))::BIGINT AS n_px,
+      (((doc_id * 7 + unnest(generate_series(0, doc_id % 5)) * 13) % 256)
+       * 3 * ((doc_id % 8) + 1) * ((doc_id % 6) + 1))::BIGINT AS px_sum
+    FROM documents"""
+
     sqls["contamination_check"] = """
     WITH w AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
@@ -956,6 +1042,36 @@ def _dataprep_sql() -> dict[str, str]:
       count(*)::BIGINT AS n_copies,
       min(n_tokens)::BIGINT AS n_tokens
     FROM ch GROUP BY 1"""
+
+    sqls["pack_chunks"] = """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+      FROM documents),
+    ch AS (
+      SELECT doc_id,
+        unnest(generate_series(1, len(starts))) - 1 AS chunk_id,
+        len(w[unnest(starts):unnest(starts)+7]) AS n_tokens
+      FROM (SELECT doc_id, w,
+              CASE WHEN len(w) > 0 THEN generate_series(1, len(w), 6)
+                   ELSE [] END AS starts
+            FROM w)),
+    b AS (
+      SELECT doc_id, chunk_id, n_tokens,
+        ('0x' || substr(md5('salt42|' || doc_id::VARCHAR), 1, 8))::BIGINT
+          % 16 AS bucket
+      FROM ch),
+    c AS (
+      SELECT *, sum(n_tokens) OVER (
+        PARTITION BY bucket ORDER BY doc_id, chunk_id
+        ROWS UNBOUNDED PRECEDING) AS c
+      FROM b)
+    SELECT bucket::BIGINT AS bucket, doc_id,
+      chunk_id::BIGINT AS chunk_id, n_tokens::BIGINT AS n_tokens,
+      ((c - 1) // 32)::BIGINT AS shard_id,
+      greatest((c - n_tokens) - ((c - 1) // 32) * 32, 0)::BIGINT AS offset,
+      (CASE WHEN (c - n_tokens) < ((c - 1) // 32) * 32 THEN 1
+       ELSE 0 END)::INT AS straddles
+    FROM c"""
 
     _bucket = ("('0x' || substr(md5('salt42|' || doc_id::VARCHAR), 1, 8))"
                "::BIGINT % 1000000")
@@ -1367,10 +1483,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "multimodal_meta": q_multimodal_meta,
         "video_meta": q_video_meta,
+        "video_frames": q_video_frames,
+        "audio_meta": q_audio_meta,
         "embedding_near_dup": q_embedding_near_dup,
         # corpus construction
         "contamination_check": q_contamination_check,
         "chunk_dedup": q_chunk_dedup,
+        "pack_chunks": q_pack_chunks,
         "sample_stratified": q_sample_stratified,
         "domain_mix": q_domain_mix,
         # checkpoint/lineage + skew

@@ -198,6 +198,65 @@ def chunk_dedup(chunks, text_col: str = "chunk_text",
     )
 
 
+def pack_chunks(chunks, budget_tokens: int = 32, n_buckets: int = 16,
+                id_col: str = "doc_id", ord_col: str = "chunk_id",
+                tok_col: str = "n_tokens"):
+    """Concat-then-split shard packing (the pre-training "sequence
+    packing" step): within a hash bucket, chunks are concatenated in
+    deterministic (doc_id, chunk_id) order into a token stream that is
+    cut every ``budget_tokens`` — the GPT-style packing where a chunk
+    may straddle a shard boundary. With inclusive running total ``c``
+    over the bucket, a chunk's shard is ``floor((c - 1) / budget)``
+    (the shard its LAST token lands in), ``offset`` is its first
+    token's position inside that shard (0 when it straddles in from the
+    previous shard), and ``straddles`` flags boundary-crossing chunks
+    (1/0) so a strict no-split consumer can drop or re-emit them.
+
+    Output: input keys + ``(bucket, shard_id, offset, straddles)``.
+
+    Scale shape: ONE shuffle — a window partitioned by the salted-md5
+    bucket of doc_id. The bucket count bounds every window partition to
+    ~corpus/n_buckets rows, so no task ever sees a global ordering, and
+    shards never span buckets — exactly how a shard writer
+    parallelizes output files. The running sum + integer division are
+    plain window/scalar expressions, so DuckDB reproduces every value
+    bit-exactly.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if budget_tokens <= 0 or n_buckets <= 0:
+        raise ValueError("budget_tokens and n_buckets must be positive")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(SAMPLE_SALT),
+                               F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % n_buckets
+    ).alias("bucket")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col), F.col(ord_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = F.sum(F.col(tok_col)).over(w)
+    shard = F.expr(f"(__c - 1) div {budget_tokens}")
+    start = F.col("__c") - F.col(tok_col)  # tokens before this chunk
+    return (
+        chunks.select(bucket, id_col, ord_col, tok_col)
+        .withColumn("__c", c.cast("long"))
+        .select(
+            "bucket", id_col, ord_col, tok_col,
+            shard.alias("shard_id"),
+            F.greatest(
+                start - shard * budget_tokens, F.lit(0).cast("long")
+            ).alias("offset"),
+            (start < shard * budget_tokens).cast("int").alias("straddles"),
+        )
+    )
+
+
 def _bucket_expr(id_col: str):
     """Deterministic 0..999_999 bucket from md5 of the salted id —
     portable to any SQL engine (same salt, same substring, same hex

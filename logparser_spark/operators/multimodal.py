@@ -4,12 +4,14 @@ metadata, processed by Arrow-batched ``mapInPandas`` stages.
 IMAGE metadata is REAL: PNG/GIF/JPEG/BMP dimensions are parsed straight
 from the header bytes with ``struct``. AUDIO metadata is REAL for WAV,
 FLAC (STREAMINFO) and MP3 (frame-header walk) — no codec library
-needed for header-level rate/channels/bits/sample counts. Full sample
-DECODE of compressed audio and VIDEO frame extraction remain STUBBED
-(soundfile/ffmpeg are not available in this environment): each stub
-either raises ``NotImplementedError`` (strict mode) or produces a
-deterministic fake derived from the bytes, so pipelines exercise the
-exact dataflow a real decoder would see — one binary column in, a
+needed for header-level rate/channels/bits/sample counts. VIDEO frame
+PIXEL extraction is REAL for uncompressed (BI_RGB) AVI
+(``extract_frames_avi``: RIFF chunk walk → DIB rows, stride padding
+excluded). Only sample decode of COMPRESSED audio/video remains
+stubbed (soundfile/ffmpeg are not available in this environment): those
+paths either raise ``NotImplementedError`` (strict mode) or produce a
+deterministic fallback derived from the bytes, so pipelines exercise
+the exact dataflow a real decoder would see — one binary column in, a
 struct of typed features out, Arrow batches end to end, no driver
 collect.
 
@@ -33,7 +35,10 @@ AUDIO_META_SCHEMA = (
     "channels int, bits_per_sample int, n_samples long"
 )
 
-FRAME_SAMPLE_SCHEMA = "doc_id long, frame_no int, frame_hash long"
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id long, frame_no int, width int, height int, n_px long, "
+    "px_sum long, frame_hash long"
+)
 
 VIDEO_META_SCHEMA = (
     "doc_id long, n_bytes long, format string, width int, height int, "
@@ -314,6 +319,39 @@ def make_mp3(sample_rate: int = 44100, n_frames: int = 4,
     return out + frame * n_frames
 
 
+def synth_audio(df, id_col: str = "doc_id", out_col: str = "aud",
+                keep_cols: Optional[list] = None):
+    """Deterministic audio synthesizer cycling all three real header
+    parsers: id % 3 == 0 → PCM WAV, 1 → FLAC STREAMINFO, 2 → CBR MP3
+    (even ids behind an ID3v2 tag, exercising the syncsafe-size skip).
+    Every field is arithmetic in the id, so an oracle predicts the full
+    decoded struct while the engine really parses the bytes."""
+    keep = keep_cols if keep_cols is not None else [id_col]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keep).schema.fields
+    ) + f", {out_col} binary"
+
+    def synth(i: int) -> bytes:
+        if i % 3 == 0:
+            return make_wav(8000 + (i % 90) * 100, (i % 500) + 1,
+                            channels=(i % 2) + 1, bits=16)
+        if i % 3 == 1:
+            return make_flac(8000 + (i % 40000), ((i * 37) % 100000) + 1,
+                             channels=(i % 8) + 1, bits=16)
+        return make_mp3([44100, 48000, 32000][(i // 3) % 3],
+                        n_frames=(i % 6) + 1, channels=(i % 2) + 1,
+                        bitrate_kbps=128, id3=(i % 2 == 0))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [synth(int(i)) for i in pdf[id_col]]
+            yield pdf
+
+    return df.select(*keep).mapInPandas(fn, schema)
+
+
 # ISO BMFF container boxes that hold child boxes directly (no payload
 # before the first child) — the only ones the metadata walk descends into.
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
@@ -468,6 +506,102 @@ def _avi_chunk(tag: bytes, payload: bytes) -> bytes:
         + (b"\x00" if len(payload) & 1 else b"")
 
 
+def make_avi_rgb(width: int, height: int, fills: list,
+                 us_per_frame: int = 40000) -> bytes:
+    """A complete PLAYABLE uncompressed AVI: RIFF → LIST hdrl (avih +
+    LIST strl (strh 'vids'/'DIB ' + strf BITMAPINFOHEADER, BI_RGB
+    24bpp)) → LIST movi with one ``00db`` chunk per frame of raw
+    bottom-up BGR rows padded to the DIB 4-byte stride. Frame ``i`` is
+    constant-filled with byte value ``fills[i]`` — so a decoder's pixel
+    sums are arithmetic in the fill, while the bytes themselves are a
+    bona-fide device-independent bitmap stream."""
+    n_frames = len(fills)
+    stride = (width * 3 + 3) & ~3
+    avih = struct.pack(
+        "<IIIIIIIIII", us_per_frame, stride * height, 0, 0, n_frames,
+        0, 1, stride * height, width, height,
+    ) + b"\x00" * 16
+    strh = (b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, us_per_frame, 1_000_000, 0,
+        n_frames, stride * height, 0xFFFFFFFF, 0,
+    ) + struct.pack("<hhhh", 0, 0, width, height))
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height,
+        0, 0, 0, 0,
+    )
+    strl = b"strl" + _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)
+    hdrl = b"hdrl" + _avi_chunk(b"avih", avih) + _avi_chunk(b"LIST", strl)
+    movi = b"movi" + b"".join(
+        _avi_chunk(b"00db",
+                   (bytes([f]) * (width * 3)
+                    + b"\x00" * (stride - width * 3)) * height)
+        for f in fills
+    )
+    body = b"AVI " + _avi_chunk(b"LIST", hdrl) + _avi_chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def extract_frames_avi(b: bytes):
+    """REAL frame-pixel extraction for uncompressed (BI_RGB) AVI: walks
+    the RIFF chunk tree, reads the stream's BITMAPINFOHEADER, then
+    decodes every ``00db``/``00dc`` movi chunk into its pixel bytes
+    (stride padding excluded). Returns a list of
+    ``(frame_no, width, height, n_px, px_sum, pixels)`` or ``None``
+    when the payload is not an uncompressed AVI (compressed codecs
+    still need ffmpeg — the caller decides whether to raise)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+
+    def chunks(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            tag = b[i:i + 4]
+            ln = struct.unpack("<I", b[i + 4:i + 8])[0]
+            payload_lo = i + 8
+            payload_hi = min(payload_lo + ln, hi)
+            yield tag, payload_lo, payload_hi
+            i = payload_lo + ln + (ln & 1)
+
+    width = height = bitcount = None
+    compression = None
+    frames = []
+    for tag, lo, hi in chunks(12, len(b)):
+        if tag != b"LIST":
+            continue
+        kind = b[lo:lo + 4]
+        if kind == b"hdrl":
+            for t2, lo2, hi2 in chunks(lo + 4, hi):
+                if t2 == b"LIST" and b[lo2:lo2 + 4] == b"strl":
+                    for t3, lo3, hi3 in chunks(lo2 + 4, hi2):
+                        if t3 == b"strf" and hi3 - lo3 >= 20:
+                            (_sz, width, height, _pl, bitcount,
+                             compression) = struct.unpack(
+                                "<IiiHHI", b[lo3:lo3 + 20]
+                            )
+        elif kind == b"movi":
+            if compression != 0 or bitcount != 24 or not width:
+                return None  # compressed stream: needs a codec
+            h = abs(height)
+            stride = (width * 3 + 3) & ~3
+            for t2, lo2, hi2 in chunks(lo + 4, hi):
+                if t2[2:4] not in (b"db", b"dc"):
+                    continue
+                if hi2 - lo2 < stride * h:
+                    return None  # truncated frame
+                px_sum = 0
+                n_px = width * 3 * h
+                for r in range(h):
+                    row = b[lo2 + r * stride:lo2 + r * stride + width * 3]
+                    px_sum += sum(row)
+                frames.append(
+                    (len(frames), width, h, n_px, px_sum,
+                     b[lo2:lo2 + stride * h])
+                )
+    if width is None:
+        return None
+    return frames
+
+
 def synth_video(df, id_col: str = "doc_id", out_col: str = "vid",
                 keep_cols: Optional[list] = None):
     """Deterministic video-container synthesizer: even ids get a valid
@@ -572,31 +706,82 @@ def audio_metadata(df, binary_col: str = "html", id_col: str = "doc_id",
 
 
 def frame_sample(df, binary_col: str = "html", id_col: str = "doc_id",
-                 every_n_bytes: int = 4096, strict: bool = False):
-    """mapInPandas stage: 'video' → sampled frames (one row per sampled
-    frame, hash of the byte window). STUB for a real frame extractor;
-    demonstrates the 1→N row fan-out shape with bounded memory per
-    batch."""
+                 every_n_frames: int = 1, every_n_bytes: int = 4096,
+                 strict: bool = False):
+    """mapInPandas stage: video binary → one row per sampled frame.
+
+    Uncompressed (BI_RGB) AVI payloads are decoded for REAL
+    (``extract_frames_avi``): every ``every_n_frames``-th frame yields
+    its true width/height, pixel count (stride padding excluded), pixel
+    byte sum, and an md5-derived hash of the raw frame bytes. Payloads
+    needing a codec (compressed AVI, MP4 bitstreams) raise in strict
+    mode exactly where the ffmpeg call belongs; otherwise they degrade
+    to byte-window sampling (null pixel fields) so the 1→N fan-out
+    dataflow still runs end to end."""
     import hashlib
+
+    def _hash(window: bytes) -> int:
+        return int.from_bytes(
+            hashlib.md5(window).digest()[:8], "big", signed=False
+        ) >> 1
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "frame extraction requires ffmpeg (unavailable)"
-                )
             rows = []
             for did, buf in zip(pdf[id_col], pdf[binary_col]):
                 b = bytes(buf) if buf is not None else b""
+                frames = extract_frames_avi(b)
+                if frames is not None:
+                    for fno, w, h, n_px, px_sum, raw in frames:
+                        if fno % every_n_frames:
+                            continue
+                        rows.append((did, fno, w, h, n_px, px_sum,
+                                     _hash(raw)))
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "compressed-video frame extraction requires "
+                        "ffmpeg (unavailable)"
+                    )
                 for fno, off in enumerate(range(0, max(len(b), 1),
                                                 every_n_bytes)):
-                    window = b[off:off + every_n_bytes]
-                    h = int.from_bytes(
-                        hashlib.md5(window).digest()[:8], "big", signed=False
-                    ) >> 1
-                    rows.append((did, fno, h))
+                    rows.append((did, fno, None, None, None, None,
+                                 _hash(b[off:off + every_n_bytes])))
             yield pd.DataFrame(
-                rows, columns=[id_col, "frame_no", "frame_hash"]
+                rows,
+                columns=[id_col, "frame_no", "width", "height", "n_px",
+                         "px_sum", "frame_hash"],
             )
 
     return df.select(id_col, binary_col).mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
+
+
+def synth_avi_rgb(df, id_col: str = "doc_id", out_col: str = "vid",
+                  keep_cols: Optional[list] = None):
+    """Deterministic uncompressed-AVI synthesizer: per id,
+    width = (id % 8) + 1 (exercising every 4-byte-stride padding case),
+    height = (id % 6) + 1, n_frames = (id % 5) + 1, and frame ``f`` is
+    constant-filled with byte (id * 7 + f * 13) % 256 — so an oracle
+    predicts every extractor output (dims, pixel counts, pixel sums)
+    arithmetically while the engine really walks RIFF chunks and DIB
+    rows."""
+    keep = keep_cols if keep_cols is not None else [id_col]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keep).schema.fields
+    ) + f", {out_col} binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                make_avi_rgb(
+                    (int(i) % 8) + 1, (int(i) % 6) + 1,
+                    [(int(i) * 7 + f * 13) % 256
+                     for f in range((int(i) % 5) + 1)],
+                )
+                for i in pdf[id_col]
+            ]
+            yield pdf
+
+    return df.select(*keep).mapInPandas(fn, schema)

@@ -146,6 +146,60 @@ class TestChunking:
                 row["n_copies"]) == (5, 0, 2)
 
 
+class TestPacking:
+    def _bucket(self, doc_id: int, n: int) -> int:
+        h = hashlib.md5(f"salt42|{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % n
+
+    def test_matches_sequential_concat_split(self, spark):
+        # 12 docs with varying word counts; recompute the packing with
+        # a plain sequential walk per bucket and compare exactly.
+        rows = [(i, " ".join(f"t{j}" for j in range(3 + (i * 5) % 17)),
+                 "en", "s") for i in range(12)]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string"
+        )
+        chunks = corpus.chunk_documents(df, window=8, stride=6)
+        got = {
+            (r["doc_id"], r["chunk_id"]): r.asDict()
+            for r in corpus.pack_chunks(
+                chunks, budget_tokens=10, n_buckets=4
+            ).collect()
+        }
+        # sequential reference: concat chunks per bucket in (doc, ord)
+        # order, cut every 10 tokens
+        by_bucket: dict = {}
+        for r in sorted(
+            chunks.collect(), key=lambda r: (r["doc_id"], r["chunk_id"])
+        ):
+            b = self._bucket(r["doc_id"], 4)
+            by_bucket.setdefault(b, []).append(r)
+        n_checked = 0
+        for b, rs in by_bucket.items():
+            pos = 0
+            for r in rs:
+                last = pos + r["n_tokens"] - 1
+                shard = last // 10
+                g = got[(r["doc_id"], r["chunk_id"])]
+                assert g["bucket"] == b
+                assert g["shard_id"] == shard
+                assert g["offset"] == max(pos - shard * 10, 0)
+                assert g["straddles"] == int(pos < shard * 10)
+                pos += r["n_tokens"]
+                n_checked += 1
+        assert n_checked == len(got) > 0
+        # some chunk must actually straddle for the fixture to bite
+        assert any(g["straddles"] == 1 for g in got.values())
+
+    def test_invalid_params_raise(self, spark):
+        df = _docs(spark, [(1, "a b", "en", "s")])
+        chunks = corpus.chunk_documents(df)
+        with pytest.raises(ValueError):
+            corpus.pack_chunks(chunks, budget_tokens=0)
+        with pytest.raises(ValueError):
+            corpus.pack_chunks(chunks, n_buckets=0)
+
+
 class TestSampling:
     def _bucket(self, doc_id: int) -> int:
         h = hashlib.md5(f"salt42|{doc_id}".encode()).hexdigest()

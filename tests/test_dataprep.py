@@ -515,6 +515,81 @@ def test_video_dims_header_parsers(spark):
     )
 
 
+def test_avi_frame_extraction(spark):
+    """REAL uncompressed-AVI pixel decode: RIFF walk → DIB rows.
+
+    Every expectation is arithmetic in the synthesis parameters; the
+    stride-padding exclusion is what a naive whole-chunk sum would get
+    wrong (widths 1,2,3,5,6,7 all pad)."""
+    import struct as st
+
+    from logparser_spark.operators import multimodal
+    from logparser_spark.operators.multimodal import (
+        extract_frames_avi,
+        make_avi,
+        make_avi_rgb,
+    )
+
+    # exact pixel sums for every stride-padding case
+    for w in range(1, 9):
+        fills = [0, 17, 255]
+        frames = extract_frames_avi(make_avi_rgb(w, 3, fills))
+        assert [f[:5] for f in frames] == [
+            (i, w, 3, 3 * w * 3, fill * 3 * w * 3)
+            for i, fill in enumerate(fills)
+        ]
+        # hash distinguishes distinct fills
+        hashes = {f[5] for f in frames}
+        assert len(hashes) == 3
+
+    # BI_RGB stream with an empty movi decodes to zero frames;
+    # a header-only AVI with NO strf can't prove it's uncompressed,
+    # so it routes to the codec path (None)
+    assert extract_frames_avi(make_avi_rgb(32, 24, [])) == []
+    assert extract_frames_avi(make_avi(32, 24, 5)) is None
+    # compressed stream (biCompression != 0) is None -> codec path
+    b = make_avi_rgb(4, 2, [9])
+    comp = b.replace(st.pack("<IiiHHI", 40, 4, 2, 1, 24, 0),
+                     st.pack("<IiiHHI", 40, 4, 2, 1, 24, 1), 1)
+    assert extract_frames_avi(comp) is None
+    # truncated frame payload is None, never a crash
+    assert extract_frames_avi(b[:-5]) is None
+    assert extract_frames_avi(b"") is None
+
+    # the Spark stage end to end: frame rows match the synthesis math
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    rows = multimodal.frame_sample(
+        multimodal.synth_avi_rgb(docs), binary_col="vid"
+    ).collect()
+    assert len(rows) == sum((i % 5) + 1 for i in range(20))
+    for r in rows:
+        i, f = r["doc_id"], r["frame_no"]
+        w, h = (i % 8) + 1, (i % 6) + 1
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_px"] == 3 * w * h
+        assert r["px_sum"] == ((i * 7 + f * 13) % 256) * 3 * w * h
+
+    # every_n_frames sampling keeps only multiples
+    sampled = multimodal.frame_sample(
+        multimodal.synth_avi_rgb(docs), binary_col="vid", every_n_frames=2
+    ).collect()
+    assert all(r["frame_no"] % 2 == 0 for r in sampled)
+    assert len(sampled) == sum(((i % 5) + 2) // 2 for i in range(20))
+
+    # compressed/unknown payloads: strict raises where ffmpeg belongs
+    from logparser_spark.sources.pages import build_pages_from_documents
+
+    pages = build_pages_from_documents(spark, SF_DIR).limit(3)
+    with pytest.raises(Exception) as exc:
+        multimodal.frame_sample(pages, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+    # non-strict fallback still fans out >=1 row per doc with null px
+    fb = multimodal.frame_sample(pages).collect()
+    assert len(fb) >= 3 and all(r["px_sum"] is None for r in fb)
+
+
 def test_decode_html_roundtrip(spark):
     from logparser_spark.operators import multimodal
     from logparser_spark.sources.pages import build_pages_from_documents
