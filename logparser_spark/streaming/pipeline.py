@@ -108,6 +108,40 @@ def route_stream(parsed_stream, sinks: list[SinkSpec], spec: FormatSpec,
     )
 
 
+def dedup_stream(stream_df, ts_col: str = "warc_ts",
+                 watermark: str = "10 minutes",
+                 key_cols: tuple = ("text",)):
+    """Streaming exact dedup with BOUNDED state — the streaming analog
+    of ``operators.dedup.exact_dedup``.
+
+    Two scale properties a naive ``dropDuplicates`` lacks:
+
+    - state stores a 32-byte md5 digest of the key columns, never the
+      document bodies (the same digests-not-bodies rule as the batch
+      dedup shuffle);
+    - ``dropDuplicatesWithinWatermark`` evicts state once the
+      event-time watermark passes the first occurrence plus the delay,
+      so state size is O(rows per watermark horizon), not O(all rows
+      ever seen) — the only viable contract for an unbounded crawl
+      feed. Duplicates farther apart than the horizon deliberately
+      re-emit (eviction is applied at micro-batch end, so the re-emit
+      can lag one batch; cross-horizon dedup belongs to a periodic
+      batch compaction over the sink).
+
+    First occurrence (in arrival order) wins, matching the batch
+    keep-first rule within any watermark window.
+    """
+    from pyspark.sql import functions as F
+
+    df = stream_df.withWatermark(ts_col, watermark)
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in key_cols]))
+    return (
+        df.withColumn("__k", digest)
+        .dropDuplicatesWithinWatermark(["__k"])
+        .drop("__k")
+    )
+
+
 def windowed_format_counts(parsed_stream, ts_col: str = "warc_ts",
                            window: str = "1 minute",
                            watermark: str = "2 minutes"):

@@ -133,3 +133,93 @@ def test_replayed_batch_is_idempotent(spark, work):
         for s in sinks
     }
     assert third == {k: 2 * v for k, v in first.items()}
+
+
+def test_dedup_stream_watermark_bounded(spark):
+    """Streaming exact dedup: duplicates inside the watermark horizon
+    are suppressed (in-batch AND cross-batch); once the watermark has
+    advanced past the old state's expiry, the same key re-emits —
+    the bounded-state contract, not an ever-growing global set."""
+    import os
+    import tempfile
+    import shutil
+    import datetime
+
+    from logparser_spark.streaming.pipeline import dedup_stream
+
+    d = tempfile.mkdtemp(prefix="sdedup_")
+    try:
+        t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+        def mkfile(name, base_s, mtime, prefix="t"):
+            rows = [
+                (100 * base_s + i,
+                 t0 + datetime.timedelta(seconds=base_s + i),
+                 f"{prefix}{i % 5}")
+                for i in range(10)
+            ]
+            df = spark.createDataFrame(
+                rows, "doc_id bigint, warc_ts timestamp, text string"
+            )
+            df.coalesce(1).write.parquet(f"{d}/tmp_{name}")
+            import glob
+            src = glob.glob(f"{d}/tmp_{name}/*.parquet")[0]
+            os.makedirs(f"{d}/src", exist_ok=True)
+            dst = f"{d}/src/{name}.parquet"
+            shutil.copy(src, dst)
+            os.utime(dst, (mtime, mtime))
+
+        # f1 at t0 (each text twice); f2 two hours later with FRESH
+        # keys (advances the watermark without touching t* state — a
+        # duplicate arrival would extend its expiry); f3 four hours
+        # later repeats f1's texts, whose state has long expired.
+        # Distinct mtimes fix the file-source processing order.
+        mkfile("part0", 0, 1_000_000)
+        mkfile("part1", 7200, 1_000_100, prefix="u")
+        mkfile("part2", 14400, 1_000_200)
+        mkfile("part3", 21600, 1_000_300)
+
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, warc_ts timestamp, text string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        out = dedup_stream(stream, watermark="1 minute")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{d}/out")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(f"{d}/out").collect()
+        by_text: dict = {}
+        for r in got:
+            by_text.setdefault(r["text"], []).append(r["doc_id"])
+        # every batch's internal duplicate pair collapsed to one row
+        assert set(by_text) == (
+            {f"t{i}" for i in range(5)} | {f"u{i}" for i in range(5)}
+        )
+        # batch 1 emits its 5 distinct t*; batch 2 its 5 fresh u*
+        # (advancing the watermark hours past the t* state expiry);
+        # the t* keys then re-emit exactly once more (state evicted —
+        # the engine applies eviction at batch end, so the re-emit
+        # lands in batch 3 or 4 depending on that ordering) -> each t*
+        # key appears exactly twice, each u* once: bounded state, not
+        # an ever-growing global set
+        assert len(got) == 15, sorted(
+            (r["text"], r["doc_id"]) for r in got
+        )
+        for text, ids in by_text.items():
+            assert len(ids) == (2 if text.startswith("t") else 1), text
+            ids = sorted(ids)
+            if text.startswith("t"):
+                assert ids[0] < 10          # original batch-1 keeper
+                assert ids[1] >= 1_440_000  # re-emitted after eviction
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
