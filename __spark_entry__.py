@@ -536,6 +536,35 @@ def q_video_meta(spark, sf_dir):
     )
 
 
+def q_extract_text(spark, sf_dir):
+    """Boilerplate removal from realistic messy HTML: per document,
+    build a page with script/style blocks (containing '<', quotes and
+    entities), a comment, nested tags and the five named entities
+    around the document text, then run the pure-Catalyst extractor.
+    The oracle predicts the extracted string by CONSTRUCTION ('Doc N
+    <text> A & B <ok> "q" \\'s\\''), not by re-running the regexes — an
+    independent check of every removal/unescape/collapse rule."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit('<html><head><script type="text/javascript">'
+              'if(1<2){x("&amp;");}</script><style>p>a{color:red}'
+              '</style></head>\n<body><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>\n<!-- hidden "),
+        F.col("doc_id").cast("string"),
+        F.lit(" -->\n<p>"),
+        F.col("text"),
+        F.lit("</p>\n<p>A &amp; B &lt;ok&gt; &quot;q&quot; "
+              "&#39;s&#39;</p></body></html>"),
+    )
+    pages = docs.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return multimodal.extract_text(pages).select("doc_id", "extracted")
+
+
 def q_audio_meta(spark, sf_dir):
     """REAL audio-header decode across all three parsers: synthesize a
     valid WAV (ids % 3 == 0), FLAC (1) or MP3 (2, even ids behind an
@@ -956,6 +985,11 @@ def _dataprep_sql() -> dict[str, str]:
       (CASE WHEN doc_id % 2 = 0 THEN (doc_id % 5000) + 1
             ELSE 40 * ((doc_id % 30) + 1) END)::BIGINT AS duration_ms,
       ((doc_id % 30) + 1)::BIGINT AS n_frames
+    FROM documents"""
+
+    sqls["extract_text"] = """
+    SELECT doc_id,
+      'Doc ' || doc_id || ' ' || text || ' A & B <ok> "q" ''s''' AS extracted
     FROM documents"""
 
     sqls["audio_meta"] = """
@@ -1485,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_meta": q_video_meta,
         "video_frames": q_video_frames,
         "audio_meta": q_audio_meta,
+        "extract_text": q_extract_text,
         "embedding_near_dup": q_embedding_near_dup,
         # corpus construction
         "contamination_check": q_contamination_check,

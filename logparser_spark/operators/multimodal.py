@@ -55,6 +55,43 @@ def decode_html(df, html_col: str = "html", out_col: str = "html_text"):
     return df.withColumn(out_col, F.regexp_replace(txt, "<[^>]*>", ""))
 
 
+def extract_text(df, html_col: str = "html", out_col: str = "extracted",
+                 binary: bool = True):
+    """Main-content extraction from raw HTML — the boilerplate-removal
+    step of a Common-Crawl text pipeline, as a pure Catalyst expression
+    chain (regexp_replace only, RE2-compatible patterns, no UDF — this
+    runs inside whole-stage codegen at the scan):
+
+    1. drop ``<script>``/``<style>`` blocks (their text is code, not
+       content) and HTML comments, non-greedy + dotall;
+    2. strip the remaining tags;
+    3. unescape the five core named entities (``&amp;`` LAST, so a
+       double escape like ``&amp;lt;`` resolves exactly one level —
+       the standard single-pass order);
+    4. collapse whitespace runs to single spaces and trim.
+
+    ``binary=True`` decodes the column from UTF-8 bytes first (the
+    pages-table ``html: binary`` shape).
+    """
+    from pyspark.sql import functions as F
+
+    s = F.decode(F.col(html_col), "UTF-8") if binary else F.col(html_col)
+    for pat, rep in [
+        (r"(?is)<script[^>]*>.*?</script>", ""),
+        (r"(?is)<style[^>]*>.*?</style>", ""),
+        (r"(?s)<!--.*?-->", ""),
+        (r"<[^>]*>", ""),
+        (r"&lt;", "<"),
+        (r"&gt;", ">"),
+        (r"&quot;", "\""),
+        (r"&#39;|&apos;", "'"),
+        (r"&amp;", "&"),
+        (r"\s+", " "),
+    ]:
+        s = F.regexp_replace(s, pat, rep)
+    return df.withColumn(out_col, F.trim(s))
+
+
 def image_dims(b: bytes) -> Optional[tuple[str, int, int]]:
     """(format, width, height) parsed from raw header bytes, or None when
     the payload is not a recognized image. Pure ``struct`` — no imaging

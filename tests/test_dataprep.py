@@ -598,3 +598,48 @@ def test_decode_html_roundtrip(spark):
     out = multimodal.decode_html(pages)
     mism = out.filter(F.col("html_text") != F.col("text")).count()
     assert mism == 0
+
+
+def test_extract_text_rules(spark):
+    """Each boilerplate rule independently: script/style blocks with
+    '<' and '>' inside, comments, tag strip, entity order, whitespace
+    collapse. Expected values are written by hand, not recomputed."""
+    from logparser_spark.operators import multimodal
+
+    cases = [
+        # (html, expected)
+        ("<p>plain</p>", "plain"),
+        ("<script>if(a<b){y('</')}</script>after", "after"),
+        ("<SCRIPT a='x'>s</SCRIPT>kept", "kept"),
+        ("<style>p > a{}</style>t", "t"),
+        ("a<!-- <p>no</p> -->b", "ab"),
+        ("x &lt;tag&gt; &amp; &quot;q&quot; &#39;s&#39; &apos;a&apos;",
+         "x <tag> & \"q\" 's' 'a'"),
+        # &amp; unescapes LAST, so the double-escape resolves one
+        # level only — the correct single-pass HTML behavior
+        ("&amp;lt;", "&lt;"),
+        ("  a \t\n b\r\n ", "a b"),
+        ("<div><h1>T</h1>\n<p>body text</p></div>", "T body text"),
+        # numeric entities other than &#39; pass through untouched
+        ("&#169; x", "&#169; x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "id long, page string"
+    )
+    got = {
+        r["id"]: r["extracted"]
+        for r in multimodal.extract_text(
+            df, html_col="page", binary=False
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i])
+
+    # binary path: UTF-8 bytes round-trip (incl. multi-byte content)
+    from pyspark.sql import functions as F
+
+    bdf = spark.createDataFrame(
+        [(1, "<p>héllo &amp; wörld</p>")], "id long, page string"
+    ).select("id", F.encode("page", "UTF-8").alias("html"))
+    [r] = multimodal.extract_text(bdf).collect()
+    assert r["extracted"] == "héllo & wörld"
