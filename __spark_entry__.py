@@ -536,6 +536,49 @@ def q_video_meta(spark, sf_dir):
     )
 
 
+def q_unigram_score(spark, sf_dir):
+    """Corpus-unigram LM quality scoring (CCNet-style): build the
+    unigram table from the corpus itself, then score each document by
+    its average token frequency — integer-exact ppm, DECIMAL-widened
+    against the 10^12-token overflow."""
+    from logparser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.unigram_doc_score(docs)
+
+
+def q_canonical_urls(spark, sf_dir):
+    """URL canonicalization over five messiness families (mixed-case
+    scheme/host, default and non-default ports, utm_* trackers,
+    unsorted params, fragments, missing path, non-URL garbage) — the
+    oracle predicts every canonical string BY CONSTRUCTION from doc_id,
+    independently of the regex pipeline."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import weburl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    h = (i % 50).cast("string")
+    m = (i % 7).cast("string")
+    s = i.cast("string")
+    url = (
+        F.when(i % 5 == 0, F.concat(
+            F.lit("HTTP://WWW.Site"), h, F.lit(".COM:80/a/"), s,
+            F.lit("?utm_source=x&b="), m, F.lit("&a=1#frag")))
+        .when(i % 5 == 1, F.concat(
+            F.lit("https://Site"), h, F.lit(".org:443/p"), s))
+        .when(i % 5 == 2, F.concat(
+            F.lit("https://site"), h, F.lit(".net:8443/x?utm_a=1&utm_b=2")))
+        .when(i % 5 == 3, F.concat(F.lit("http://site"), h, F.lit(".com")))
+        .otherwise(F.concat(F.lit("not a url "), s))
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    return weburl.canonicalize_url(pages).select(
+        "doc_id", "canonical_url", "host"
+    )
+
+
 def q_extract_text(spark, sf_dir):
     """Boilerplate removal from realistic messy HTML: per document,
     build a page with script/style blocks (containing '<', quotes and
@@ -985,6 +1028,45 @@ def _dataprep_sql() -> dict[str, str]:
       (CASE WHEN doc_id % 2 = 0 THEN (doc_id % 5000) + 1
             ELSE 40 * ((doc_id % 30) + 1) END)::BIGINT AS duration_ms,
       ((doc_id % 30) + 1)::BIGINT AS n_frames
+    FROM documents"""
+
+    sqls["unigram_score"] = """
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        x -> len(x) > 0)) AS word
+      FROM documents),
+    m AS (SELECT word, count(*)::BIGINT AS word_count FROM w GROUP BY 1),
+    tot AS (SELECT sum(word_count)::HUGEINT AS total FROM m),
+    d AS (
+      SELECT w.doc_id, count(*)::BIGINT AS n_tokens,
+             sum(m.word_count)::BIGINT AS sum_freq
+      FROM w JOIN m USING (word) GROUP BY 1)
+    SELECT doc.doc_id,
+      coalesce(d.n_tokens, 0)::BIGINT AS n_tokens,
+      coalesce(d.sum_freq, 0)::BIGINT AS sum_freq,
+      (CASE WHEN coalesce(d.n_tokens, 0) > 0 THEN
+        (2000000 * d.sum_freq::HUGEINT + d.n_tokens::HUGEINT * tot.total)
+        // (2 * d.n_tokens::HUGEINT * tot.total)
+       ELSE 0 END)::BIGINT AS score_ppm
+    FROM documents doc LEFT JOIN d USING (doc_id), tot"""
+
+    sqls["canonical_urls"] = """
+    SELECT doc_id,
+      CASE doc_id % 5
+        WHEN 0 THEN 'http://www.site' || (doc_id % 50) || '.com/a/'
+                    || doc_id || '?a=1&b=' || (doc_id % 7)
+        WHEN 1 THEN 'https://site' || (doc_id % 50) || '.org/p' || doc_id
+        WHEN 2 THEN 'https://site' || (doc_id % 50) || '.net:8443/x'
+        WHEN 3 THEN 'http://site' || (doc_id % 50) || '.com/'
+        ELSE NULL
+      END AS canonical_url,
+      CASE doc_id % 5
+        WHEN 0 THEN 'www.site' || (doc_id % 50) || '.com'
+        WHEN 1 THEN 'site' || (doc_id % 50) || '.org'
+        WHEN 2 THEN 'site' || (doc_id % 50) || '.net'
+        WHEN 3 THEN 'site' || (doc_id % 50) || '.com'
+        ELSE ''
+      END AS host
     FROM documents"""
 
     sqls["extract_text"] = """
@@ -1520,6 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "audio_meta": q_audio_meta,
         "extract_text": q_extract_text,
+        "canonical_urls": q_canonical_urls,
+        "unigram_score": q_unigram_score,
         "embedding_near_dup": q_embedding_near_dup,
         # corpus construction
         "contamination_check": q_contamination_check,

@@ -277,3 +277,75 @@ def pii_scrub(df, text_col: str = "text", id_col: str = "doc_id"):
         n_ip.cast("long").alias("n_ipv4"),
         n_ssn.cast("long").alias("n_ssn"),
     )
+
+
+def unigram_doc_score(df, text_col: str = "text", id_col: str = "doc_id",
+                      model_df=None):
+    """CCNet-style language-model quality scoring with a corpus unigram
+    model, kept integer-exact so any SQL engine reproduces it bit for
+    bit: score_ppm = half-up((10^6 * sum of each token's corpus count)
+    / (n_tokens * corpus_total)) — the document's average unigram
+    probability in parts-per-million. High = boilerplate-ish common
+    tokens, low = rare-token noise; pipelines threshold both tails.
+
+    Two-pass shape: (1) build the unigram table (one word-keyed
+    aggregate — at web scale the vocabulary is ~10^7 rows, broadcastable
+    once built, while the corpus is 10^12); pass ``model_df`` to reuse a
+    prebuilt/persisted model instead. (2) explode each doc's tokens,
+    broadcast-join the model, and re-aggregate per doc with map-side
+    partials. The only full-corpus shuffles are the model build and the
+    per-doc count — no sort, no global state.
+
+    Output: ``(doc_id, n_tokens, sum_freq, score_ppm)``; empty docs
+    score 0 with ``n_tokens = 0``.
+    """
+    from pyspark.sql import functions as F
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "),
+                     lambda t: F.length(t) > 0)
+        ).alias("word"),
+    )
+    if model_df is None:
+        model_df = words.groupBy("word").agg(
+            F.count("*").alias("word_count")
+        ).persist()
+    # one O(1) scalar job over the (vocabulary-sized) model — embedded
+    # as a literal rather than crossJoined, which would plan a
+    # BroadcastNestedLoopJoin (forbidden by the plan-shape invariants
+    # even at 1 row)
+    total = model_df.agg(F.sum("word_count")).collect()[0][0] or 0
+    if total == 0:  # empty corpus: everything scores 0 tokens
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("sum_freq"),
+            F.lit(0).cast("long").alias("score_ppm"),
+        )
+    per_doc = (
+        words.join(F.broadcast(model_df), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("word_count").cast("long").alias("sum_freq"),
+        )
+    )
+    base = df.select(F.col(id_col)).join(per_doc, id_col, "left")
+    return base.select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("sum_freq", F.lit(0)).alias("sum_freq"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) > 0,
+            # DECIMAL(38,0): 2e6 * sum_freq overflows int64 once
+            # sum_freq > ~4.6e12 (routine at 10^12-token corpora)
+            F.expr(
+                "(2000000 * CAST(sum_freq AS DECIMAL(38,0))"
+                f" + CAST(n_tokens AS DECIMAL(38,0)) * {int(total)}) "
+                "div (2 * CAST(n_tokens AS DECIMAL(38,0)) "
+                f"* {int(total)})"
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("score_ppm"),
+    )

@@ -643,3 +643,78 @@ def test_extract_text_rules(spark):
     ).select("id", F.encode("page", "UTF-8").alias("html"))
     [r] = multimodal.extract_text(bdf).collect()
     assert r["extracted"] == "héllo & wörld"
+
+
+def test_canonicalize_url_rules(spark):
+    """Hand-written canonical expectations per normalization rule —
+    including the NON-default-port-for-the-other-scheme traps
+    (http:443 and https:80 must be KEPT)."""
+    from logparser_spark.operators import weburl
+
+    cases = [
+        ("HTTP://Example.COM/Path", "http://example.com/Path",
+         "example.com"),                      # case: scheme+host only
+        ("http://example.com:80/a", "http://example.com/a",
+         "example.com"),                      # default port dropped
+        ("https://example.com:443/a", "https://example.com/a",
+         "example.com"),
+        ("http://example.com:443/a", "http://example.com:443/a",
+         "example.com"),                      # NOT the default for http
+        ("https://example.com:80/a", "https://example.com:80/a",
+         "example.com"),
+        ("http://e.com/a#frag", "http://e.com/a", "e.com"),
+        ("http://e.com", "http://e.com/", "e.com"),      # empty path
+        ("http://e.com?b=2&a=1", "http://e.com/?a=1&b=2", "e.com"),
+        ("http://e.com/x?utm_source=s&utm_medium=m", "http://e.com/x",
+         "e.com"),                            # all-tracker query dropped
+        ("http://e.com/x?", "http://e.com/x", "e.com"),  # bare '?'
+        ("ftp://Files.example.net/pub", "ftp://files.example.net/pub",
+         "files.example.net"),                # non-http scheme passes
+        ("no-scheme.example.com/a", None, ""),           # not absolute
+        ("", None, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: (r["canonical_url"], r["host"])
+        for r in weburl.canonicalize_url(df).collect()
+    }
+    for i, (u, canon, host) in enumerate(cases):
+        assert got[i] == (canon, host), (u, got[i])
+
+
+def test_unigram_doc_score(spark):
+    """Hand-computed unigram model: corpus 'a a b' + 'a c' + '' ->
+    counts a=3,b=1,c=1, total=5. Doc1 sum_freq=3+3+1=7, n=3 ->
+    score = round(1e6*7/15) = 466667; doc2 = 3+1=4, n=2 ->
+    round(1e6*4/10) = 400000; empty doc scores 0."""
+    from logparser_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in textstats.unigram_doc_score(df).collect()}
+    assert got[1] == {"doc_id": 1, "n_tokens": 3, "sum_freq": 7,
+                      "score_ppm": 466667}
+    assert got[2] == {"doc_id": 2, "n_tokens": 2, "sum_freq": 4,
+                      "score_ppm": 400000}
+    assert got[3] == {"doc_id": 3, "n_tokens": 0, "sum_freq": 0,
+                      "score_ppm": 0}
+
+    # a prebuilt (persisted) model gives identical scores — the
+    # two-pass reuse path a 10^12-row pipeline would take
+    from pyspark.sql import functions as F
+
+    model = (
+        df.select(F.explode(F.filter(F.split("text", " "),
+                                     lambda t: F.length(t) > 0))
+                  .alias("word"))
+        .groupBy("word").agg(F.count("*").alias("word_count"))
+        .persist()
+    )
+    got2 = {r["doc_id"]: r.asDict()
+            for r in textstats.unigram_doc_score(df, model_df=model).collect()}
+    assert got2 == got
