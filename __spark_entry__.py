@@ -388,6 +388,22 @@ def q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(docs)
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Batch-over-ledger dedup: every third document stands in for the
+    already-ingested corpus (its digests form the ledger); the full
+    table arrives as the new batch and only never-seen digests survive,
+    keep-first within the batch."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = dedup.exact_dedup(
+        docs.where(F.col("doc_id") % 3 == 0)
+    ).select("md5_hi", "md5_lo")
+    return dedup.incremental_dedup(docs, seen)
+
+
 def q_minhash_signature(spark, sf_dir):
     from logparser_spark.operators import dedup
 
@@ -775,6 +791,20 @@ def _dataprep_sql() -> dict[str, str]:
            MIN(doc_id) AS canonical_id,
            COUNT(*)::BIGINT AS n_copies
     FROM documents GROUP BY 1, 2"""
+
+    sqls["incremental_dedup"] = """
+    WITH k AS (
+      SELECT doc_id,
+        (('0x' || substr(md5(text), 1, 16))::UBIGINT::HUGEINT
+         - 9223372036854775808)::BIGINT AS md5_hi,
+        (('0x' || substr(md5(text), 17, 16))::UBIGINT::HUGEINT
+         - 9223372036854775808)::BIGINT AS md5_lo
+      FROM documents),
+    seen AS (SELECT DISTINCT md5_hi, md5_lo FROM k WHERE doc_id % 3 = 0)
+    SELECT k.md5_hi, k.md5_lo, MIN(k.doc_id) AS canonical_id,
+           COUNT(*)::BIGINT AS n_copies
+    FROM k ANTI JOIN seen USING (md5_hi, md5_lo)
+    GROUP BY 1, 2"""
 
     sqls["minhash_signature"] = f"""WITH {shingle_cte},
     {sig_cte}
@@ -1585,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_tally": q_host_tally,
         # training-data pipeline ops
         "exact_dedup": q_exact_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "minhash_signature": q_minhash_signature,
         "lsh_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,

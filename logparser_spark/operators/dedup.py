@@ -106,6 +106,38 @@ def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def incremental_dedup(docs, seen_df, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Incremental (batch-over-ledger) exact dedup — the crawl-ingest
+    shape: a new batch arrives, anything whose digest is already in the
+    persisted ``seen_df`` ledger (columns ``md5_hi``/``md5_lo``, the
+    :func:`md5_s64_pair` key) is dropped, and within the batch the
+    canonical (min id) row wins. Returns one row per NOVEL digest:
+    ``(md5_hi, md5_lo, canonical_id, n_copies)`` — exactly the rows a
+    caller appends to the ledger before the next batch.
+
+    Scale shape: digests-not-bodies on both sides; one left_anti join
+    against the ledger (digest-keyed, AQE picks broadcast while the
+    ledger is small and SMJ once it is not) + the in-batch groupBy.
+    Nothing rescans or reshuffles the historical corpus — the ledger is
+    16 bytes/distinct-doc, the only state the pipeline carries forward.
+    """
+    from pyspark.sql import functions as F
+
+    hi, lo = md5_s64_pair(F.col(text_col))
+    keyed = docs.select(
+        F.col(id_col), hi.alias("md5_hi"), lo.alias("md5_lo")
+    )
+    novel = keyed.join(
+        seen_df.select("md5_hi", "md5_lo"), ["md5_hi", "md5_lo"],
+        "left_anti",
+    )
+    return novel.groupBy("md5_hi", "md5_lo").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
 # ── shingling + minhash + LSH ─────────────────────────────────────────
 
 

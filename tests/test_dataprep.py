@@ -718,3 +718,29 @@ def test_unigram_doc_score(spark):
     got2 = {r["doc_id"]: r.asDict()
             for r in textstats.unigram_doc_score(df, model_df=model).collect()}
     assert got2 == got
+
+
+def test_incremental_dedup_ledger(spark):
+    """Batch-over-ledger semantics: seen digests drop ALL their batch
+    copies; unseen digests dedup within the batch keep-first; appending
+    the returned rows to the ledger makes a replayed batch a no-op."""
+    from logparser_spark.operators import dedup
+
+    seen_docs = spark.createDataFrame(
+        [(100, "alpha"), (101, "beta")], "doc_id long, text string"
+    )
+    ledger = dedup.exact_dedup(seen_docs).select("md5_hi", "md5_lo")
+
+    batch = spark.createDataFrame(
+        [(1, "alpha"),            # already in the ledger -> dropped
+         (2, "gamma"), (5, "gamma"),  # novel, duplicated in-batch
+         (3, "delta")],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_dedup(batch, ledger)
+    got = {r["canonical_id"]: r["n_copies"] for r in out.collect()}
+    assert got == {2: 2, 3: 1}
+
+    # append-and-replay is a no-op: nothing in the batch is novel now
+    ledger2 = ledger.unionAll(out.select("md5_hi", "md5_lo"))
+    assert dedup.incremental_dedup(batch, ledger2).count() == 0
