@@ -434,6 +434,18 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering: LSH candidate pairs → connected
+    components via min-label propagation (cluster_id = min doc id in
+    the component; canonical row = doc_id == cluster_id). The DuckDB
+    oracle computes the same fixpoint with a recursive CTE."""
+    from logparser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    return dedup.near_dup_clusters(docs, pairs)
+
+
 def q_simhash(spark, sf_dir):
     from logparser_spark.operators import dedup
 
@@ -782,6 +794,24 @@ def _dataprep_sql() -> dict[str, str]:
       JOIN bands b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
       WHERE a.doc_id < b.doc_id)"""
+
+    # connected components as a recursive min-reachability CTE: the
+    # UNION (not UNION ALL) dedups (node,lbl) states so the recursion
+    # reaches a fixpoint on any finite (cyclic) pair graph
+    sqls["near_dup_clusters"] = f"""WITH RECURSIVE {shingle_cte},
+    {sig_cte},
+    {bands_cte},
+    {pairs_cte},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)
+    SELECT node AS doc_id, MIN(lbl)::BIGINT AS cluster_id
+    FROM reach GROUP BY 1"""
 
     sqls["exact_dedup"] = """
     SELECT (('0x' || substr(md5(text), 1, 16))::UBIGINT::HUGEINT
@@ -1619,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "lsh_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,

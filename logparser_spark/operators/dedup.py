@@ -138,6 +138,73 @@ def incremental_dedup(docs, seen_df, text_col: str = "text",
     )
 
 
+def near_dup_clusters(docs, pairs, id_col: str = "doc_id",
+                      max_iter: int = 20):
+    """Connected components over near-dup candidate pairs — the final
+    step of a production dedup pipeline: transitively-linked documents
+    form one cluster and the cluster keeps one canonical copy. Returns
+    ``(doc_id, cluster_id)`` for EVERY document (singletons cluster to
+    themselves); ``cluster_id`` is the minimum doc id in the component,
+    so the labeling is deterministic and the canonical row is
+    ``doc_id == cluster_id``.
+
+    Algorithm: min-label propagation (the GraphX/GraphFrames CC shape
+    restated in DataFrame ops). Each round, every node takes the min of
+    its own label and its neighbors\' labels — one digest-sized shuffle
+    per round over the EDGE list only (never document bodies), and the
+    loop stops as soon as a round changes nothing (an O(1) count per
+    round). Rounds needed = component diameter; near-dup components are
+    short chains, so this converges in a handful of rounds — and the
+    label table is persisted each round so round N+1 never recomputes
+    round N. At 10^12 docs the labels table is (id, id) longs and every
+    join is key-partitioned; for adversarial long-chain graphs swap in
+    alternating large-star/small-star, which this loop structure
+    accommodates without changing callers.
+    """
+    from pyspark.sql import functions as F
+
+    # symmetric edges once; self-edges are unnecessary (own label is
+    # carried by the left join below)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"),
+                         F.col("id_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl")))
+                .alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("lbl").alias("cluster_id"))
+
+
 # ── shingling + minhash + LSH ─────────────────────────────────────────
 
 

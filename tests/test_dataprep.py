@@ -744,3 +744,31 @@ def test_incremental_dedup_ledger(spark):
     # append-and-replay is a no-op: nothing in the batch is novel now
     ledger2 = ledger.unionAll(out.select("md5_hi", "md5_lo"))
     assert dedup.incremental_dedup(batch, ledger2).count() == 0
+
+
+def test_near_dup_clusters_components(spark):
+    """Hand-built pair graphs: a chain (propagation needs multiple
+    rounds), a cycle, a separate pair, and singletons — every node
+    labels to its component minimum."""
+    from logparser_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    )
+    # chain 0-1-2-3-4 (diameter 4), cycle 5-6-7-5, pair 8-9
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4),
+         (5, 6), (6, 7), (5, 7),
+         (8, 9)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.near_dup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+                   5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
+
+    # no pairs at all: everyone is their own cluster
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got2 = {r["doc_id"]: r["cluster_id"]
+            for r in dedup.near_dup_clusters(docs, empty).collect()}
+    assert got2 == {i: i for i in range(10)}
