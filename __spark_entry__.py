@@ -564,6 +564,42 @@ def q_video_meta(spark, sf_dir):
     )
 
 
+def q_robots_allowed(spark, sf_dir):
+    """robots.txt gate: 20 hosts, half with real Allow/Disallow rules
+    (longest-match, allow-wins-ties, inline comments) and half with a
+    rule-free robots file; four path families exercise deeper-allow-
+    overrides-disallow, no-match, and plain-disallow. The oracle
+    predicts every verdict by construction."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import weburl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("site"), (i % 20).cast("string")).alias("host"),
+        F.when(i % 4 == 0, F.concat(F.lit("/private/x"), s))
+        .when(i % 4 == 1, F.concat(F.lit("/private/ok"), s))
+        .when(i % 4 == 2, F.concat(F.lit("/public/"), s))
+        .otherwise(F.concat(F.lit("/tmp"), s)).alias("path"),
+    )
+    robots_src = docs.where(i < 20).select(
+        F.concat(F.lit("site"), s).alias("host"),
+        F.when(
+            i < 10,
+            F.lit("User-agent: *\nDisallow: /private\n"
+                  "Allow: /private/ok\ndisallow: /tmp # temp dirs\n"),
+        ).otherwise(F.lit("User-agent: *\n# no rules\n"))
+        .alias("robots_txt"),
+    )
+    rules = weburl.parse_robots(robots_src)
+    return weburl.robots_filter(pages, rules).select(
+        "doc_id", "host", "path", "allowed"
+    )
+
+
 def q_unigram_score(spark, sf_dir):
     """Corpus-unigram LM quality scoring (CCNet-style): build the
     unigram table from the corpus itself, then score each document by
@@ -1088,6 +1124,19 @@ def _dataprep_sql() -> dict[str, str]:
       (CASE WHEN doc_id % 2 = 0 THEN (doc_id % 5000) + 1
             ELSE 40 * ((doc_id % 30) + 1) END)::BIGINT AS duration_ms,
       ((doc_id % 30) + 1)::BIGINT AS n_frames
+    FROM documents"""
+
+    sqls["robots_allowed"] = """
+    SELECT doc_id,
+      'site' || (doc_id % 20) AS host,
+      CASE doc_id % 4
+        WHEN 0 THEN '/private/x' || doc_id
+        WHEN 1 THEN '/private/ok' || doc_id
+        WHEN 2 THEN '/public/' || doc_id
+        ELSE '/tmp' || doc_id
+      END AS path,
+      CASE WHEN doc_id % 20 >= 10 THEN true
+           ELSE doc_id % 4 IN (1, 2) END AS allowed
     FROM documents"""
 
     sqls["unigram_score"] = """
@@ -1665,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": q_audio_meta,
         "extract_text": q_extract_text,
         "canonical_urls": q_canonical_urls,
+        "robots_allowed": q_robots_allowed,
         "unigram_score": q_unigram_score,
         "embedding_near_dup": q_embedding_near_dup,
         # corpus construction

@@ -772,3 +772,49 @@ def test_near_dup_clusters_components(spark):
     got2 = {r["doc_id"]: r["cluster_id"]
             for r in dedup.near_dup_clusters(docs, empty).collect()}
     assert got2 == {i: i for i in range(10)}
+
+
+def test_robots_parse_and_filter(spark):
+    """parse_robots line handling (case, comments, CRLF, empty values)
+    and robots_filter longest-match semantics, hand-checked."""
+    from logparser_spark.operators import weburl
+
+    robots = spark.createDataFrame(
+        [("a.com",
+          "User-agent: *\r\nDisallow: /x\nALLOW: /x/pub # comment\n"
+          "Disallow:\n# Disallow: /commented-out\nDisallow: /y\n"),
+         ("empty.com", "User-agent: *\n# nothing\n")],
+        "host string, robots_txt string",
+    )
+    rules = {(r["host"], r["path_prefix"], r["is_allow"])
+             for r in weburl.parse_robots(robots).collect()}
+    assert rules == {
+        ("a.com", "/x", False),
+        ("a.com", "/x/pub", True),
+        ("a.com", "/y", False),
+    }
+
+    pages = spark.createDataFrame(
+        [(1, "a.com", "/x/secret"),     # /x disallow
+         (2, "a.com", "/x/pub/page"),   # /x/pub allow (longer) wins
+         (3, "a.com", "/z"),            # rules exist, none match
+         (4, "a.com", "/y/deep"),       # /y disallow
+         (5, "empty.com", "/x/secret"), # host with zero rules
+         (6, "norobots.com", "/x")],    # host absent from rules table
+        "doc_id long, host string, path string",
+    )
+    got = {r["doc_id"]: r["allowed"]
+           for r in weburl.robots_filter(
+               pages, weburl.parse_robots(robots)).collect()}
+    assert got == {1: False, 2: True, 3: True, 4: False,
+                   5: True, 6: True}
+
+    # length tie: Allow wins (RFC 9309 tie-break)
+    tie = spark.createDataFrame(
+        [("t.com", "Allow: /dir\nDisallow: /dir\n")],
+        "host string, robots_txt string",
+    )
+    p = spark.createDataFrame([(7, "t.com", "/dir/a")],
+                              "doc_id long, host string, path string")
+    [r] = weburl.robots_filter(p, weburl.parse_robots(tie)).collect()
+    assert r["allowed"] is True
