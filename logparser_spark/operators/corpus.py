@@ -178,6 +178,10 @@ def chunk_dedup(chunks, text_col: str = "chunk_text",
     """
     from pyspark.sql import functions as F
 
+    # packed key contract: ord_col < 10^6 (a doc would need >6M words
+    # at the default stride to overflow) and id_col < ~9.2 * 10^12
+    # (int64 / 10^6); both hold for crawl corpora — a pipeline with
+    # larger ids should pack into a struct key instead
     packed = (F.col(id_col) * 1_000_000 + F.col(ord_col)).alias("__k")
     return (
         chunks.select(F.md5(F.col(text_col)).alias("chunk_md5"), packed,

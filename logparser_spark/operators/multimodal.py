@@ -610,7 +610,11 @@ def extract_frames_avi(b: bytes):
             for t2, lo2, hi2 in chunks(lo + 4, hi):
                 if t2 == b"LIST" and b[lo2:lo2 + 4] == b"strl":
                     for t3, lo3, hi3 in chunks(lo2 + 4, hi2):
-                        if t3 == b"strf" and hi3 - lo3 >= 20:
+                        # FIRST strf wins: in a multi-stream AVI the
+                        # video stream precedes audio, whose WAVEFORMAT
+                        # strf must not shadow the BITMAPINFOHEADER
+                        if t3 == b"strf" and hi3 - lo3 >= 20 \
+                                and width is None:
                             (_sz, width, height, _pl, bitcount,
                              compression) = struct.unpack(
                                 "<IiiHHI", b[lo3:lo3 + 20]
@@ -756,6 +760,9 @@ def frame_sample(df, binary_col: str = "html", id_col: str = "doc_id",
     to byte-window sampling (null pixel fields) so the 1→N fan-out
     dataflow still runs end to end."""
     import hashlib
+
+    if every_n_frames <= 0 or every_n_bytes <= 0:
+        raise ValueError("every_n_frames and every_n_bytes must be positive")
 
     def _hash(window: bytes) -> int:
         return int.from_bytes(

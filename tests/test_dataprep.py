@@ -818,3 +818,44 @@ def test_robots_parse_and_filter(spark):
                               "doc_id long, host string, path string")
     [r] = weburl.robots_filter(p, weburl.parse_robots(tie)).collect()
     assert r["allowed"] is True
+
+
+def test_avi_multistream_video_strf_wins(spark):
+    """A second (audio) stream's strf must not shadow the video
+    BITMAPINFOHEADER: splice an audio strl AFTER the video one and
+    assert frames still decode identically."""
+    import struct as st
+
+    from logparser_spark.operators.multimodal import (
+        _avi_chunk,
+        extract_frames_avi,
+        make_avi_rgb,
+    )
+
+    base = make_avi_rgb(5, 3, [7, 200])
+    want = [f[:5] for f in extract_frames_avi(base)]
+
+    # audio strl: strh 'auds' + a WAVEFORMATEX-ish strf whose leading
+    # bytes would parse as (compression != 0) garbage if mis-taken
+    audio_strf = st.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    audio_strl = b"strl" + _avi_chunk(b"strh", b"auds" + b"\x00" * 52) \
+        + _avi_chunk(b"strf", audio_strf + b"\x00" * 8)
+    marker = b"hdrl"
+    i = base.index(marker)
+    # append the audio strl inside the hdrl LIST: grow the LIST size
+    hdrl_size_at = i - 4
+    hdrl_size = st.unpack("<I", base[hdrl_size_at:i])[0]
+    hdrl_end = i + hdrl_size
+    patched = (
+        base[:hdrl_size_at]
+        + st.pack("<I", hdrl_size + 8 + len(audio_strl) + (len(audio_strl) & 1))
+        + base[i:hdrl_end]
+        + _avi_chunk(b"LIST", audio_strl)
+        + base[hdrl_end:]
+    )
+    # fix the RIFF size too
+    grown = len(patched) - 8
+    patched = patched[:4] + st.pack("<I", grown) + patched[8:]
+
+    got = extract_frames_avi(patched)
+    assert got is not None and [f[:5] for f in got] == want
