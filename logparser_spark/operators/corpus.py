@@ -231,14 +231,7 @@ def pack_chunks(chunks, budget_tokens: int = 32, n_buckets: int = 16,
 
     if budget_tokens <= 0 or n_buckets <= 0:
         raise ValueError("budget_tokens and n_buckets must be positive")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(SAMPLE_SALT),
-                               F.col(id_col).cast("string"))), 1, 8),
-            16, 10,
-        ).cast("long") % n_buckets
-    ).alias("bucket")
+    bucket = _bucket_expr(id_col, n_buckets).alias("bucket")
     w = (
         Window.partitionBy("bucket")
         .orderBy(F.col(id_col), F.col(ord_col))
@@ -261,10 +254,11 @@ def pack_chunks(chunks, budget_tokens: int = 32, n_buckets: int = 16,
     )
 
 
-def _bucket_expr(id_col: str):
-    """Deterministic 0..999_999 bucket from md5 of the salted id —
+def _bucket_expr(id_col: str, n: int = 1_000_000):
+    """Deterministic 0..n-1 bucket from md5 of the salted id —
     portable to any SQL engine (same salt, same substring, same hex
-    parse)."""
+    parse). The single definition keeps the hash contract in one place
+    for every consumer (sampling, mixing, packing)."""
     from pyspark.sql import functions as F
 
     return (
@@ -273,7 +267,7 @@ def _bucket_expr(id_col: str):
                 F.md5(F.concat(F.lit(SAMPLE_SALT),
                                F.col(id_col).cast("string"))), 1, 8),
             16, 10,
-        ).cast("long") % 1_000_000
+        ).cast("long") % n
     )
 
 

@@ -176,6 +176,7 @@ def near_dup_clusters(docs, pairs, id_col: str = "doc_id",
     labels = docs.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
     ).persist()
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -199,8 +200,17 @@ def near_dup_clusters(docs, pairs, id_col: str = "doc_id",
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # silent fall-through would return partial (k-hop) minima —
+        # multiple "canonical" rows per component with no signal
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds "
+            "(a component's diameter exceeds max_iter); raise max_iter "
+            "or pre-split giant components"
+        )
     return labels.select(F.col("node").alias(id_col),
                          F.col("lbl").alias("cluster_id"))
 

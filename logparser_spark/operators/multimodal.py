@@ -169,13 +169,12 @@ def make_png(width: int, height: int) -> bytes:
     return b"".join(out)
 
 
-def synth_png(df, id_col: str = "doc_id", out_col: str = "img",
-              keep_cols: Optional[list] = None):
-    """Deterministic PNG synthesizer: one valid PNG per row with
-    width = (id % 640) + 1, height = (id % 480) + 1 — lets an oracle
-    predict the decoded dimensions arithmetically while the engine
-    really parses the bytes. mapInPandas; scales like any codec stage."""
-
+def _synth_binary_stage(df, make_fn, out_col: str, id_col: str = "doc_id",
+                        keep_cols: Optional[list] = None):
+    """Shared scaffold for the deterministic binary synthesizers: keep
+    the requested columns, append ``out_col`` as ``make_fn(id)`` bytes,
+    one Arrow-batched mapInPandas stage (every synth_* below differs
+    only in its bytes-maker)."""
     keep = keep_cols if keep_cols is not None else [id_col]
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -185,13 +184,22 @@ def synth_png(df, id_col: str = "doc_id", out_col: str = "img",
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [
-                make_png((int(i) % 640) + 1, (int(i) % 480) + 1)
-                for i in pdf[id_col]
-            ]
+            pdf[out_col] = [make_fn(int(i)) for i in pdf[id_col]]
             yield pdf
 
     return df.select(*keep).mapInPandas(fn, schema)
+
+
+def synth_png(df, id_col: str = "doc_id", out_col: str = "img",
+              keep_cols: Optional[list] = None):
+    """Deterministic PNG synthesizer: one valid PNG per row with
+    width = (id % 640) + 1, height = (id % 480) + 1 — lets an oracle
+    predict the decoded dimensions arithmetically while the engine
+    really parses the bytes. mapInPandas; scales like any codec stage."""
+    return _synth_binary_stage(
+        df, lambda i: make_png((i % 640) + 1, (i % 480) + 1),
+        out_col, id_col, keep_cols,
+    )
 
 
 # MPEG audio frame-header tables (Layer III only — the overwhelmingly
@@ -363,12 +371,6 @@ def synth_audio(df, id_col: str = "doc_id", out_col: str = "aud",
     (even ids behind an ID3v2 tag, exercising the syncsafe-size skip).
     Every field is arithmetic in the id, so an oracle predicts the full
     decoded struct while the engine really parses the bytes."""
-    keep = keep_cols if keep_cols is not None else [id_col]
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.select(*keep).schema.fields
-    ) + f", {out_col} binary"
-
     def synth(i: int) -> bytes:
         if i % 3 == 0:
             return make_wav(8000 + (i % 90) * 100, (i % 500) + 1,
@@ -380,13 +382,7 @@ def synth_audio(df, id_col: str = "doc_id", out_col: str = "aud",
                         n_frames=(i % 6) + 1, channels=(i % 2) + 1,
                         bitrate_kbps=128, id3=(i % 2 == 0))
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf[out_col] = [synth(int(i)) for i in pdf[id_col]]
-            yield pdf
-
-    return df.select(*keep).mapInPandas(fn, schema)
+    return _synth_binary_stage(df, synth, out_col, id_col, keep_cols)
 
 
 # ISO BMFF container boxes that hold child boxes directly (no payload
@@ -609,12 +605,17 @@ def extract_frames_avi(b: bytes):
         if kind == b"hdrl":
             for t2, lo2, hi2 in chunks(lo + 4, hi):
                 if t2 == b"LIST" and b[lo2:lo2 + 4] == b"strl":
+                    # the strf's meaning depends on the SIBLING strh's
+                    # fccType: only a 'vids' stream's strf is a
+                    # BITMAPINFOHEADER (an audio stream's WAVEFORMAT
+                    # must not be unpacked as one, whichever stream is
+                    # listed first)
+                    is_video = False
                     for t3, lo3, hi3 in chunks(lo2 + 4, hi2):
-                        # FIRST strf wins: in a multi-stream AVI the
-                        # video stream precedes audio, whose WAVEFORMAT
-                        # strf must not shadow the BITMAPINFOHEADER
-                        if t3 == b"strf" and hi3 - lo3 >= 20 \
-                                and width is None:
+                        if t3 == b"strh":
+                            is_video = b[lo3:lo3 + 4] == b"vids"
+                        elif t3 == b"strf" and is_video \
+                                and hi3 - lo3 >= 20 and width is None:
                             (_sz, width, height, _pl, bitcount,
                              compression) = struct.unpack(
                                 "<IiiHHI", b[lo3:lo3 + 20]
@@ -652,28 +653,14 @@ def synth_video(df, id_col: str = "doc_id", out_col: str = "vid",
     / 40 ms x n_frames for AVI — so an oracle predicts every decoded
     field arithmetically while the engine really walks the boxes."""
 
-    keep = keep_cols if keep_cols is not None else [id_col]
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.select(*keep).schema.fields
-    ) + f", {out_col} binary"
+    def synth(i: int) -> bytes:
+        w, h = (i % 640) + 1, (i % 480) + 1
+        nf = (i % 30) + 1
+        if i % 2 == 0:
+            return make_mp4(w, h, (i % 5000) + 1, nf)
+        return make_avi(w, h, nf, us_per_frame=40000)
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.copy()
-            out = []
-            for i in pdf[id_col]:
-                i = int(i)
-                w, h = (i % 640) + 1, (i % 480) + 1
-                nf = (i % 30) + 1
-                if i % 2 == 0:
-                    out.append(make_mp4(w, h, (i % 5000) + 1, nf))
-                else:
-                    out.append(make_avi(w, h, nf, us_per_frame=40000))
-            pdf[out_col] = out
-            yield pdf
-
-    return df.select(*keep).mapInPandas(fn, schema)
+    return _synth_binary_stage(df, synth, out_col, id_col, keep_cols)
 
 
 def video_metadata(df, binary_col: str = "html", id_col: str = "doc_id",
@@ -809,23 +796,11 @@ def synth_avi_rgb(df, id_col: str = "doc_id", out_col: str = "vid",
     predicts every extractor output (dims, pixel counts, pixel sums)
     arithmetically while the engine really walks RIFF chunks and DIB
     rows."""
-    keep = keep_cols if keep_cols is not None else [id_col]
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.select(*keep).schema.fields
-    ) + f", {out_col} binary"
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf[out_col] = [
-                make_avi_rgb(
-                    (int(i) % 8) + 1, (int(i) % 6) + 1,
-                    [(int(i) * 7 + f * 13) % 256
-                     for f in range((int(i) % 5) + 1)],
-                )
-                for i in pdf[id_col]
-            ]
-            yield pdf
-
-    return df.select(*keep).mapInPandas(fn, schema)
+    return _synth_binary_stage(
+        df,
+        lambda i: make_avi_rgb(
+            (i % 8) + 1, (i % 6) + 1,
+            [(i * 7 + f * 13) % 256 for f in range((i % 5) + 1)],
+        ),
+        out_col, id_col, keep_cols,
+    )

@@ -325,11 +325,17 @@ def unigram_doc_score(df, text_col: str = "text", id_col: str = "doc_id",
             F.lit(0).cast("long").alias("score_ppm"),
         )
     per_doc = (
-        words.join(F.broadcast(model_df), "word")
+        # LEFT join: when a prebuilt model_df is reused across corpus
+        # snapshots, out-of-vocabulary tokens must still count toward
+        # n_tokens and contribute ZERO frequency (pulling the average
+        # down, as a rare token should) — an inner join would silently
+        # drop them and inflate the score
+        words.join(F.broadcast(model_df), "word", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
-            F.sum("word_count").cast("long").alias("sum_freq"),
+            F.sum(F.coalesce("word_count", F.lit(0)))
+            .cast("long").alias("sum_freq"),
         )
     )
     base = df.select(F.col(id_col)).join(per_doc, id_col, "left")

@@ -27,7 +27,12 @@ def canonicalize_url(df, url_col: str = "url", out_col: str = "canonical_url"):
 
     u = F.col(url_col)
     scheme = F.lower(F.regexp_extract(u, _URL_RX, 1))
-    authority = F.lower(F.regexp_extract(u, _URL_RX, 2))
+    # userinfo ("user:pass@") is dropped from the canonical form — two
+    # fetches of the same page with and without credentials must share
+    # a dedup key, and the host must join host-keyed tables
+    authority = F.regexp_replace(
+        F.lower(F.regexp_extract(u, _URL_RX, 2)), r"^[^@]*@", ""
+    )
     path = F.regexp_extract(u, _URL_RX, 3)
     query = F.regexp_extract(u, _URL_RX, 4)
 
@@ -64,74 +69,87 @@ def canonicalize_url(df, url_col: str = "url", out_col: str = "canonical_url"):
 
 
 def parse_robots(robots, host_col: str = "host", txt_col: str = "robots_txt"):
-    """robots.txt text → one rule row per (host, path_prefix, is_allow):
-    pure Catalyst (split lines → explode → regexp_extract), the shape a
-    crawl pipeline materializes once per host and broadcasts.
+    """robots.txt text → one rule row per
+    ``(host, path_prefix, rule_len, rule_rx, is_allow)``: pure Catalyst
+    (split lines → explode → regexp_extract), the shape a crawl
+    pipeline materializes once per host and broadcasts.
 
-    Subset of the Robots Exclusion Protocol that path filtering needs:
-    ``Allow:`` / ``Disallow:`` lines (case-insensitive keys, inline
-    ``#`` comments stripped, whitespace trimmed). Group attribution
-    (User-agent sections) is intentionally out of scope here — the
-    caller pre-filters to its agent's section; an empty Disallow value
-    (\"allow all\") yields no rule row, matching the spec."""
+    The RFC 9309 rule surface that path filtering needs: ``Allow:`` /
+    ``Disallow:`` lines (case-insensitive keys, inline ``#`` comments
+    stripped, whitespace trimmed), with the mandatory ``*`` wildcard
+    and end-of-URL ``$`` specials compiled into ``rule_rx`` (all other
+    regex metacharacters escaped). ``rule_len`` is the rule's octet
+    length — RFC 9309's "most specific = most octets" tiebreak key.
+    Group attribution (User-agent sections) is intentionally out of
+    scope here — the caller pre-filters to its agent's section; an
+    empty Disallow value ("allow all") yields no rule row, matching
+    the spec."""
     from pyspark.sql import functions as F
 
     line = F.explode(F.split(F.col(txt_col), "\r?\n")).alias("line")
     rx = r"(?i)^\s*(allow|disallow)\s*:\s*([^#]*)"
     kind = F.lower(F.regexp_extract("line", rx, 1))
     path = F.trim(F.regexp_extract("line", rx, 2))
-    return (
+    base = (
         robots.select(F.col(host_col), line)
-        .select(
-            host_col,
-            kind.alias("__kind"),
-            path.alias("path_prefix"),
-        )
+        .select(host_col, kind.alias("__kind"), path.alias("path_prefix"))
         .where((F.col("__kind") != "") & (F.col("path_prefix") != ""))
-        .select(
-            host_col,
-            "path_prefix",
-            (F.col("__kind") == "allow").alias("is_allow"),
-        )
+    )
+    # compile the rule to an anchored regex: a trailing '$' means
+    # end-of-URL (handled before escaping), '*' becomes '.*', every
+    # other metacharacter is escaped literally
+    ends = F.col("path_prefix").endswith("$")
+    body = F.when(
+        ends, F.expr("substring(path_prefix, 1, length(path_prefix) - 1)")
+    ).otherwise(F.col("path_prefix"))
+    esc = F.regexp_replace(body, r"([\\.\[\]\{\}\(\)\+\?\^\$\|])", r"\\$1")
+    rule_rx = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(ends, F.lit("$")).otherwise(F.lit("")),
+    )
+    return base.select(
+        host_col,
+        "path_prefix",
+        F.length("path_prefix").cast("int").alias("rule_len"),
+        rule_rx.alias("rule_rx"),
+        (F.col("__kind") == "allow").alias("is_allow"),
     )
 
 
 def robots_filter(pages, rules, host_col: str = "host",
                   path_col: str = "path"):
-    """Longest-match robots evaluation (the Google/RFC 9309 rule): for
-    each page, among the host's rules whose ``path_prefix`` prefixes
-    the page path, the LONGEST wins; on a length tie ``Allow`` wins;
-    no matching rule means allowed. Adds ``allowed`` (bool).
+    """Longest-match robots evaluation (RFC 9309): for each page, among
+    the host's rules whose compiled pattern matches the page path, the
+    one with the most octets wins; on a tie ``Allow`` wins; no matching
+    rule (or no rules / NULL host at all) means allowed. Adds
+    ``allowed`` (bool, never NULL).
 
-    Scale shape: rules tables are per-host and tiny (~10 rules/host,
-    ~10^7 hosts) — the join is host-keyed and broadcastable; the
-    longest-match argmax is one max(struct(len, is_allow)) aggregate
-    with map-side partials, so the page side shuffles once on its own
-    id only if the caller didn't already co-partition by host."""
+    Scale shape: ZERO page-side shuffles — the per-host rule lists
+    (~10 rules/host) are collected once and broadcast, so evaluation is
+    a map-side join plus a per-row array argmax; the page table is
+    scanned exactly once and never grouped or self-joined."""
     from pyspark.sql import functions as F
 
-    matched = (
-        pages.join(F.broadcast(rules), host_col, "left")
-        # non-matching (and no-rule) rows contribute NULL to the max,
-        # never a WHERE drop — a host whose rules all miss must still
-        # yield its page with allowed = true
-        .groupBy(host_col, path_col)
-        .agg(
-            F.max(
-                F.when(
-                    F.col("path_prefix").isNotNull()
-                    & F.col(path_col).startswith(F.col("path_prefix")),
-                    F.struct(
-                        F.length("path_prefix").alias("l"),
-                        F.col("is_allow").alias("a"),
-                    ),
-                )
-            ).alias("__best")
-        )
-        .select(
-            host_col, path_col,
-            (F.col("__best").isNull() | F.col("__best.a"))
-            .alias("allowed"),
+    per_host = rules.groupBy(host_col).agg(
+        F.collect_list(
+            F.struct("rule_rx", "rule_len", "is_allow")
+        ).alias("__rules")
+    )
+    joined = pages.join(F.broadcast(per_host), host_col, "left")
+    matching = F.filter(
+        F.col("__rules"),
+        lambda r: F.regexp_like(F.col(path_col), r["rule_rx"]),
+    )
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(r["rule_len"].alias("l"),
+                               r["is_allow"].alias("a")),
         )
     )
-    return pages.join(matched, [host_col, path_col], "left")
+    return joined.withColumn(
+        "allowed",
+        F.when(F.col("__rules").isNull() | best.isNull(), F.lit(True))
+        .otherwise(best["a"]),
+    ).drop("__rules")

@@ -134,7 +134,16 @@ def dedup_stream(stream_df, ts_col: str = "warc_ts",
     from pyspark.sql import functions as F
 
     df = stream_df.withWatermark(ts_col, watermark)
-    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in key_cols]))
+    # null-safe key: concat_ws SKIPS nulls, so (NULL) and ('') — or
+    # ('a', NULL) and (NULL, 'a') — would collide; tag every part as
+    # either the null marker or "v"+value so distinct tuples stay
+    # distinct (values always start with "v", the marker never does)
+    parts = [
+        F.when(F.col(c).isNull(), F.lit("\x00"))
+        .otherwise(F.concat(F.lit("v"), F.col(c).cast("string")))
+        for c in key_cols
+    ]
+    digest = F.md5(F.concat_ws("\x1f", *parts))
     return (
         df.withColumn("__k", digest)
         .dropDuplicatesWithinWatermark(["__k"])

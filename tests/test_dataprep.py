@@ -670,6 +670,10 @@ def test_canonicalize_url_rules(spark):
         ("http://e.com/x?", "http://e.com/x", "e.com"),  # bare '?'
         ("ftp://Files.example.net/pub", "ftp://files.example.net/pub",
          "files.example.net"),                # non-http scheme passes
+        ("http://admin:pw@Example.com/a", "http://example.com/a",
+         "example.com"),                      # userinfo stripped
+        ("https://u@e.com:8443/a", "https://e.com:8443/a",
+         "e.com"),                            # userinfo + kept port
         ("no-scheme.example.com/a", None, ""),           # not absolute
         ("", None, ""),
     ]
@@ -718,6 +722,17 @@ def test_unigram_doc_score(spark):
     got2 = {r["doc_id"]: r.asDict()
             for r in textstats.unigram_doc_score(df, model_df=model).collect()}
     assert got2 == got
+
+    # out-of-vocabulary tokens (prebuilt model, newer corpus) still
+    # count toward n_tokens and score as zero frequency — an inner
+    # join would silently drop them and inflate the average
+    newer = spark.createDataFrame(
+        [(9, "a zz")], "doc_id long, text string"
+    )
+    [r] = textstats.unigram_doc_score(newer, model_df=model).collect()
+    # model: a=3, total=5; doc: a (3) + zz (OOV, 0) over 2 tokens
+    assert (r["n_tokens"], r["sum_freq"]) == (2, 3)
+    assert r["score_ppm"] == (2_000_000 * 3 + 2 * 5) // (2 * 2 * 5)
 
 
 def test_incremental_dedup_ledger(spark):
@@ -773,6 +788,10 @@ def test_near_dup_clusters_components(spark):
             for r in dedup.near_dup_clusters(docs, empty).collect()}
     assert got2 == {i: i for i in range(10)}
 
+    # non-convergence is an ERROR, not silently-partial labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.near_dup_clusters(docs, pairs, max_iter=2)
+
 
 def test_robots_parse_and_filter(spark):
     """parse_robots line handling (case, comments, CRLF, empty values)
@@ -787,7 +806,8 @@ def test_robots_parse_and_filter(spark):
         "host string, robots_txt string",
     )
     rules = {(r["host"], r["path_prefix"], r["is_allow"])
-             for r in weburl.parse_robots(robots).collect()}
+             for r in weburl.parse_robots(robots)
+             .select("host", "path_prefix", "is_allow").collect()}
     assert rules == {
         ("a.com", "/x", False),
         ("a.com", "/x/pub", True),
@@ -818,6 +838,40 @@ def test_robots_parse_and_filter(spark):
                               "doc_id long, host string, path string")
     [r] = weburl.robots_filter(p, weburl.parse_robots(tie)).collect()
     assert r["allowed"] is True
+
+    # RFC 9309 special characters: '*' wildcard and end-of-URL '$';
+    # regex metacharacters in rule paths are matched literally
+    wild = spark.createDataFrame(
+        [("w.com",
+          "Disallow: /p/*/secret\nDisallow: /*.pdf$\n"
+          "Disallow: /lit(x)+?\nAllow: /p/a/secret/ok\n")],
+        "host string, robots_txt string",
+    )
+    wp = spark.createDataFrame(
+        [(1, "w.com", "/p/a/secret"),        # matches /p/*/secret
+         (2, "w.com", "/p/secret"),          # '*' needs >= 0 chars between
+         (3, "w.com", "/doc.pdf"),           # $ anchors: disallowed
+         (4, "w.com", "/doc.pdf/view"),      # not URL-end: allowed
+         (5, "w.com", "/docXpdf"),           # '.' is literal: allowed
+         (6, "w.com", "/lit(x)+?y"),         # metachars literal
+         (7, "w.com", "/p/a/secret/ok2")],   # longer Allow beats wildcard
+        "doc_id long, host string, path string",
+    )
+    gotw = {r["doc_id"]: r["allowed"]
+            for r in weburl.robots_filter(
+                wp, weburl.parse_robots(wild)).collect()}
+    assert gotw == {1: False, 2: True, 3: False, 4: True, 5: True,
+                    6: False, 7: True}
+
+    # NULL host/path rows still come back with allowed = True
+    np = spark.createDataFrame(
+        [(8, None, "/x"), (9, "a.com", None)],
+        "doc_id long, host string, path string",
+    )
+    gotn = {r["doc_id"]: r["allowed"]
+            for r in weburl.robots_filter(
+                np, weburl.parse_robots(robots)).collect()}
+    assert gotn == {8: True, 9: True}
 
 
 def test_avi_multistream_video_strf_wins(spark):

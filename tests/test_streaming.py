@@ -223,3 +223,43 @@ def test_dedup_stream_watermark_bounded(spark):
                 assert ids[1] >= 1_440_000  # re-emitted after eviction
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_stream_null_keys_distinct(spark):
+    """NULL-text and empty-text rows must NOT dedup against each other
+    (concat_ws would silently skip the NULL and collide the keys)."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from logparser_spark.streaming.pipeline import dedup_stream
+
+    d = tempfile.mkdtemp(prefix="sdedupn_")
+    try:
+        t0 = datetime.datetime(2026, 1, 1)
+        rows = [(1, t0, None), (2, t0, ""), (3, t0, None), (4, t0, "")]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, warc_ts timestamp, text string"
+        )
+        os.makedirs(f"{d}/src")
+        df.coalesce(1).write.parquet(f"{d}/tmp")
+        shutil.copy(glob.glob(f"{d}/tmp/*.parquet")[0],
+                    f"{d}/src/p0.parquet")
+        stream = spark.readStream.schema(
+            "doc_id bigint, warc_ts timestamp, text string"
+        ).parquet(f"{d}/src")
+        q = (
+            dedup_stream(stream, watermark="1 minute").writeStream
+            .format("parquet").option("path", f"{d}/out")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(90)
+        got = spark.read.parquet(f"{d}/out").collect()
+        # one NULL-text keeper AND one empty-text keeper survive
+        assert len(got) == 2
+        assert {r["text"] for r in got} == {None, ""}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
