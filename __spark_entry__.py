@@ -1467,6 +1467,54 @@ def q_events_props(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join of the event stream to a synthesized slowly-changing
+    per-user dimension (three plan changes per user at deterministic
+    timestamps): each event picks up the plan in force at its timestamp
+    via the union + running-last formulation (one shuffle, no range
+    join). Events before a user's first change keep NULL plan — the
+    left-join edge. The oracle is DuckDB's native ASOF LEFT JOIN, an
+    independent implementation of the same semantics."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import asof
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    changes = (
+        ev.select("user_id").distinct()
+        .select(
+            "user_id",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("c"),
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "timestampadd(HOUR, c * 216 + user_id % 13, "
+                "TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+            ).alias("change_ts"),
+            F.concat(
+                F.lit("plan"),
+                ((F.col("user_id") + F.col("c")) % 3).cast("string"),
+            ).alias("plan"),
+        )
+    )
+    joined = asof.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        changes,
+        on="user_id",
+        left_ts="ts",
+        right_ts="change_ts",
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ch_us = F.unix_micros(F.col("asof_change_ts").cast("timestamp"))
+    return joined.select(
+        "event_id",
+        "user_id",
+        "plan",
+        (ts_us - ch_us).cast("long").alias("age_us"),
+    )
+
+
 
 
 # ── extra parse-semantics coverage via the driver gate ────────────────
@@ -1735,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_props": q_events_props,
+        "events_asof": q_events_asof,
         # parse-semantics extras
         "parse_dbl_spec": q_parse_dbl_spec,
         "crlf_identity": q_crlf_identity,
@@ -1914,6 +1963,19 @@ def oracle_sql() -> dict[str, str]:
     SELECT (CAST(props->>'$.k' AS BIGINT) % 10) AS k_bucket,
            COUNT(*)::BIGINT AS n
     FROM events GROUP BY 1"""
+
+    sqls["events_asof"] = """
+    WITH ch AS (
+      SELECT user_id,
+        TIMESTAMP '2024-01-01 00:00:00'
+          + (c * 216 + user_id % 13) * INTERVAL '1 hour' AS change_ts,
+        'plan' || ((user_id + c) % 3) AS plan
+      FROM (SELECT DISTINCT user_id FROM events), range(3) t(c))
+    SELECT e.event_id, e.user_id, ch.plan,
+      (epoch_us(e.ts) - epoch_us(ch.change_ts))::BIGINT AS age_us
+    FROM events e
+    ASOF LEFT JOIN ch
+      ON e.user_id = ch.user_id AND e.ts >= ch.change_ts"""
 
 
     sqls["parse_dbl_spec"] = """
