@@ -758,6 +758,31 @@ def q_sample_stratified(spark, sf_dir):
     return corpus.sample_stratified(docs)
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup over constructed 4-paragraph pages:
+    a global footer (every doc), a unique alpha paragraph (embeds
+    doc_id + the doc text), a 10-way shared SECTION banner, and a
+    unique omega paragraph. The oracle predicts the cleaned text BY
+    CONSTRUCTION (alpha + omega survive, footer + banner die), so any
+    bug in the split, the corpus-wide count, the threshold, or the
+    ordered reassembly mismatches."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    sep = F.lit("\n\n")
+    page = F.concat(
+        F.lit("FOOTER terms and privacy"), sep,
+        F.lit("doc "), i, F.lit(" alpha "), F.col("text"), sep,
+        F.lit("SECTION "), (F.col("doc_id") % 10).cast("string"), sep,
+        F.lit("doc "), i, F.lit(" omega"),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    return corpus.paragraph_dedup(pages, min_dup=2)
+
+
 def q_domain_mix(spark, sf_dir):
     """Per-language mixing report (target vs achieved ppm) in one
     aggregation over the scan — the sample itself never materializes."""
@@ -1320,6 +1345,15 @@ def _dataprep_sql() -> dict[str, str]:
         + count(*)) // (2 * count(*)))::BIGINT AS achieved_ppm
     FROM documents GROUP BY 1, 2"""
 
+    sqls["paragraph_dedup"] = """
+    SELECT doc_id,
+      'doc ' || doc_id || ' alpha ' || text || chr(10) || chr(10)
+        || 'doc ' || doc_id || ' omega' AS cleaned,
+      4::BIGINT AS n_paras,
+      2::BIGINT AS n_kept,
+      2::BIGINT AS n_removed
+    FROM documents"""
+
     return sqls
 
 
@@ -1771,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "sample_stratified": q_sample_stratified,
         "domain_mix": q_domain_mix,
+        "paragraph_dedup": q_paragraph_dedup,
         # checkpoint/lineage + skew
         "lineage_buckets": q_lineage_buckets,
         "host_line_tally_salted": q_host_line_tally_salted,

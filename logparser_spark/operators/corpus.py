@@ -342,3 +342,67 @@ def domain_mix(docs, rates_ppm: Mapping[str, int] | None = None,
             .cast("long").alias("achieved_ppm"),
         )
     )
+
+
+def paragraph_dedup(docs, min_dup: int = 2, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n\n"):
+    """Corpus-wide paragraph-level dedup (the RefinedWeb / MassiveText
+    move): split every document on ``sep``, count each paragraph's
+    occurrences across the WHOLE corpus, delete paragraphs appearing
+    ``>= min_dup`` times (boilerplate headers/footers/nav), and
+    reassemble each document from its surviving paragraphs in original
+    order.
+
+    Output: ``(id_col, cleaned, n_paras, n_kept, n_removed)`` — one row
+    per input document (``cleaned = ''`` when nothing survives).
+
+    Scale shape: exactly the two shuffles the semantics force and
+    nothing else — (1) a window count partitioned by the paragraph's
+    md5 digest (equal-sized 32-byte keys shuffle, never the paragraph
+    bodies twice; no join back, the count lands on the exploded row),
+    (2) the reassembly groupBy on the document id. Both are plain hash
+    exchanges; AQE handles the boilerplate-digest skew (a footer
+    shared by 10^9 pages is one hot digest — the window count itself
+    is a running count over a sorted partition, and the alternative
+    two-level count-then-broadcast refinement composes here exactly
+    like ``parse.with_global_line_id``'s prefix sum if a single digest
+    ever overwhelms one partition).
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("pos", "para"),
+    )
+    n_copies = F.count("*").over(Window.partitionBy(F.md5(F.col("para"))))
+    marked = paras.select(
+        id_col, "pos", "para",
+        (n_copies < F.lit(min_dup)).alias("__keep"),
+    )
+    kept_sorted = F.array_sort(
+        F.collect_list(
+            F.when(F.col("__keep"), F.struct("pos", "para"))
+        )
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            kept_sorted.alias("__kept"),
+            F.count("*").alias("n_paras"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["para"]), sep
+            ).alias("cleaned"),
+            F.col("n_paras").cast("long").alias("n_paras"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            (F.col("n_paras") - F.col("n_kept")).cast("long")
+            .alias("n_removed"),
+        )
+    )

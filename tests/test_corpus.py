@@ -254,3 +254,60 @@ class TestSampling:
         assert got["en"]["achieved_ppm"] == (
             (2_000_000 * en_sel + 60) // 120
         )
+
+
+class TestParagraphDedup:
+    def _clean(self, spark, rows, **kw):
+        df = _docs(spark, [(i, t, "en", "s") for i, t in rows])
+        return {
+            r["doc_id"]: r.asDict()
+            for r in corpus.paragraph_dedup(df, **kw).collect()
+        }
+
+    def test_threshold_boundary(self, spark):
+        # "dup" appears exactly 3 times, "pair" exactly 2, uniques once
+        rows = [
+            (0, "dup\n\nu0\n\npair"),
+            (1, "dup\n\nu1\n\npair"),
+            (2, "dup\n\nu2"),
+        ]
+        # min_dup=3: only "dup" dies
+        got = self._clean(spark, rows, min_dup=3)
+        assert got[0]["cleaned"] == "u0\n\npair"
+        assert got[2] == {"doc_id": 2, "cleaned": "u2", "n_paras": 2,
+                          "n_kept": 1, "n_removed": 1}
+        # min_dup=2: "pair" dies too
+        got = self._clean(spark, rows, min_dup=2)
+        assert got[0]["cleaned"] == "u0"
+        assert got[1]["cleaned"] == "u1"
+        # min_dup=4: nothing dies, docs round-trip byte-identical
+        got = self._clean(spark, rows, min_dup=4)
+        assert all(got[i]["cleaned"] == rows[i][1] for i in range(3))
+        assert all(got[i]["n_removed"] == 0 for i in range(3))
+
+    def test_fully_boilerplate_doc_survives_as_row(self, spark):
+        rows = [(0, "x\n\nx"), (1, "x"), (2, "solo")]
+        got = self._clean(spark, rows, min_dup=2)
+        # doc 0 and 1: every paragraph duplicated -> empty cleaned text
+        assert got[0] == {"doc_id": 0, "cleaned": "", "n_paras": 2,
+                          "n_kept": 0, "n_removed": 2}
+        assert got[1]["cleaned"] == ""
+        assert got[2]["cleaned"] == "solo"
+
+    def test_order_preserved_with_interleaved_removals(self, spark):
+        rows = [
+            (0, "B\n\na\n\nB\n\nb\n\nB\n\nc"),
+            (1, "B"),
+        ]
+        got = self._clean(spark, rows, min_dup=2)
+        assert got[0]["cleaned"] == "a\n\nb\n\nc"
+        assert got[0]["n_paras"] == 6 and got[0]["n_kept"] == 3
+
+    def test_custom_separator_is_literal_not_regex(self, spark):
+        # '||' would be a regex alternation if unescaped -> split on
+        # every char; the operator must treat sep literally
+        rows = [(0, "a||b"), (1, "a||c")]
+        got = self._clean(spark, rows, min_dup=2, sep="||")
+        assert got[0]["cleaned"] == "b"
+        assert got[1]["cleaned"] == "c"
+        assert got[0]["n_paras"] == 2
