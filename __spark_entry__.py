@@ -611,6 +611,17 @@ def q_unigram_score(spark, sf_dir):
     return textstats.unigram_doc_score(docs)
 
 
+def q_tfidf_top(spark, sf_dir):
+    """Top-3 TF-IDF terms per document over the corpus's own
+    vocabulary — integer-exact IDF (N*10^6 div doc_freq) so the
+    ranking and every score reproduce bit-for-bit in SQL; ties broken
+    by term so the top-3 cut is deterministic."""
+    from logparser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.tfidf_top_terms(docs, k=3)
+
+
 def q_canonical_urls(spark, sf_dir):
     """URL canonicalization over five messiness families (mixed-case
     scheme/host, default and non-default ports, utm_* trackers,
@@ -1183,6 +1194,26 @@ def _dataprep_sql() -> dict[str, str]:
         // (2 * d.n_tokens::HUGEINT * tot.total)
        ELSE 0 END)::BIGINT AS score_ppm
     FROM documents doc LEFT JOIN d USING (doc_id), tot"""
+
+    sqls["tfidf_top"] = """
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        x -> len(x) > 0)) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+    dfreq AS (
+      SELECT term, count(*)::BIGINT AS doc_freq FROM tf GROUP BY 1),
+    n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+        (tf.tf * ((n.n * 1000000) // dfreq.doc_freq))::BIGINT AS score
+      FROM tf JOIN dfreq USING (term), n)
+    SELECT doc_id, rank::INT AS rank, term, tf, doc_freq, score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+      FROM s)
+    WHERE rank <= 3"""
 
     sqls["canonical_urls"] = """
     SELECT doc_id,
@@ -1798,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "robots_allowed": q_robots_allowed,
         "unigram_score": q_unigram_score,
+        "tfidf_top": q_tfidf_top,
         "embedding_near_dup": q_embedding_near_dup,
         # corpus construction
         "contamination_check": q_contamination_check,

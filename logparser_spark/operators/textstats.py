@@ -355,3 +355,61 @@ def unigram_doc_score(df, text_col: str = "text", id_col: str = "doc_id",
             ),
         ).otherwise(F.lit(0)).cast("long").alias("score_ppm"),
     )
+
+
+def tfidf_top_terms(df, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id", model_df=None):
+    """Top-``k`` TF-IDF terms per document with an integer-exact IDF,
+    so any SQL engine reproduces the ranking bit for bit:
+    ``idf_ppm = (N_docs * 10^6) div doc_freq`` (integer division) and
+    ``score = tf * idf_ppm`` — monotone in the real tf·log-idf for a
+    fixed corpus, with no float log to diverge across engines.
+
+    Output: ``(doc_id, rank, term, tf, doc_freq, score)``, ranks
+    ``1..k`` ordered by (score desc, term asc) — the term tiebreak
+    makes the cut deterministic.
+
+    Scale shape: tf is one (doc, term) aggregate with map-side
+    partials; doc_freq is a second aggregate over the (already
+    distinct) tf table — vocabulary-sized (~10^7 rows at web scale),
+    so it broadcast-joins back onto tf; pass ``model_df`` (a
+    ``(word, doc_freq)`` frame) to reuse a persisted vocabulary
+    instead of rebuilding it. The top-k window shuffles on doc_id —
+    same key as tf, so AQE coalesces it onto the existing exchange.
+    N_docs is an O(1) scalar job embedded as a literal (a 1-row
+    crossJoin would plan a BroadcastNestedLoopJoin, forbidden by the
+    plan-shape invariants).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    n_docs = int(df.count())
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "),
+                     lambda t: F.length(t) > 0)
+        ).alias("term"),
+    )
+    tf = words.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    if model_df is None:
+        model_df = tf.groupBy("term").agg(
+            F.count("*").cast("long").alias("doc_freq")
+        )
+    scored = tf.join(F.broadcast(model_df), "term").select(
+        id_col, "term", "tf", "doc_freq",
+        (F.col("tf") * F.expr(f"(CAST({n_docs} AS BIGINT) * 1000000) "
+                              "div doc_freq"))
+        .cast("long").alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("int").alias("rank"),
+                "term", "tf", "doc_freq", "score")
+    )

@@ -913,3 +913,62 @@ def test_avi_multistream_video_strf_wins(spark):
 
     got = extract_frames_avi(patched)
     assert got is not None and [f[:5] for f in got] == want
+
+
+def test_tfidf_top_terms_ranking_and_model_reuse(spark):
+    from logparser_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (0, "apple apple banana rare"),
+            (1, "apple banana banana"),
+            (2, "apple cherry"),
+            (3, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = textstats.tfidf_top_terms(df, k=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # N=4; idf_ppm: apple df=3 -> 1333333, banana df=2 -> 2000000,
+    # rare/cherry df=1 -> 4000000
+    d0 = {r["rank"]: (r["term"], r["score"]) for r in by_doc[0]}
+    # doc0: rare 1*4000000 beats apple 2*1333333=2666666
+    assert d0[1] == ("rare", 4_000_000)
+    assert d0[2] == ("apple", 2_666_666)
+    # doc1: banana 2*2000000 beats apple 1333333
+    assert by_doc[1][0]["term"] == "banana"
+    # empty doc contributes no rows, k caps output length
+    assert 3 not in by_doc
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+    # deterministic tie-break: equal scores order by term asc
+    tie = textstats.tfidf_top_terms(
+        spark.createDataFrame(
+            [(0, "zeta alpha"), (1, "keep")], "doc_id LONG, text STRING"
+        ),
+        k=2,
+    )
+    t0 = sorted(
+        [(r["rank"], r["term"]) for r in tie.collect() if r["doc_id"] == 0]
+    )
+    assert t0 == [(1, "alpha"), (2, "zeta")]
+
+    # a persisted vocabulary can be supplied instead of being rebuilt
+    from pyspark.sql import functions as F
+
+    model = (
+        df.select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .where(F.length("term") > 0)
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+    )
+    out2 = textstats.tfidf_top_terms(df, k=2, model_df=model)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
