@@ -654,6 +654,45 @@ def q_canonical_urls(spark, sf_dir):
     )
 
 
+def q_outlink_degrees(spark, sf_dir):
+    """Host web-graph degrees from extracted outlinks: each page
+    carries two absolute links (hosts arithmetic in doc_id, one
+    upper-cased with a port to exercise normalization), a
+    protocol-relative link, a root-relative (internal) link, and three
+    junk hrefs (mailto / javascript / #anchor) that must be dropped.
+    The oracle rebuilds the edge list arithmetically — zero regex — so
+    the extraction, classification, normalization, and the degree
+    aggregate are all independently checked."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import weburl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="HTTP://Site'),
+        ((i * 7) % 50).cast("string"),
+        F.lit('.com:80/x/'), i.cast("string"),
+        F.lit('">a</a> <a href="https://site'),
+        ((i * 3 + 1) % 50).cast("string"),
+        F.lit('.org/y">b</a> <a href="//cdn'),
+        (i % 4).cast("string"),
+        F.lit('.example.net/lib.js">c</a> <a href="/local/'),
+        (i % 5).cast("string"),
+        F.lit('">d</a> <a href="mailto:a@b.com">e</a>'
+              ' <a href="javascript:void(0)">f</a>'
+              ' <a href="#top">g</a></body></html>'),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("site"), (i % 50).cast("string"), F.lit(".com"))
+        .alias("host"),
+        html.alias("html"),
+    )
+    edges = weburl.extract_outlinks(pages)
+    return weburl.host_link_degrees(edges)
+
+
 def q_extract_text(spark, sf_dir):
     """Boilerplate removal from realistic messy HTML: per document,
     build a page with script/style blocks (containing '<', quotes and
@@ -1214,6 +1253,30 @@ def _dataprep_sql() -> dict[str, str]:
         PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
       FROM s)
     WHERE rank <= 3"""
+
+    sqls["outlink_degrees"] = """
+    WITH e AS (
+      SELECT 'site' || (doc_id % 50) || '.com' AS src_host,
+             'site' || ((doc_id * 7) % 50) || '.com' AS dst_host
+      FROM documents
+      UNION ALL
+      SELECT 'site' || (doc_id % 50) || '.com',
+             'site' || ((doc_id * 3 + 1) % 50) || '.org'
+      FROM documents
+      UNION ALL
+      SELECT 'site' || (doc_id % 50) || '.com',
+             'cdn' || (doc_id % 4) || '.example.net'
+      FROM documents
+      UNION ALL
+      SELECT 'site' || (doc_id % 50) || '.com',
+             'site' || (doc_id % 50) || '.com'
+      FROM documents)
+    SELECT dst_host,
+      count(*)::BIGINT AS in_degree,
+      count(DISTINCT src_host)::BIGINT AS n_src_hosts,
+      sum(CASE WHEN src_host = dst_host THEN 1 ELSE 0 END)::BIGINT
+        AS n_internal
+    FROM e GROUP BY 1"""
 
     sqls["canonical_urls"] = """
     SELECT doc_id,
@@ -1830,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_allowed": q_robots_allowed,
         "unigram_score": q_unigram_score,
         "tfidf_top": q_tfidf_top,
+        "outlink_degrees": q_outlink_degrees,
         "embedding_near_dup": q_embedding_near_dup,
         # corpus construction
         "contamination_check": q_contamination_check,

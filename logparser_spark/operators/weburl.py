@@ -153,3 +153,80 @@ def robots_filter(pages, rules, host_col: str = "host",
         F.when(F.col("__rules").isNull() | best.isNull(), F.lit(True))
         .otherwise(best["a"]),
     ).drop("__rules")
+
+
+_HREF_RX = r'href="([^"]*)"'
+
+
+def extract_outlinks(pages, html_col: str = "html",
+                     src_host_col: str = "host", id_col: str = "doc_id"):
+    """Outlink edge extraction — the map-only stage that turns a crawl
+    into a host-level web graph. Pure Catalyst: one
+    ``regexp_extract_all`` over the page, an explode, and per-link
+    classification expressions (no UDF, no shuffle).
+
+    Per ``href`` value:
+
+    - absolute ``http(s)://…`` → destination host (lowercased, port
+      and userinfo stripped, same normalization as
+      :func:`canonicalize_url`);
+    - protocol-relative ``//host/…`` → that host;
+    - root-relative ``/path`` → the page's own host (an internal edge);
+    - everything else (``mailto:``, ``javascript:``, ``#anchor``,
+      path-relative ``page.html`` — which needs the page path to
+      resolve) is dropped.
+
+    Output: ``(id_col, src_host, dst_host, href, is_internal)``, one
+    row per resolved link, document order preserved within a page.
+    """
+    from pyspark.sql import functions as F
+
+    links = pages.select(
+        F.col(id_col),
+        F.col(src_host_col).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RX), F.lit(1))
+        ).alias("href"),
+    )
+    h = F.col("href")
+    abs_auth = F.regexp_extract(h, r"^(?i:https?)://([^/?#]*)", 1)
+    rel_auth = F.regexp_extract(h, r"^//([^/?#]+)", 1)
+
+    def _host(auth):
+        return F.regexp_replace(
+            F.regexp_replace(F.lower(auth), r"^[^@]*@", ""), r":\d+$", ""
+        )
+
+    dst = (
+        F.when(abs_auth != "", _host(abs_auth))
+        .when(rel_auth != "", _host(rel_auth))
+        .when(h.startswith("/") & ~h.startswith("//"), F.col("src_host"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        links.withColumn("dst_host", dst)
+        .where(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
+        .withColumn("is_internal", F.col("dst_host") == F.col("src_host"))
+    )
+
+
+def host_link_degrees(edges):
+    """Host-level link-graph degree table from an edge list:
+    ``(dst_host, in_degree, n_src_hosts, n_internal)`` — total inbound
+    links, distinct referring hosts, and how many inbound links are
+    the host linking to itself.
+
+    One aggregate with map-side partials; ``n_src_hosts`` is an exact
+    distinct (a second partial-aggregate pass on (dst, src), still one
+    logical shuffle key). At web scale dst_host is Zipfian — the
+    standard salting/AQE-skew handling from ``plans.skew`` applies
+    unchanged since the key is a plain string column.
+    """
+    from pyspark.sql import functions as F
+
+    return edges.groupBy("dst_host").agg(
+        F.count("*").cast("long").alias("in_degree"),
+        F.countDistinct("src_host").cast("long").alias("n_src_hosts"),
+        F.sum(F.col("is_internal").cast("long")).cast("long")
+        .alias("n_internal"),
+    )

@@ -972,3 +972,39 @@ def test_tfidf_top_terms_ranking_and_model_reuse(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, out2.collect())
     )
+
+
+def test_extract_outlinks_classification(spark):
+    from logparser_spark.operators import weburl
+
+    html = (
+        '<a href="https://User:pw@Ext.COM:8080/p">1</a>'
+        '<a href="HTTP://ext.com/q">2</a>'
+        '<a href="//cdn.net/x.js">3</a>'
+        '<a href="/rel">4</a>'
+        '<a href="page.html">5</a>'
+        '<a href="mailto:x@y.z">6</a>'
+        '<a href="javascript:void(0)">7</a>'
+        '<a href="#frag">8</a>'
+        "<a href=''>no-match-single-quote</a>"
+    )
+    pages = spark.createDataFrame(
+        [(1, "me.com", html)], "doc_id LONG, host STRING, html STRING"
+    )
+    edges = weburl.extract_outlinks(pages).collect()
+    got = [(r["href"], r["dst_host"], r["is_internal"]) for r in edges]
+    # userinfo + port stripped, host lowercased; scheme case-blind;
+    # protocol-relative resolved; root-relative -> own host (internal);
+    # path-relative / mailto / javascript / anchors dropped
+    assert got == [
+        ("https://User:pw@Ext.COM:8080/p", "ext.com", False),
+        ("HTTP://ext.com/q", "ext.com", False),
+        ("//cdn.net/x.js", "cdn.net", False),
+        ("/rel", "me.com", True),
+    ]
+
+    degs = {r["dst_host"]: tuple(r)[1:]
+            for r in weburl.host_link_degrees(
+                weburl.extract_outlinks(pages)).collect()}
+    assert degs["ext.com"] == (2, 1, 0)
+    assert degs["me.com"] == (1, 1, 1)
