@@ -654,6 +654,23 @@ def q_canonical_urls(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC container round-trip: render every document as a
+    spec-shaped WARC/1.0 response record (exact octet Content-Length,
+    embedded HTTP response, 404s on doc_id%11, and a PLANTED
+    missing-Content-Length corruption on doc_id%17), pack 8 records
+    per file blob, then parse the blobs back with the byte walker —
+    which must emit valid=false for the corrupt records and resync at
+    the next magic without losing any neighbor. The oracle predicts
+    every output field arithmetically (octet_length over the
+    reconstructed HTTP block) without touching the parser."""
+    from logparser_spark.sources import warc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    files = warc.synth_warc_files(docs, per_file=8)
+    return warc.parse_warc(files)
+
+
 def q_outlink_degrees(spark, sf_dir):
     """Host web-graph degrees from extracted outlinks: each page
     carries two absolute links (hosts arithmetic in doc_id, one
@@ -1253,6 +1270,31 @@ def _dataprep_sql() -> dict[str, str]:
         PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
       FROM s)
     WHERE rank <= 3"""
+
+    sqls["warc_roundtrip"] = """
+    SELECT (doc_id // 8)::BIGINT AS file_id,
+      (doc_id % 8)::INT AS rec_no,
+      'response' AS warc_type,
+      'http://site' || (doc_id % 50) || '.com/page/' || doc_id
+        AS target_uri,
+      '<urn:uuid:' || lpad(doc_id::VARCHAR, 32, '0') || '>' AS record_id,
+      (CASE WHEN doc_id % 17 = 0 THEN NULL
+        ELSE octet_length(encode(
+          (CASE WHEN doc_id % 11 = 0 THEN 'HTTP/1.1 404 Not Found'
+                ELSE 'HTTP/1.1 200 OK' END)
+          || chr(13) || chr(10)
+          || 'Content-Type: text/html; charset=utf-8'
+          || chr(13) || chr(10) || chr(13) || chr(10)
+          || '<html><body>' || text || '</body></html>'))
+       END)::BIGINT AS content_length,
+      (CASE WHEN doc_id % 17 = 0 THEN NULL
+            WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END)::INT
+        AS http_status,
+      CASE WHEN doc_id % 17 = 0 THEN NULL
+           ELSE '<html><body>' || text || '</body></html>' END
+        AS payload,
+      (doc_id % 17 <> 0) AS valid
+    FROM documents"""
 
     sqls["outlink_degrees"] = """
     WITH e AS (
@@ -1894,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_score": q_unigram_score,
         "tfidf_top": q_tfidf_top,
         "outlink_degrees": q_outlink_degrees,
+        "warc_roundtrip": q_warc_roundtrip,
         "embedding_near_dup": q_embedding_near_dup,
         # corpus construction
         "contamination_check": q_contamination_check,
