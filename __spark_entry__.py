@@ -671,20 +671,11 @@ def q_warc_roundtrip(spark, sf_dir):
     return warc.parse_warc(files)
 
 
-def q_outlink_degrees(spark, sf_dir):
-    """Host web-graph degrees from extracted outlinks: each page
-    carries two absolute links (hosts arithmetic in doc_id, one
-    upper-cased with a port to exercise normalization), a
-    protocol-relative link, a root-relative (internal) link, and three
-    junk hrefs (mailto / javascript / #anchor) that must be dropped.
-    The oracle rebuilds the edge list arithmetically — zero regex — so
-    the extraction, classification, normalization, and the degree
-    aggregate are all independently checked."""
+def _outlink_pages(docs):
+    """Shared synth for the outlink/web-graph queries: pages whose
+    hrefs are all arithmetic in doc_id (see q_outlink_degrees)."""
     from pyspark.sql import functions as F
 
-    from logparser_spark.operators import weburl
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     i = F.col("doc_id")
     html = F.concat(
         F.lit('<html><body><a href="HTTP://Site'),
@@ -700,14 +691,97 @@ def q_outlink_degrees(spark, sf_dir):
               ' <a href="javascript:void(0)">f</a>'
               ' <a href="#top">g</a></body></html>'),
     )
-    pages = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(F.lit("site"), (i % 50).cast("string"), F.lit(".com"))
         .alias("host"),
         html.alias("html"),
     )
-    edges = weburl.extract_outlinks(pages)
+
+
+# the arithmetic reconstruction of _outlink_pages' edge list — shared
+# by every web-graph oracle (degrees, pagerank)
+_OUTLINK_EDGES_SQL = """
+      SELECT 'site' || (doc_id % 50) || '.com' AS src_host,
+             'site' || ((doc_id * 7) % 50) || '.com' AS dst_host
+      FROM documents
+      UNION ALL
+      SELECT 'site' || (doc_id % 50) || '.com',
+             'site' || ((doc_id * 3 + 1) % 50) || '.org'
+      FROM documents
+      UNION ALL
+      SELECT 'site' || (doc_id % 50) || '.com',
+             'cdn' || (doc_id % 4) || '.example.net'
+      FROM documents
+      UNION ALL
+      SELECT 'site' || (doc_id % 50) || '.com',
+             'site' || (doc_id % 50) || '.com'
+      FROM documents"""
+
+
+def _pagerank_sql(iters: int = 3, damping_pct: int = 85) -> str:
+    """Unrolled integer-exact PageRank oracle (mirrors
+    weburl.host_pagerank iteration for iteration)."""
+    scale = 1_000_000_000_000
+    base = f"((({100 - damping_pct} * {scale}) // 100) // n.n)"
+    ctes = [
+        f"e0 AS ({_OUTLINK_EDGES_SQL})",
+        "e AS (SELECT DISTINCT src_host, dst_host FROM e0)",
+        "v AS (SELECT src_host AS host FROM e"
+        " UNION SELECT dst_host FROM e)",
+        "o AS (SELECT src_host, count(*)::BIGINT AS outdeg"
+        " FROM e GROUP BY 1)",
+        "n AS (SELECT count(*)::BIGINT AS n FROM v)",
+        f"r0 AS (SELECT host, ({scale} // n.n)::BIGINT AS rank"
+        " FROM v, n)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst_host AS host,"
+            f" sum(r{i-1}.rank // o.outdeg)::BIGINT AS c"
+            f" FROM e JOIN o USING (src_host)"
+            f" JOIN r{i-1} ON r{i-1}.host = e.src_host GROUP BY 1)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT v.host,"
+            f" ({base} + ({damping_pct} * coalesce(c{i}.c, 0)) // 100)"
+            f"::BIGINT AS rank"
+            f" FROM v LEFT JOIN c{i} USING (host), n)"
+        )
+    return (
+        "\n    WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT host, rank FROM r{iters}"
+    )
+
+
+def q_outlink_degrees(spark, sf_dir):
+    """Host web-graph degrees from extracted outlinks: each page
+    carries two absolute links (hosts arithmetic in doc_id, one
+    upper-cased with a port to exercise normalization), a
+    protocol-relative link, a root-relative (internal) link, and three
+    junk hrefs (mailto / javascript / #anchor) that must be dropped.
+    The oracle rebuilds the edge list arithmetically — zero regex — so
+    the extraction, classification, normalization, and the degree
+    aggregate are all independently checked."""
+    from logparser_spark.operators import weburl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = weburl.extract_outlinks(_outlink_pages(docs))
     return weburl.host_link_degrees(edges)
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Three integer-exact PageRank iterations over the extracted host
+    graph (the Common-Crawl-style host-rank signal): ranks in
+    parts-per-trillion with div-by-outdeg contributions, so the oracle
+    — the same three iterations unrolled as DuckDB CTEs over the
+    arithmetically reconstructed edge list — must match every rank bit
+    for bit, not just the ordering."""
+    from logparser_spark.operators import weburl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = weburl.extract_outlinks(_outlink_pages(docs))
+    return weburl.host_pagerank(edges, iters=3)
 
 
 def q_extract_text(spark, sf_dir):
@@ -1296,29 +1370,16 @@ def _dataprep_sql() -> dict[str, str]:
       (doc_id % 17 <> 0) AS valid
     FROM documents"""
 
-    sqls["outlink_degrees"] = """
-    WITH e AS (
-      SELECT 'site' || (doc_id % 50) || '.com' AS src_host,
-             'site' || ((doc_id * 7) % 50) || '.com' AS dst_host
-      FROM documents
-      UNION ALL
-      SELECT 'site' || (doc_id % 50) || '.com',
-             'site' || ((doc_id * 3 + 1) % 50) || '.org'
-      FROM documents
-      UNION ALL
-      SELECT 'site' || (doc_id % 50) || '.com',
-             'cdn' || (doc_id % 4) || '.example.net'
-      FROM documents
-      UNION ALL
-      SELECT 'site' || (doc_id % 50) || '.com',
-             'site' || (doc_id % 50) || '.com'
-      FROM documents)
+    sqls["outlink_degrees"] = f"""
+    WITH e AS ({_OUTLINK_EDGES_SQL})
     SELECT dst_host,
       count(*)::BIGINT AS in_degree,
       count(DISTINCT src_host)::BIGINT AS n_src_hosts,
       sum(CASE WHEN src_host = dst_host THEN 1 ELSE 0 END)::BIGINT
         AS n_internal
     FROM e GROUP BY 1"""
+
+    sqls["host_pagerank"] = _pagerank_sql(iters=3, damping_pct=85)
 
     sqls["canonical_urls"] = """
     SELECT doc_id,
@@ -1937,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top": q_tfidf_top,
         "outlink_degrees": q_outlink_degrees,
         "warc_roundtrip": q_warc_roundtrip,
+        "host_pagerank": q_host_pagerank,
         "embedding_near_dup": q_embedding_near_dup,
         # corpus construction
         "contamination_check": q_contamination_check,

@@ -230,3 +230,71 @@ def host_link_degrees(edges):
         F.sum(F.col("is_internal").cast("long")).cast("long")
         .alias("n_internal"),
     )
+
+
+PAGERANK_SCALE = 1_000_000_000_000  # ranks in parts-per-trillion
+
+
+def host_pagerank(edges, iters: int = 3, damping_pct: int = 85):
+    """Host-level PageRank (the crawl-curation signal behind Common
+    Crawl's host ranks), kept INTEGER-EXACT so any engine reproduces
+    every rank bit for bit: ranks live in parts-per-trillion of the
+    total mass, and each iteration computes
+
+        r'(v) = base + (damping_pct * sum_{u->v} (r(u) div outdeg(u)))
+                       div 100
+        base  = ((100 - damping_pct) * SCALE div 100) div N
+
+    with integer division throughout — no float sums to reorder under
+    partitioning. Dangling mass is not redistributed (the standard
+    simplification; a constant per-iteration leak that rescales, not
+    reorders, the ranking). Self-loops and multi-edges are collapsed
+    to the simple directed graph first.
+
+    Output: ``(host, rank)`` over all vertices (sources and sinks).
+
+    Scale shape: the edge list is joined ONCE to the out-degree table
+    (outside the loop); each iteration is then one shuffle join
+    (rank ⋈ edges on src) + one aggregate (on dst) — the canonical
+    distributed PageRank step. Both shuffles key on host strings;
+    pre-bucketing edges by src and dst host (written once, reused
+    every iteration) removes the per-iteration edge shuffle on a real
+    cluster, and AQE's skew split handles the Zipfian hub hosts.
+    ``iters`` unrolls into the logical plan, so keep it small (<=6) or
+    checkpoint between iterations; web-graph practice converges the
+    ORDERING in a handful of iterations.
+    """
+    from pyspark.sql import functions as F
+
+    e = edges.select("src_host", "dst_host").distinct()
+    verts = (
+        e.select(F.col("src_host").alias("host"))
+        .union(e.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    out = e.groupBy("src_host").agg(
+        F.count("*").cast("long").alias("outdeg")
+    )
+    e_out = e.join(out, "src_host")  # one join, reused every iteration
+
+    n = int(verts.count())
+    base = ((100 - damping_pct) * PAGERANK_SCALE // 100) // n
+    r = verts.select("host", F.lit(PAGERANK_SCALE // n).cast("long")
+                     .alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e_out.join(r, e_out["src_host"] == r["host"])
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("rank div outdeg").alias("__c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("__c").cast("long").alias("__c"))
+        )
+        r = verts.join(contrib, "host", "left").select(
+            "host",
+            (F.lit(base)
+             + F.expr(f"({damping_pct} * coalesce(__c, 0)) div 100"))
+            .cast("long").alias("rank"),
+        )
+    return r

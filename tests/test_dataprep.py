@@ -1008,3 +1008,27 @@ def test_extract_outlinks_classification(spark):
                 weburl.extract_outlinks(pages)).collect()}
     assert degs["ext.com"] == (2, 1, 0)
     assert degs["me.com"] == (1, 1, 1)
+
+
+def test_host_pagerank_hand_computed(spark):
+    from logparser_spark.operators import weburl
+
+    edges = spark.createDataFrame(
+        # A->B, A->C, B->C; C dangling; duplicate edge collapses
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "b")],
+        "src_host STRING, dst_host STRING",
+    )
+    got = {r["host"]: r["rank"]
+           for r in weburl.host_pagerank(edges, iters=1).collect()}
+    # N=3, scale=1e12: r0 = 333333333333 each, base = 50000000000
+    # B <- A/2 = 166666666666 -> 50e9 + (85*166666666666)//100
+    # C <- A/2 + B = 499999999999 -> 50e9 + (85*499999999999)//100
+    assert got == {
+        "a": 50_000_000_000,
+        "b": 191_666_666_666,
+        "c": 474_999_999_999,
+    }
+    # deterministic across re-runs (integer arithmetic, no float sums)
+    again = {r["host"]: r["rank"]
+             for r in weburl.host_pagerank(edges, iters=1).collect()}
+    assert again == got
