@@ -171,3 +171,106 @@ def windowed_format_counts(parsed_stream, ts_col: str = "warc_ts",
             "n",
         )
     )
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start long, session_end long, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def sessionize_stream(events, user_col: str = "user_id",
+                      ts_col: str = "ts", gap_minutes: int = 30,
+                      watermark: str = "1 minute"):
+    """Streaming session windows with a custom stateful operator
+    (``applyInPandasWithState`` + event-time timeout) — the gap rule
+    Spark's built-in ``session_window`` aggregate can't express once a
+    pipeline needs per-session payloads beyond simple aggregates, and
+    the streaming analog of the batch lag+running-sum sessionization
+    (``q_events_sessions``).
+
+    Semantics: per user, events closer than ``gap_minutes`` chain into
+    one session; a session CLOSES (and is emitted exactly once, in
+    append mode) when the event-time watermark passes its last event
+    plus the gap. In-flight sessions hold state of three longs —
+    O(active users), not O(events) — and late events beyond the
+    watermark are dropped by the engine before reaching the operator.
+
+    Output rows: ``(user_id, session_start, session_end, n_events)``
+    with timestamps as epoch microseconds (integer-exact across
+    engines).
+
+    Scale shape: one shuffle on ``user_col`` (the grouping the
+    semantics force); state is per-key constant-size; timeouts make
+    progress even on idle keys (no data needed to flush a closed
+    session — an eviction-at-watermark contract like
+    ``dedup_stream``'s, so emission can lag one micro-batch after the
+    watermark passes).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+
+    def fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.hasTimedOut:
+            s, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([(uid, s, last, n)], columns=cols)
+            return
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(
+                pd.to_datetime(pdf[ts_col])
+                .astype("datetime64[us]").astype("int64").tolist()
+            )
+        ts_us.sort()
+        if state.exists:
+            s, last, n = state.get
+        else:
+            s = last = None
+            n = 0
+        closed = []
+        for t in ts_us:
+            if s is None:
+                s = last = t
+                n = 1
+            elif t - last > gap_us:
+                closed.append((uid, s, last, n))
+                s = last = t
+                n = 1
+            else:
+                last = max(last, t)
+                n += 1
+        if s is not None:
+            wm_ms = state.getCurrentWatermarkMs()
+            timeout_ms = (last + gap_us) // 1000
+            if timeout_ms <= wm_ms:
+                # the watermark already passed this session's horizon
+                # (e.g. it closed within this batch's own span): emit
+                # now — a timeout for the past would be rejected
+                closed.append((uid, s, last, n))
+                if state.exists:
+                    state.remove()
+            else:
+                state.update((s, last, n))
+                state.setTimeoutTimestamp(timeout_ms)
+        yield pd.DataFrame(closed, columns=cols)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

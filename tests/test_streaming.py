@@ -263,3 +263,81 @@ def test_dedup_stream_null_keys_distinct(spark):
         assert {r["text"] for r in got} == {None, ""}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sessionize_stream_matches_batch(spark):
+    """Custom stateful sessionization (applyInPandasWithState):
+    streamed closed sessions must equal the batch lag+running-sum
+    sessionization of the same events, with still-open sessions (the
+    far-future sentinel's) withheld."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from logparser_spark.streaming.pipeline import sessionize_stream
+
+    d = tempfile.mkdtemp(prefix="sess_")
+    try:
+        t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+        def ts(minute):
+            return t0 + datetime.timedelta(minutes=minute)
+
+        def mkfile(name, rows, mtime):
+            df = spark.createDataFrame(
+                rows, "user_id bigint, ts timestamp"
+            )
+            df.coalesce(1).write.parquet(f"{d}/tmp_{name}")
+            src = glob.glob(f"{d}/tmp_{name}/*.parquet")[0]
+            os.makedirs(f"{d}/src", exist_ok=True)
+            dst = f"{d}/src/{name}.parquet"
+            shutil.copy(src, dst)
+            os.utime(dst, (mtime, mtime))
+
+        users = range(3)
+        # session A: 4 events 5 min apart; session B (90 min later,
+        # beyond the 30-min gap): 2 events; staggered per user
+        f1 = [(u, ts(u + 5 * k)) for u in users for k in range(4)]
+        f2 = [(u, ts(u + 90 + 7 * k)) for u in users for k in range(2)]
+        # sentinel far in the future: closes everything via watermark,
+        # then stays open itself (never emitted)
+        f3 = [(u, ts(24 * 60)) for u in users]
+        mkfile("p0", f1, 1_000_000)
+        mkfile("p1", f2, 1_000_100)
+        mkfile("p2", f3, 1_000_200)
+
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        out = sessionize_stream(stream, gap_minutes=30)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{d}/out")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = {
+            (r["user_id"], r["session_start"]): (
+                r["session_end"], r["n_events"]
+            )
+            for r in spark.read.parquet(f"{d}/out").collect()
+        }
+
+        def us(minute):
+            return int(ts(minute).timestamp() * 1_000_000)
+
+        expect = {}
+        for u in users:
+            expect[(u, us(u))] = (us(u + 15), 4)
+            expect[(u, us(u + 90))] = (us(u + 97), 2)
+        assert got == expect
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
