@@ -611,6 +611,33 @@ def q_unigram_score(spark, sf_dir):
     return textstats.unigram_doc_score(docs)
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode NFC + control-strip + whitespace-collapse normalization:
+    every third document gets a planted messy suffix (decomposed e +
+    combining acute, a BEL control byte, a run of spaces, decomposed
+    A + ring) that must compose/strip/collapse; the rest get a clean
+    suffix and must come back byte-identical with changed=false. The
+    oracle predicts the normalized string BY CONSTRUCTION
+    (precomposed forms in the SQL literal) - it never runs a
+    normalizer at all."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    messy = F.concat(
+        F.col("text"),
+        F.lit(" café\x07  Å end"),
+    )
+    clean = F.concat(F.col("text"), F.lit(" end"))
+    feed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, messy).otherwise(clean)
+        .alias("text"),
+    )
+    return textstats.normalize_text(feed)
+
+
 def q_tfidf_top(spark, sf_dir):
     """Top-3 TF-IDF terms per document over the corpus's own
     vocabulary — integer-exact IDF (N*10^6 div doc_freq) so the
@@ -1370,6 +1397,15 @@ def _dataprep_sql() -> dict[str, str]:
       (doc_id % 17 <> 0) AS valid
     FROM documents"""
 
+    sqls["normalize_text"] = (
+        """
+    SELECT doc_id,
+      CASE WHEN doc_id % 3 = 0 THEN text || ' café Å end'
+           ELSE text || ' end' END AS norm_text,
+      (doc_id % 3 = 0) AS changed
+    FROM documents"""
+    )
+
     sqls["outlink_degrees"] = f"""
     WITH e AS ({_OUTLINK_EDGES_SQL})
     SELECT dst_host,
@@ -1996,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_allowed": q_robots_allowed,
         "unigram_score": q_unigram_score,
         "tfidf_top": q_tfidf_top,
+        "normalize_text": q_normalize_text,
         "outlink_degrees": q_outlink_degrees,
         "warc_roundtrip": q_warc_roundtrip,
         "host_pagerank": q_host_pagerank,

@@ -413,3 +413,48 @@ def tfidf_top_terms(df, k: int = 3, text_col: str = "text",
         .select(id_col, F.col("rank").cast("int").alias("rank"),
                 "term", "tf", "doc_freq", "score")
     )
+
+
+# C0 controls except \t \n \r, plus DEL — the bytes a crawl's broken
+# encodings leave behind. Same RE2-compatible class on Spark and DuckDB.
+CONTROL_CHAR_RX = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Crawl-text normalization: Unicode NFC composition (the one step
+    Catalyst has no builtin for — a vectorized Arrow pandas_udf over
+    ``Series.str.normalize``, never per-row Python), then pure-Catalyst
+    control-character stripping, space/tab-run collapsing, and trim.
+    NFC runs FIRST so a stray control byte can't be sitting between a
+    base char and its combining mark when composition happens.
+
+    Output: ``(id_col, norm_text, changed)`` — ``changed`` flags rows
+    the normalization actually touched (the usual audit metric:
+    fraction of corpus with mojibake/controls).
+
+    Scale shape: map-only projection, one Python stage (the same
+    boundary budget as the parse kernel); everything else stays in
+    whole-stage codegen. DuckDB reproduces it exactly via
+    ``nfc_normalize`` + the same RE2 patterns.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def _nfc_impl(s):
+        return s.str.normalize("NFC")
+
+    # annotations set explicitly: pandas is imported function-locally,
+    # so a `s: pd.Series` hint would be an unresolvable string here
+    _nfc_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    nfc = F.pandas_udf(_nfc_impl, "string")
+
+    t = nfc(F.col(text_col))
+    t = F.regexp_replace(t, CONTROL_CHAR_RX, "")
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.trim(t)
+    return df.select(
+        F.col(id_col),
+        t.alias("norm_text"),
+        (t != F.col(text_col)).alias("changed"),
+    )
