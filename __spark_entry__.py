@@ -649,17 +649,14 @@ def q_tfidf_top(spark, sf_dir):
     return textstats.tfidf_top_terms(docs, k=3)
 
 
-def q_canonical_urls(spark, sf_dir):
-    """URL canonicalization over five messiness families (mixed-case
-    scheme/host, default and non-default ports, utm_* trackers,
-    unsorted params, fragments, missing path, non-URL garbage) — the
-    oracle predicts every canonical string BY CONSTRUCTION from doc_id,
-    independently of the regex pipeline."""
+def _messy_url_pages(docs):
+    """Shared synth for the URL queries: five messiness families
+    (mixed-case scheme/host, default and non-default ports, utm_*
+    trackers, unsorted params, fragments, missing path, non-URL
+    garbage), all arithmetic in doc_id so every oracle predicts the
+    canonical form by construction."""
     from pyspark.sql import functions as F
 
-    from logparser_spark.operators import weburl
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     i = F.col("doc_id")
     h = (i % 50).cast("string")
     m = (i % 7).cast("string")
@@ -675,10 +672,33 @@ def q_canonical_urls(spark, sf_dir):
         .when(i % 5 == 3, F.concat(F.lit("http://site"), h, F.lit(".com")))
         .otherwise(F.concat(F.lit("not a url "), s))
     )
-    pages = docs.select("doc_id", url.alias("url"))
-    return weburl.canonicalize_url(pages).select(
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_canonical_urls(spark, sf_dir):
+    """URL canonicalization over five messiness families — the
+    oracle predicts every canonical string BY CONSTRUCTION from doc_id,
+    independently of the regex pipeline."""
+    from logparser_spark.operators import weburl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weburl.canonicalize_url(_messy_url_pages(docs)).select(
         "doc_id", "canonical_url", "host"
     )
+
+
+def q_cdx_index(spark, sf_dir):
+    """CDX capture index: canonicalize the messy-URL corpus, derive
+    SURT keys (reversed host + path), and rank every capture in the
+    GLOBAL SURT order via the two-level prefix-sum (no global sort,
+    no single-partition window over data rows). The oracle recomputes
+    each family's SURT key arithmetically and ranks with a plain
+    row_number() — so a rank mismatch anywhere flags the distributed
+    ranking, not fixture drift."""
+    from logparser_spark.operators import weburl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weburl.build_cdx(_messy_url_pages(docs), prefix_len=10)
 
 
 def q_warc_roundtrip(spark, sf_dir):
@@ -1436,6 +1456,22 @@ def _dataprep_sql() -> dict[str, str]:
       END AS host
     FROM documents"""
 
+    sqls["cdx_index"] = """
+    WITH k AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN 'com,site' || (doc_id % 50) || ',www)/a/'
+                      || doc_id || '?a=1&b=' || (doc_id % 7)
+          WHEN 1 THEN 'org,site' || (doc_id % 50) || ')/p' || doc_id
+          WHEN 2 THEN 'net,site' || (doc_id % 50) || ')/x'
+          ELSE 'com,site' || (doc_id % 50) || ')/'
+        END AS surt_key
+      FROM documents WHERE doc_id % 5 <> 4
+    )
+    SELECT row_number() OVER (ORDER BY surt_key, doc_id)::BIGINT AS rank,
+      surt_key, doc_id
+    FROM k"""
+
     sqls["extract_text"] = """
     SELECT doc_id,
       'Doc ' || doc_id || ' ' || text || ' A & B <ok> "q" ''s''' AS extracted
@@ -2029,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": q_audio_meta,
         "extract_text": q_extract_text,
         "canonical_urls": q_canonical_urls,
+        "cdx_index": q_cdx_index,
         "robots_allowed": q_robots_allowed,
         "unigram_score": q_unigram_score,
         "tfidf_top": q_tfidf_top,

@@ -298,3 +298,82 @@ def host_pagerank(edges, iters: int = 3, damping_pct: int = 85):
             .cast("long").alias("rank"),
         )
     return r
+
+
+def surt_key(canonical_url_col, host_col):
+    """SURT (Sort-friendly URI Reordering Transform) key from a
+    canonicalized URL: reversed-host joined with commas, ``)``, then
+    the path+query — ``com,example,www)/path?q=1``. Grouping every
+    host's (and domain's) captures contiguously is what makes one
+    sorted index answer both per-host and per-domain lookups."""
+    from pyspark.sql import functions as F
+
+    rest = F.regexp_replace(
+        canonical_url_col, r"^[a-z][a-z0-9+.\-]*://[^/?#]*", ""
+    )
+    return F.concat(
+        F.array_join(F.reverse(F.split(host_col, r"\.")), ","),
+        F.lit(")"),
+        rest,
+    )
+
+
+def build_cdx(pages, url_col: str = "url", id_col: str = "doc_id",
+              prefix_len: int = 10):
+    """CDX-style globally ranked capture index (the web-archive lookup
+    structure): canonicalize every URL, derive its SURT key, and
+    assign each capture its ordinal in the GLOBAL SURT sort order —
+    without ever running a single-partition global window.
+
+    Rank = two-level prefix sum keyed by the SURT key's own prefix:
+    because lexicographic order is prefix-consistent (a < b ⇒
+    prefix(a) ≤ prefix(b)), the first ``prefix_len`` characters split
+    the key space into contiguous, DETERMINISTIC buckets — unlike
+    ``repartitionByRange``'s sampled boundaries or
+    ``spark_partition_id``, which can differ between the two passes
+    (count pass + rank pass) and silently corrupt ordinals. Within a
+    bucket a bounded window ranks by (key, id); bucket totals are
+    prefix-summed on the tiny bucket table and broadcast back — the
+    same shape as ``parse.with_global_line_id``.
+
+    ``prefix_len`` tunes bucket granularity: longer prefixes = more,
+    smaller buckets. The reversed-host layout concentrates ``com,``
+    prefixes, so production deployments size it past the domain (the
+    CDX convention of per-host index shards is exactly this with
+    prefix = whole host). Rows whose URL does not canonicalize
+    (NULL) are excluded — they belong to a reject sink.
+
+    Output: ``(rank, surt_key, doc_id)``, rank 1-based and dense over
+    the kept rows, bit-equal to ``row_number() OVER (ORDER BY
+    surt_key, doc_id)``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    canon = canonicalize_url(pages, url_col=url_col)
+    base = (
+        canon.where(F.col("canonical_url").isNotNull())
+        .select(
+            F.col(id_col),
+            surt_key(F.col("canonical_url"), F.col("host"))
+            .alias("surt_key"),
+        )
+        .withColumn("__b", F.substring("surt_key", 1, prefix_len))
+    )
+    w_in = Window.partitionBy("__b").orderBy("surt_key", id_col)
+    local = base.withColumn("__r", F.row_number().over(w_in))
+    btot = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__bn"))
+    w_b = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boff = btot.withColumn(
+        "__boff", F.coalesce(F.sum("__bn").over(w_b), F.lit(0))
+    ).select("__b", "__boff")
+    return (
+        local.join(F.broadcast(boff), "__b")
+        .select(
+            (F.col("__boff") + F.col("__r")).cast("long").alias("rank"),
+            "surt_key",
+            id_col,
+        )
+    )

@@ -689,6 +689,62 @@ def test_canonicalize_url_rules(spark):
         assert got[i] == (canon, host), (u, got[i])
 
 
+def test_surt_key_and_cdx_rank(spark):
+    """SURT keys from hand-picked hosts, then build_cdx ranks pinned
+    against a plain global row_number() — with prefix_len=3, short
+    enough that one bucket spans several hosts AND one host's captures
+    split across a path boundary, the adversarial case for the
+    two-level prefix sum."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import weburl
+
+    urls = [
+        "http://www.example.com/b",
+        "http://www.example.com/a?x=1",
+        "https://sub.example.com/z",
+        "http://example.org/",
+        "http://aaa.aa/p",
+        "not a url at all",        # must be excluded
+        "http://example.org/",     # duplicate URL, tie broken by id
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+
+    # surt_key spot checks
+    canon = weburl.canonicalize_url(df)
+    keyed = canon.where(F.col("canonical_url").isNotNull()).select(
+        "doc_id",
+        weburl.surt_key(F.col("canonical_url"), F.col("host"))
+        .alias("surt_key"),
+    )
+    got = {r["doc_id"]: r["surt_key"] for r in keyed.collect()}
+    assert got[0] == "com,example,www)/b"
+    assert got[1] == "com,example,www)/a?x=1"
+    assert got[2] == "com,example,sub)/z"
+    assert got[3] == "org,example)/"
+    assert got[4] == "aa,aaa)/p"
+    assert 5 not in got
+
+    # rank parity vs the naive single-window form, at a bucket size
+    # that forces multi-host buckets and cross-bucket host splits
+    cdx = {
+        (r["surt_key"], r["doc_id"]): r["rank"]
+        for r in weburl.build_cdx(df, prefix_len=3).collect()
+    }
+    naive = {
+        (r["surt_key"], r["doc_id"]): r["rank"]
+        for r in keyed.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("surt_key", "doc_id"))
+            .cast("long"),
+        ).collect()
+    }
+    assert cdx == naive and len(cdx) == 6
+
+
 def test_unigram_doc_score(spark):
     """Hand-computed unigram model: corpus 'a a b' + 'a c' + '' ->
     counts a=3,b=1,c=1, total=5. Doc1 sum_freq=3+3+1=7, n=3 ->
