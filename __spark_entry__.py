@@ -718,6 +718,21 @@ def q_warc_roundtrip(spark, sf_dir):
     return warc.parse_warc(files)
 
 
+def q_warc_gz_roundtrip(spark, sf_dir):
+    """Gzipped-WARC round-trip (the actual Common Crawl transport:
+    one gzip member per record): render the same corrupted record
+    stream as warc_roundtrip, compress each record as its own
+    deterministic member, parse the member chain back with the
+    zlib-streaming splitter. Output — and therefore the oracle — is
+    identical to the plain-WARC round-trip: compression must be
+    invisible to record semantics."""
+    from logparser_spark.sources import warc_gz
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    files = warc_gz.synth_warc_gz_files(docs, per_file=8)
+    return warc_gz.parse_warc_gz(files)
+
+
 def _outlink_pages(docs):
     """Shared synth for the outlink/web-graph queries: pages whose
     hrefs are all arithmetic in doc_id (see q_outlink_degrees)."""
@@ -1417,6 +1432,9 @@ def _dataprep_sql() -> dict[str, str]:
       (doc_id % 17 <> 0) AS valid
     FROM documents"""
 
+    # gzip is invisible to record semantics by design: same oracle
+    sqls["warc_gz_roundtrip"] = sqls["warc_roundtrip"]
+
     sqls["normalize_text"] = (
         """
     SELECT doc_id,
@@ -2072,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "outlink_degrees": q_outlink_degrees,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "host_pagerank": q_host_pagerank,
         "embedding_near_dup": q_embedding_near_dup,
         # corpus construction
