@@ -890,6 +890,22 @@ def q_audio_meta(spark, sf_dir):
     )
 
 
+def q_audio_samples(spark, sf_dir):
+    """REAL compressed-audio SAMPLE decode: synthesize PCM WAV (even
+    ids) and FLAC (odd ids, cycling constant/verbatim/fixed-2/LPC
+    subframes — Rice-coded residuals, CRC-verified frames) whose
+    sample values are arithmetic in (doc_id, t, channel), decode the
+    bits back, and aggregate the decoded samples. The oracle computes
+    the same aggregates from the closed-form sample formula — so any
+    bit-level codec bug surfaces as a value mismatch."""
+    from logparser_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.decode_audio_samples(
+        multimodal.synth_audio_pcm(docs), binary_col="aud", strict=True
+    )
+
+
 def q_video_frames(spark, sf_dir):
     """REAL frame-pixel extraction: synthesize a playable uncompressed
     AVI per document (dims/frame-count/fill all arithmetic in doc_id,
@@ -1524,6 +1540,30 @@ def _dataprep_sql() -> dict[str, str]:
        END)::BIGINT AS n_samples
     FROM documents"""
 
+    sqls["audio_samples"] = """
+    WITH p AS (
+      SELECT doc_id,
+        (doc_id % 300) + 1 AS n,
+        ((doc_id // 2) % 2) + 1 AS ch,
+        (doc_id % 2) AS fam,
+        ((doc_id // 2) % 4) AS sub
+      FROM documents),
+    s AS (
+      SELECT p.doc_id, p.n, p.ch, p.fam,
+        CASE WHEN p.fam = 1 AND p.sub = 0 THEN (p.doc_id % 201) - 100
+             ELSE ((p.doc_id + 3 * t.t + 7 * c.c) % 201) - 100
+        END AS v
+      FROM p, unnest(range(0, p.n)) t(t), unnest(range(0, p.ch)) c(c))
+    SELECT doc_id,
+      CASE fam WHEN 0 THEN 'wav' ELSE 'flac' END AS format,
+      (CASE fam WHEN 0 THEN 16000 ELSE 44100 END)::INT AS sample_rate,
+      ch::INT AS channels,
+      n::BIGINT AS n_samples,
+      sum(v)::BIGINT AS sum_s,
+      sum(abs(v))::BIGINT AS sum_abs,
+      max(v)::INT AS max_s
+    FROM s GROUP BY doc_id, fam, ch, n"""
+
     sqls["video_frames"] = """
     SELECT doc_id,
       unnest(generate_series(0, doc_id % 5))::INT AS frame_no,
@@ -2081,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_meta": q_video_meta,
         "video_frames": q_video_frames,
         "audio_meta": q_audio_meta,
+        "audio_samples": q_audio_samples,
         "extract_text": q_extract_text,
         "canonical_urls": q_canonical_urls,
         "cdx_index": q_cdx_index,
