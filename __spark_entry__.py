@@ -925,6 +925,24 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_video_frames_rle(spark, sf_dir):
+    """REAL COMPRESSED-video frame decode: synthesize a BI_RLE8
+    (Microsoft run-length codec) AVI per document and decode each
+    frame's runs/escapes through the stream's RGBQUAD palette back to
+    BGR pixels. Palette entry j sums to 60j + 3, so the oracle
+    predicts every decoded frame's pixel sum arithmetically — any
+    opcode, palette or row-order bug mismatches."""
+    from logparser_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frames = multimodal.frame_sample(
+        multimodal.synth_avi_rle8(docs), binary_col="vid", strict=True
+    )
+    return frames.select(
+        "doc_id", "frame_no", "width", "height", "n_px", "px_sum"
+    )
+
+
 def q_contamination_check(spark, sf_dir):
     """Benchmark decontamination: every 13th document stands in for the
     benchmark suite; per-doc distinct word 3-grams are semi-joined
@@ -1574,6 +1592,17 @@ def _dataprep_sql() -> dict[str, str]:
        * 3 * ((doc_id % 8) + 1) * ((doc_id % 6) + 1))::BIGINT AS px_sum
     FROM documents"""
 
+    sqls["video_frames_rle"] = """
+    SELECT doc_id,
+      unnest(generate_series(0, doc_id % 5))::INT AS frame_no,
+      ((doc_id % 8) + 1)::INT AS width,
+      ((doc_id % 6) + 1)::INT AS height,
+      (3 * ((doc_id % 8) + 1) * ((doc_id % 6) + 1))::BIGINT AS n_px,
+      ((60 * ((doc_id * 7 + unnest(generate_series(0, doc_id % 5)) * 13)
+              % 8) + 3)
+       * ((doc_id % 8) + 1) * ((doc_id % 6) + 1))::BIGINT AS px_sum
+    FROM documents"""
+
     sqls["contamination_check"] = """
     WITH w AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
@@ -2120,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "video_meta": q_video_meta,
         "video_frames": q_video_frames,
+        "video_frames_rle": q_video_frames_rle,
         "audio_meta": q_audio_meta,
         "audio_samples": q_audio_samples,
         "extract_text": q_extract_text,

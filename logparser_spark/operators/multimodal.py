@@ -5,13 +5,14 @@ IMAGE metadata is REAL: PNG/GIF/JPEG/BMP dimensions are parsed straight
 from the header bytes with ``struct``. AUDIO metadata is REAL for WAV,
 FLAC (STREAMINFO) and MP3 (frame-header walk) — no codec library
 needed for header-level rate/channels/bits/sample counts. VIDEO frame
-PIXEL extraction is REAL for uncompressed (BI_RGB) AVI
-(``extract_frames_avi``: RIFF chunk walk → DIB rows, stride padding
-excluded). AUDIO SAMPLE decode is REAL for PCM WAV and for FLAC — the
+PIXEL extraction is REAL for uncompressed (BI_RGB) AVI and for the
+BI_RLE8 compressed codec (``extract_frames_avi``: RIFF chunk walk →
+DIB rows / RLE8 opcode decode through the RGBQUAD palette, stride
+padding excluded). AUDIO SAMPLE decode is REAL for PCM WAV and for FLAC — the
 full bit-level frame codec lives in ``operators/flaccodec.py``
 (constant/verbatim/fixed/LPC subframes, Rice residuals, CRC-verified)
-and feeds ``decode_audio_samples``. Only LOSSY sample decode (MP3
-huffman+IMDCT, compressed video bitstreams) remains stubbed — that
+and feeds ``decode_audio_samples``. Only DSP-grade LOSSY decode (MP3
+huffman+IMDCT, MPEG/H.264 video bitstreams) remains stubbed — that
 genuinely is a DSP codec library, unavailable here: those paths
 either raise ``NotImplementedError`` (strict mode) or produce a
 deterministic fallback derived from the bytes, so pipelines exercise
@@ -594,14 +595,108 @@ def make_avi_rgb(width: int, height: int, fills: list,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def make_avi_rle8(width: int, height: int, fill_indices: list,
+                  palette: list, us_per_frame: int = 40000) -> bytes:
+    """A complete BI_RLE8 COMPRESSED AVI: same RIFF/hdrl scaffolding
+    as ``make_avi_rgb`` but an 8bpp palettized stream
+    (biCompression = 1, RGBQUAD palette after the BITMAPINFOHEADER)
+    whose frame ``f`` is a spec RLE8 encoding (max-255 runs + EOL/EOB
+    escapes) of a constant fill with palette index
+    ``fill_indices[f]`` — decoded pixel sums stay arithmetic in the
+    index while the bytes are a bona-fide RLE8 bitstream."""
+    n_frames = len(fill_indices)
+    npal = len(palette)
+    frame_payloads = [
+        _rle8_encode_fill(width, height, ix) for ix in fill_indices
+    ]
+    max_sz = max(len(p) for p in frame_payloads)
+    avih = struct.pack(
+        "<IIIIIIIIII", us_per_frame, max_sz, 0, 0, n_frames,
+        0, 1, max_sz, width, height,
+    ) + b"\x00" * 16
+    strh = (b"vids" + b"MRLE" + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, us_per_frame, 1_000_000, 0,
+        n_frames, max_sz, 0xFFFFFFFF, 0,
+    ) + struct.pack("<hhhh", 0, 0, width, height))
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 1, 0,
+        0, 0, npal, npal,
+    ) + b"".join(
+        struct.pack("<BBBB", bl, g, r, 0) for bl, g, r in palette
+    )
+    strl = b"strl" + _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)
+    hdrl = b"hdrl" + _avi_chunk(b"avih", avih) + _avi_chunk(b"LIST", strl)
+    movi = b"movi" + b"".join(
+        _avi_chunk(b"00dc", p) for p in frame_payloads
+    )
+    body = b"AVI " + _avi_chunk(b"LIST", hdrl) + _avi_chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _rle8_decode(data: bytes, width: int, height: int):
+    """MS-RLE8 bitmap decode (biCompression = BI_RLE8): encoded runs /
+    escapes → palette-index rows in DIB order (row 0 = bottom).
+    Handles all four escapes — end-of-line, end-of-bitmap, delta
+    (skipped pixels stay index 0, per the 'undefined' license the
+    format grants), and word-aligned absolute mode."""
+    rows = [bytearray(width) for _ in range(height)]
+    x = y = 0
+    i = 0
+    while i + 2 <= len(data) and y < height:
+        cnt = data[i]
+        val = data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            for _ in range(cnt):
+                if x < width:
+                    rows[y][x] = val
+                x += 1
+        elif val == 0:    # end of line
+            y += 1
+            x = 0
+        elif val == 1:    # end of bitmap
+            break
+        elif val == 2:    # delta
+            if i + 2 > len(data):
+                break
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:             # absolute mode: val literal indices
+            for k in range(val):
+                if i + k < len(data) and x < width and y < height:
+                    rows[y][x] = data[i + k]
+                x += 1
+            i += val + (val & 1)  # padded to a word boundary
+    return rows
+
+
+def _rle8_encode_fill(width: int, height: int, index: int) -> bytes:
+    """Constant-fill frame as spec RLE8: max-255 runs per row, EOL
+    after each row, EOB at the end."""
+    row = bytearray()
+    left = width
+    while left > 0:
+        n = min(255, left)
+        row += bytes([n, index])
+        left -= n
+    row += b"\x00\x00"  # EOL
+    return bytes(row) * height + b"\x00\x01"  # EOB
+
+
 def extract_frames_avi(b: bytes):
-    """REAL frame-pixel extraction for uncompressed (BI_RGB) AVI: walks
-    the RIFF chunk tree, reads the stream's BITMAPINFOHEADER, then
-    decodes every ``00db``/``00dc`` movi chunk into its pixel bytes
-    (stride padding excluded). Returns a list of
+    """REAL frame-pixel extraction for AVI video streams: walks the
+    RIFF chunk tree, reads the stream's BITMAPINFOHEADER, then decodes
+    every ``00db``/``00dc`` movi chunk into its pixel bytes (stride
+    padding excluded from counts/sums). Two codecs are decoded for
+    real: uncompressed BI_RGB 24bpp, and BI_RLE8 (the Microsoft
+    run-length codec: 8bpp palette indices, run/absolute/delta/EOL/EOB
+    opcodes — see ``_rle8_decode``), whose indices are mapped through
+    the stream's RGBQUAD palette to the same bottom-up BGR layout as
+    BI_RGB. Returns a list of
     ``(frame_no, width, height, n_px, px_sum, pixels)`` or ``None``
-    when the payload is not an uncompressed AVI (compressed codecs
-    still need ffmpeg — the caller decides whether to raise)."""
+    when the stream needs a DSP codec (MPEG/H.264 etc. — the caller
+    decides whether to raise)."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
 
@@ -617,6 +712,7 @@ def extract_frames_avi(b: bytes):
 
     width = height = bitcount = None
     compression = None
+    palette = None
     frames = []
     for tag, lo, hi in chunks(12, len(b)):
         if tag != b"LIST":
@@ -640,24 +736,57 @@ def extract_frames_avi(b: bytes):
                              compression) = struct.unpack(
                                 "<IiiHHI", b[lo3:lo3 + 20]
                             )
+                            if bitcount == 8 and hi3 - lo3 >= 40:
+                                n_colors = struct.unpack(
+                                    "<I", b[lo3 + 32:lo3 + 36]
+                                )[0] or 256
+                                pal_raw = b[lo3 + 40:
+                                            lo3 + 40 + 4 * n_colors]
+                                import numpy as np
+                                palette = np.zeros((256, 3),
+                                                   dtype=np.uint8)
+                                got = len(pal_raw) // 4
+                                palette[:got] = np.frombuffer(
+                                    pal_raw[:got * 4], dtype=np.uint8
+                                ).reshape(-1, 4)[:, :3]  # B,G,R,(rsvd)
         elif kind == b"movi":
-            if compression != 0 or bitcount != 24 or not width:
-                return None  # compressed stream: needs a codec
+            rgb = compression == 0 and bitcount == 24
+            rle8 = compression == 1 and bitcount == 8 \
+                and palette is not None
+            if not width or not (rgb or rle8):
+                return None  # stream needs a DSP codec
             h = abs(height)
             stride = (width * 3 + 3) & ~3
+            n_px = width * 3 * h
             for t2, lo2, hi2 in chunks(lo + 4, hi):
                 if t2[2:4] not in (b"db", b"dc"):
                     continue
-                if hi2 - lo2 < stride * h:
-                    return None  # truncated frame
+                if rgb:
+                    if hi2 - lo2 < stride * h:
+                        return None  # truncated frame
+                    px_sum = 0
+                    for r in range(h):
+                        row = b[lo2 + r * stride:
+                                lo2 + r * stride + width * 3]
+                        px_sum += sum(row)
+                    frames.append(
+                        (len(frames), width, h, n_px, px_sum,
+                         b[lo2:lo2 + stride * h])
+                    )
+                    continue
+                import numpy as np
+
+                idx_rows = _rle8_decode(b[lo2:hi2], width, h)
+                pad = b"\x00" * (stride - width * 3)
                 px_sum = 0
-                n_px = width * 3 * h
-                for r in range(h):
-                    row = b[lo2 + r * stride:lo2 + r * stride + width * 3]
-                    px_sum += sum(row)
+                buf = bytearray()
+                for row in idx_rows:  # row 0 = bottom, DIB order
+                    bgr = palette[np.frombuffer(bytes(row),
+                                                dtype=np.uint8)]
+                    px_sum += int(bgr.sum())
+                    buf += bgr.tobytes() + pad
                 frames.append(
-                    (len(frames), width, h, n_px, px_sum,
-                     b[lo2:lo2 + stride * h])
+                    (len(frames), width, h, n_px, px_sum, bytes(buf))
                 )
     if width is None:
         return None
@@ -908,6 +1037,29 @@ def synth_avi_rgb(df, id_col: str = "doc_id", out_col: str = "vid",
         lambda i: make_avi_rgb(
             (i % 8) + 1, (i % 6) + 1,
             [(i * 7 + f * 13) % 256 for f in range((i % 5) + 1)],
+        ),
+        out_col, id_col, keep_cols,
+    )
+
+
+RLE8_TEST_PALETTE = [(10 * j, 20 * j + 1, 30 * j + 2) for j in range(8)]
+
+
+def synth_avi_rle8(df, id_col: str = "doc_id", out_col: str = "vid",
+                   keep_cols: Optional[list] = None):
+    """Deterministic COMPRESSED-AVI synthesizer (BI_RLE8): per id,
+    width = (id % 8) + 1, height = (id % 6) + 1, n_frames =
+    (id % 5) + 1, frame ``f`` constant-filled with palette index
+    a = (id * 7 + f * 13) % 8 over ``RLE8_TEST_PALETTE`` (entry j =
+    BGR (10j, 20j+1, 30j+2), so a decoded pixel sums to 60a + 3) — an
+    oracle predicts every decoded pixel sum arithmetically while the
+    engine really decodes RLE8 opcodes through the palette."""
+    return _synth_binary_stage(
+        df,
+        lambda i: make_avi_rle8(
+            (i % 8) + 1, (i % 6) + 1,
+            [(i * 7 + f * 13) % 8 for f in range((i % 5) + 1)],
+            RLE8_TEST_PALETTE,
         ),
         out_col, id_col, keep_cols,
     )

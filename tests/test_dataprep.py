@@ -930,6 +930,71 @@ def test_robots_parse_and_filter(spark):
     assert gotn == {8: True, 9: True}
 
 
+def test_rle8_opcodes_hand_built():
+    """MS-RLE8 decode against a HAND-WRITTEN opcode stream (runs,
+    word-padded absolute mode, delta skip, EOL, EOB) — independent of
+    the fill-run encoder, so the decoder is pinned to the spec."""
+    from logparser_spark.operators.multimodal import _rle8_decode
+
+    data = bytes([
+        2, 1,           # run: 2 pixels of index 1
+        0, 3, 4, 5, 6,  # absolute mode: 3 literal indices...
+        0,              # ...padded to a word boundary
+        0, 0,           # EOL -> next row up
+        0, 2, 2, 0,     # delta: skip 2 right (stay on row)
+        3, 7,           # run: 3 pixels of index 7
+        0, 0,           # EOL
+        0, 1,           # EOB
+    ])
+    rows = _rle8_decode(data, 5, 2)
+    assert bytes(rows[0]) == bytes([1, 1, 4, 5, 6])   # bottom row
+    assert bytes(rows[1]) == bytes([0, 0, 7, 7, 7])   # delta left 0s
+    # truncated stream: partial decode (the cut-off absolute byte
+    # stays index 0), never a crash
+    rows = _rle8_decode(data[:6], 5, 2)
+    assert bytes(rows[0]) == bytes([1, 1, 4, 5, 0])
+    assert bytes(rows[1]) == bytes(5)
+    # early EOB leaves the rest at index 0
+    rows = _rle8_decode(bytes([1, 9, 0, 1, 5, 5]), 3, 2)
+    assert bytes(rows[0]) == bytes([9, 0, 0])
+    assert bytes(rows[1]) == bytes(3)
+
+
+def test_rle8_avi_roundtrip():
+    """BI_RLE8 AVI end to end: encoder emits spec opcodes (incl. the
+    max-255 run split at width 300), extractor decodes through the
+    palette; pixel sums arithmetic in the palette entry."""
+    from logparser_spark.operators.multimodal import (
+        RLE8_TEST_PALETTE,
+        extract_frames_avi,
+        make_avi_rle8,
+    )
+
+    for w, h in [(1, 1), (5, 3), (8, 6), (300, 2)]:
+        idxs = [0, 3, 7]
+        frames = extract_frames_avi(
+            make_avi_rle8(w, h, idxs, RLE8_TEST_PALETTE)
+        )
+        assert frames is not None and len(frames) == 3
+        for f, (fno, fw, fh, n_px, px_sum, raw) in enumerate(frames):
+            a = idxs[f]
+            assert (fno, fw, fh, n_px) == (f, w, h, 3 * w * h)
+            assert px_sum == (60 * a + 3) * w * h
+            assert len(raw) == ((w * 3 + 3) & ~3) * h
+    # an 8bpp RLE stream with NO palette bytes routes to the codec path
+    import struct as st
+
+    b = make_avi_rle8(4, 2, [1], RLE8_TEST_PALETTE)
+    strf_hdr = st.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, 0, 0, 0, 8, 8)
+    broken = b.replace(
+        st.pack("<I", len(strf_hdr) + 32) + strf_hdr,
+        st.pack("<I", len(strf_hdr)) + strf_hdr, 1,
+    )
+    # (palette truncated out of the chunk -> still decodes via the
+    # zero-filled remainder, or None; must never crash)
+    extract_frames_avi(broken)
+
+
 def test_avi_multistream_video_strf_wins(spark):
     """A second (audio) stream's strf must not shadow the video
     BITMAPINFOHEADER: splice an audio strl AFTER the video one and

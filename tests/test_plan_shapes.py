@@ -33,12 +33,13 @@ def test_at_most_one_python_stage_per_query(query_plans):
     """The parse is the only Python stage and must be planned ONCE —
     two ArrowEvalPython/MapInArrow nodes means the optimizer cloned the
     UDF (the filter+project pushdown bug) and every line parses twice."""
-    # multimodal_meta / video_meta / video_frames / audio_meta
-    # intentionally chain TWO mapInPandas stages: the synth_png /
-    # synth_video / synth_avi_rgb / synth_audio test feed (stands in
-    # for a data source) + the real decoder.
+    # multimodal_meta / video_meta / video_frames(_rle) / audio_meta /
+    # audio_samples intentionally chain TWO mapInPandas stages: the
+    # synth_png / synth_video / synth_avi_rgb / synth_avi_rle8 /
+    # synth_audio(_pcm) test feed (stands in for a data source) + the
+    # real decoder.
     allowed_two = {"multimodal_meta", "video_meta", "video_frames",
-                   "audio_meta"}
+                   "video_frames_rle", "audio_meta", "audio_samples"}
     bad = {
         name: (p.count("ArrowEvalPython"), p.count("MapInArrow"),
                p.count("MapInPandas"))
