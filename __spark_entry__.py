@@ -701,6 +701,19 @@ def q_cdx_index(spark, sf_dir):
     return weburl.build_cdx(_messy_url_pages(docs), prefix_len=10)
 
 
+def q_cdx_lookup(spark, sf_dir):
+    """The CDX query primitive: all captures under the SURT prefix
+    ``com,site5,`` (the subdomain-closure form — matches
+    www.site5.com but NOT the sibling hosts site50..site59, the trap
+    the trailing comma exists for), carrying their GLOBAL index ranks
+    through the filter unchanged."""
+    from logparser_spark.operators import weburl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cdx = weburl.build_cdx(_messy_url_pages(docs), prefix_len=10)
+    return weburl.cdx_lookup(cdx, "com,site5,")
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC container round-trip: render every document as a
     spec-shaped WARC/1.0 response record (exact octet Content-Length,
@@ -1524,6 +1537,11 @@ def _dataprep_sql() -> dict[str, str]:
       surt_key, doc_id
     FROM k"""
 
+    sqls["cdx_lookup"] = (
+        "SELECT * FROM (" + sqls["cdx_index"]
+        + ") WHERE starts_with(surt_key, 'com,site5,')"
+    )
+
     sqls["extract_text"] = """
     SELECT doc_id,
       'Doc ' || doc_id || ' ' || text || ' A & B <ok> "q" ''s''' AS extracted
@@ -2155,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "canonical_urls": q_canonical_urls,
         "cdx_index": q_cdx_index,
+        "cdx_lookup": q_cdx_lookup,
         "robots_allowed": q_robots_allowed,
         "unigram_score": q_unigram_score,
         "tfidf_top": q_tfidf_top,

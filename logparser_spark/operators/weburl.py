@@ -377,3 +377,61 @@ def build_cdx(pages, url_col: str = "url", id_col: str = "doc_id",
             id_col,
         )
     )
+
+
+def cdx_lookup(cdx, prefix: str, id_col: str = "doc_id"):
+    """All captures under a SURT prefix (the CDX query primitive:
+    ``com,example)`` = one host, ``com,example`` = the whole domain
+    incl. subdomains — the reversed-host layout makes both a single
+    contiguous key range), in index order. Map-only prefix filter; on
+    a table written with ``write_cdx_partitioned`` the same predicate
+    prunes partitions instead (see ``cdx_lookup_pruned``)."""
+    from pyspark.sql import functions as F
+
+    return (
+        cdx.where(F.col("surt_key").startswith(prefix))
+        .select("rank", "surt_key", id_col)
+        .orderBy("rank")
+    )
+
+
+def write_cdx_partitioned(cdx, path: str, prefix_len: int = 10,
+                          id_col: str = "doc_id"):
+    """Persist the CDX index PARTITIONED BY the same deterministic
+    SURT-key prefix that ranked it — every prefix lookup then reads
+    only the directories whose bucket value can match (Spark evaluates
+    the partition-column predicate against directory values, never
+    opening non-matching files). This is the web-archive layout where
+    per-host/per-prefix CDX shards serve lookups without touching the
+    rest of the index."""
+    from pyspark.sql import functions as F
+
+    (
+        cdx.withColumn("__b", F.substring("surt_key", 1, prefix_len))
+        .repartition("__b")
+        .write.mode("overwrite").partitionBy("__b").parquet(path)
+    )
+
+
+def cdx_lookup_pruned(spark, path: str, prefix: str, prefix_len: int = 10,
+                      id_col: str = "doc_id"):
+    """Prefix lookup against a ``write_cdx_partitioned`` table: the
+    bucket predicate (``__b`` starts with the lookup prefix truncated
+    to the partition prefix, or equals it when the lookup is longer)
+    is a PARTITION filter — only matching directories are listed and
+    read — and the exact ``surt_key`` prefix filter then applies
+    inside them."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    bucket_pred = (
+        F.col("__b") == prefix[:prefix_len]
+        if len(prefix) >= prefix_len
+        else F.col("__b").startswith(prefix)
+    )
+    return (
+        df.where(bucket_pred)
+        .where(F.col("surt_key").startswith(prefix))
+        .select("rank", "surt_key", id_col)
+        .orderBy("rank")
+    )

@@ -745,6 +745,66 @@ def test_surt_key_and_cdx_rank(spark):
     assert cdx == naive and len(cdx) == 6
 
 
+def test_cdx_lookup_and_partition_pruning(spark, tmp_path):
+    """cdx_lookup carries GLOBAL ranks through the prefix filter (and
+    the trailing-comma form excludes sibling hosts); the partitioned
+    layout serves the same lookup while touching only matching bucket
+    directories (real partition pruning, asserted on the file
+    listing)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import weburl
+
+    tlds = ["com", "org", "net"]
+    urls = [(i, f"http://h{i % 4}.example{i % 3}.{tlds[i % 3]}/p{i}")
+            for i in range(60)]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    cdx = weburl.build_cdx(df, prefix_len=14)
+
+    full = {(r["surt_key"], r["doc_id"]): r["rank"]
+            for r in cdx.collect()}
+    got = [(r["rank"], r["surt_key"], r["doc_id"])
+           for r in weburl.cdx_lookup(cdx, "org,example1,").collect()]
+    assert len(got) == 20
+    assert all(k.startswith("org,example1,") for _, k, _d in got)
+    # global ranks preserved, output in index order
+    assert [r for r, _k, _d in got] == sorted(
+        full[(k, d)] for _r, k, d in got
+    )
+    want = {(k, d) for (k, d) in full if k.startswith("org,example1,")}
+    assert {(k, d) for _r, k, d in got} == want
+
+    # partitioned layout: same rows, pruned directory listing
+    path = str(tmp_path / "cdx")
+    weburl.write_cdx_partitioned(cdx, path, prefix_len=5)
+    pruned = weburl.cdx_lookup_pruned(spark, path, "org,example1,",
+                                      prefix_len=5)
+    assert [(r["rank"], r["surt_key"], r["doc_id"])
+            for r in pruned.collect()] == got
+    # file listing on the filter-only scan (input_file_name is a
+    # scan-task value; it does not survive the orderBy exchange)
+    scan = (
+        spark.read.parquet(path)
+        .where(F.col("__b") == "org,e")
+        .where(F.col("surt_key").startswith("org,example1,"))
+    )
+    files = {
+        r[0] for r in scan.select(F.input_file_name())
+        .distinct().collect()
+    }
+    assert files
+    touched = {re.search(r"__b=([^/]+)/", f).group(1) for f in files}
+    # lookup prefix 'org,example1,'[:5] = 'org,e' — ONE bucket dir
+    # of the table's three (com,e / net,e / org,e)
+    assert len(touched) == 1 and next(iter(touched)).startswith("org")
+    assert spark.read.parquet(path).select("__b").distinct().count() == 3
+    # a shorter-than-partition prefix still prunes to its bucket range
+    dom = weburl.cdx_lookup_pruned(spark, path, "org", prefix_len=5)
+    assert dom.count() == 20
+
+
 def test_unigram_doc_score(spark):
     """Hand-computed unigram model: corpus 'a a b' + 'a c' + '' ->
     counts a=3,b=1,c=1, total=5. Doc1 sum_freq=3+3+1=7, n=3 ->
