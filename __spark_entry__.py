@@ -404,6 +404,22 @@ def q_incremental_dedup(spark, sf_dir):
     return dedup.incremental_dedup(docs, seen)
 
 
+def q_incremental_dedup_bloom(spark, sf_dir):
+    """Bloom-prefiltered batch-over-ledger dedup — same ledger, same
+    batch, same ORACLE as incremental_dedup: the broadcast bloom only
+    routes rows (definitely-novel skip the anti-join; bloom-positives
+    verify exactly), so any output difference is a routing bug."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = dedup.exact_dedup(
+        docs.where(F.col("doc_id") % 3 == 0)
+    ).select("md5_hi", "md5_lo")
+    return dedup.incremental_dedup_bloom(docs, seen)
+
+
 def q_minhash_signature(spark, sf_dir):
     from logparser_spark.operators import dedup
 
@@ -1146,6 +1162,9 @@ def _dataprep_sql() -> dict[str, str]:
            COUNT(*)::BIGINT AS n_copies
     FROM k ANTI JOIN seen USING (md5_hi, md5_lo)
     GROUP BY 1, 2"""
+
+    # the bloom variant must be output-identical by construction
+    sqls["incremental_dedup_bloom"] = sqls["incremental_dedup"]
 
     sqls["minhash_signature"] = f"""WITH {shingle_cte},
     {sig_cte}
@@ -2151,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline ops
         "exact_dedup": q_exact_dedup,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_dedup_bloom": q_incremental_dedup_bloom,
         "minhash_signature": q_minhash_signature,
         "lsh_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,

@@ -138,6 +138,137 @@ def incremental_dedup(docs, seen_df, text_col: str = "text",
     )
 
 
+def _bloom_positions(hi, lo, n_bits: int, n_hashes: int):
+    """Kirsch-Mitzenmacher double hashing over the md5 halves: the
+    digest is already uniform, so position i = (hi + i*lo) mod n_bits
+    gives k independent-enough probes with zero extra hashing.
+    ``hi``/``lo`` are int64 numpy arrays; returns (k, n) uint64
+    positions. n_bits must be a power of two."""
+    import numpy as np
+
+    h = hi.astype(np.uint64)
+    d = lo.astype(np.uint64)
+    mask = np.uint64(n_bits - 1)
+    return np.stack([
+        (h + np.uint64(i) * d) & mask for i in range(n_hashes)
+    ])
+
+
+def build_digest_bloom(seen_df, n_bits: int = 1 << 23,
+                       n_hashes: int = 4) -> bytes:
+    """Bloom bitmap over the ledger's (md5_hi, md5_lo) digests —
+    the pre-filter state for :func:`incremental_dedup_bloom`.
+
+    Shape: one map-only pass over the ledger builds a partial bitmap
+    per partition (numpy bitwise-or inside Arrow batches); the driver
+    ORs the partials. Driver traffic is #partitions × n_bits/8 bytes
+    of BITMAP — never row data — the same bounded-collect budget as
+    the lineage/metrics checkpoints (and exactly how Spark's own
+    ``df.stat.bloomFilter`` treeAggregate works). n_bits must be a
+    power of two; at the default 2^23 the bitmap is 1 MiB and holds
+    ~1M ledger digests at ~2% false-positive rate — size it to the
+    ledger (FPR ≈ (1 - e^(-k·n/m))^k)."""
+    import numpy as np
+    import pandas as pd
+
+    assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
+
+    def fn(batches):
+        bm = np.zeros(n_bits // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            pos = _bloom_positions(
+                pdf["md5_hi"].to_numpy(np.int64),
+                pdf["md5_lo"].to_numpy(np.int64),
+                n_bits, n_hashes,
+            ).ravel()
+            np.bitwise_or.at(
+                bm, (pos >> np.uint64(3)).astype(np.int64),
+                (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+            )
+        if any_rows:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    partials = (
+        seen_df.select("md5_hi", "md5_lo")
+        .mapInPandas(fn, "bm binary")
+        .collect()
+    )
+    import numpy as np  # noqa: F811 — local scope for the reduce
+
+    out = np.zeros(n_bits // 8, dtype=np.uint8)
+    for r in partials:
+        out |= np.frombuffer(r["bm"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def incremental_dedup_bloom(docs, seen_df, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            n_bits: int = 1 << 23, n_hashes: int = 4,
+                            bloom: bytes = None):
+    """:func:`incremental_dedup` with a broadcast Bloom pre-filter —
+    the 10^12-row shape: rows whose digest the bloom rejects are
+    DEFINITELY novel (a Bloom filter has no false negatives) and skip
+    the ledger anti-join entirely; only the bloom-positive sliver
+    (true dups + the FPR) shuffles against the ledger for exact
+    verification, so join traffic scales with the dup rate instead of
+    the batch size. Output is row-for-row identical to
+    :func:`incremental_dedup` — the bloom only routes, never decides.
+
+    Plan shape: the digest+bloom stage appears in BOTH union branches
+    (Catalyst does not share subtrees across a union) — a deliberate
+    scan-twice / shuffle-only-candidates trade: the repeated work is a
+    map-only projection over the scan, the avoided work is shuffling
+    the whole batch into the anti-join. Runtime bloom filters cannot
+    express this for ANTI joins (non-matching rows are the OUTPUT, so
+    a pre-join filter may not drop them); the explicit split is the
+    correct formulation.
+
+    Pass ``bloom=`` to reuse a bitmap across batches (the steady-state
+    ingest loop builds it once per ledger compaction)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    if bloom is None:
+        bloom = build_digest_bloom(seen_df, n_bits, n_hashes)
+    sc = docs.sparkSession.sparkContext
+    b_bloom = sc.broadcast(bloom)
+
+    @pandas_udf("boolean")
+    def maybe_seen(hi, lo):
+        import pandas as pd
+
+        bm = np.frombuffer(b_bloom.value, dtype=np.uint8)
+        pos = _bloom_positions(
+            hi.to_numpy(np.int64), lo.to_numpy(np.int64),
+            n_bits, n_hashes,
+        )
+        byte = (pos >> np.uint64(3)).astype(np.int64)
+        bit = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        return pd.Series(((bm[byte] & bit) != 0).all(axis=0))
+
+    hi, lo = md5_s64_pair(F.col(text_col))
+    keyed = docs.select(
+        F.col(id_col), hi.alias("md5_hi"), lo.alias("md5_lo")
+    ).withColumn("__maybe", maybe_seen("md5_hi", "md5_lo"))
+    sure_new = keyed.where(~F.col("__maybe")).drop("__maybe")
+    candidates = keyed.where(F.col("__maybe")).drop("__maybe")
+    verified_new = candidates.join(
+        seen_df.select("md5_hi", "md5_lo"), ["md5_hi", "md5_lo"],
+        "left_anti",
+    )
+    return sure_new.unionByName(verified_new).groupBy(
+        "md5_hi", "md5_lo"
+    ).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
 def near_dup_clusters(docs, pairs, id_col: str = "doc_id",
                       max_iter: int = 20):
     """Connected components over near-dup candidate pairs — the final

@@ -877,6 +877,76 @@ def test_incremental_dedup_ledger(spark):
     assert dedup.incremental_dedup(batch, ledger2).count() == 0
 
 
+def test_bloom_bitmap_properties():
+    """Pure-numpy bloom law: every inserted digest tests positive (NO
+    false negatives — the property the dedup routing relies on), and
+    a disjoint probe set stays under a loose FPR bound."""
+    import hashlib
+
+    import numpy as np
+
+    from logparser_spark.operators.dedup import _bloom_positions
+
+    def digests(texts):
+        hs, ls = [], []
+        for t in texts:
+            d = hashlib.md5(t.encode()).digest()
+            hs.append(int.from_bytes(d[:8], "big") - (1 << 63))
+            ls.append(int.from_bytes(d[8:], "big") - (1 << 63))
+        return np.array(hs, dtype=np.int64), np.array(ls, dtype=np.int64)
+
+    n_bits, k = 1 << 14, 4
+    hi, lo = digests([f"doc-{i}" for i in range(500)])
+    bm = np.zeros(n_bits // 8, dtype=np.uint8)
+    pos = _bloom_positions(hi, lo, n_bits, k).ravel()
+    np.bitwise_or.at(
+        bm, (pos >> np.uint64(3)).astype(np.int64),
+        (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+    )
+
+    def member(h, l):
+        p = _bloom_positions(h, l, n_bits, k)
+        byte = (p >> np.uint64(3)).astype(np.int64)
+        bit = (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8))
+        return ((bm[byte] & bit) != 0).all(axis=0)
+
+    assert member(hi, lo).all()                      # no false negatives
+    oh, ol = digests([f"other-{i}" for i in range(2000)])
+    fpr = member(oh, ol).mean()
+    assert fpr < 0.15, fpr  # theory ~5% at this load; loose bound
+
+
+def test_incremental_dedup_bloom_matches_exact(spark):
+    """The bloom variant is output-identical to incremental_dedup on
+    the same ledger/batch, and the routing really bypasses: with a
+    big bitmap, only true dups reach the verify join."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text-{i % 40}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    ledger = dedup.exact_dedup(
+        docs.where(F.col("doc_id") % 3 == 0)
+    ).select("md5_hi", "md5_lo")
+
+    base = {(r["md5_hi"], r["md5_lo"]): (r["canonical_id"], r["n_copies"])
+            for r in dedup.incremental_dedup(docs, ledger).collect()}
+    got = {(r["md5_hi"], r["md5_lo"]): (r["canonical_id"], r["n_copies"])
+           for r in dedup.incremental_dedup_bloom(
+               docs, ledger, n_bits=1 << 20).collect()}
+    assert got == base and base
+
+    # a reusable bitmap gives the same answer without rebuilding
+    bloom = dedup.build_digest_bloom(ledger, n_bits=1 << 20)
+    got2 = {(r["md5_hi"], r["md5_lo"]): (r["canonical_id"], r["n_copies"])
+            for r in dedup.incremental_dedup_bloom(
+                docs, ledger, n_bits=1 << 20, bloom=bloom).collect()}
+    assert got2 == base
+
+
 def test_near_dup_clusters_components(spark):
     """Hand-built pair graphs: a chain (propagation needs multiple
     rounds), a cycle, a separate pair, and singletons — every node
