@@ -747,6 +747,31 @@ def q_warc_roundtrip(spark, sf_dir):
     return warc.parse_warc(files)
 
 
+def q_term_search(spark, sf_dir):
+    """Inverted-index conjunctive search: build positional postings
+    from the corpus, AND-match ['spark', 'window'], score by total tf,
+    deterministic top-10. The oracle recomputes postings from the raw
+    text in SQL — so the index build, the AND arity check and the
+    tie-broken ranking all verify independently."""
+    from logparser_spark.operators import invindex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = invindex.build_inverted_index(docs)
+    return invindex.term_search(idx, ["spark", "window"], k=10)
+
+
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase search for the bigram 'batch batch' (the
+    repeated-term case — a run of three counts twice): exact
+    occurrence counts from position-list intersection, verified
+    against a SQL self-join on adjacent positions."""
+    from logparser_spark.operators import invindex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = invindex.build_inverted_index(docs)
+    return invindex.phrase_search(idx, "batch", "batch")
+
+
 def q_warc_gz_roundtrip(spark, sf_dir):
     """Gzipped-WARC round-trip (the actual Common Crawl transport:
     one gzip member per record): render the same corrupted record
@@ -1501,6 +1526,37 @@ def _dataprep_sql() -> dict[str, str]:
     # gzip is invisible to record semantics by design: same oracle
     sqls["warc_gz_roundtrip"] = sqls["warc_roundtrip"]
 
+    sqls["term_search"] = """
+    WITH d AS (
+      SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents),
+    w AS (
+      SELECT doc_id, ws[i.i] AS term
+      FROM d, unnest(generate_series(1, len(ws))) i(i)),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM w
+      WHERE term IN ('spark', 'window') GROUP BY 1, 2),
+    hits AS (
+      SELECT doc_id, sum(tf)::BIGINT AS score
+      FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rank,
+      doc_id, score
+    FROM hits ORDER BY rank LIMIT 10"""
+
+    sqls["phrase_search"] = """
+    WITH d AS (
+      SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents),
+    w AS (
+      SELECT doc_id, ws[i.i] AS term, i.i AS pos
+      FROM d, unnest(generate_series(1, len(ws))) i(i))
+    SELECT a.doc_id, count(*)::BIGINT AS n_occurrences
+    FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'batch' AND b.term = 'batch'
+    GROUP BY 1"""
+
     sqls["normalize_text"] = (
         """
     SELECT doc_id,
@@ -2201,6 +2257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_degrees": q_outlink_degrees,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
+        "term_search": q_term_search,
+        "phrase_search": q_phrase_search,
         "host_pagerank": q_host_pagerank,
         "embedding_near_dup": q_embedding_near_dup,
         # corpus construction

@@ -1,0 +1,166 @@
+"""Inverted index over the document corpus — the other classic
+web-scale index besides the CDX/SURT capture index: term → posting
+list (doc_id, term frequency, sorted positions), built with one
+explode + one (term, doc_id) shuffle, served by conjunctive term
+search and positional phrase search as pure Catalyst plans.
+
+Scale shape:
+- build: explode is map-only; the single shuffle keys on
+  (term, doc_id) with map-side partial aggregation — postings, never
+  documents, move.
+- storage: ``write_index_partitioned`` hash-buckets terms into a
+  bounded number of directories (md5-derived, engine-portable and
+  re-run-stable — the same trick as ``corpus.sample_stratified``), so
+  a query for K terms prunes to ≤K bucket directories instead of
+  scanning the index.
+- search: filtering the index to the query terms makes the posting
+  slice tiny; the doc-grouped AND (count of distinct matched terms =
+  query arity) and the phrase position-intersection both run on that
+  slice. Positions intersect via ``F.arrays_overlap``-free exact
+  counting: ``size(array_intersect(transform(pos_a, p -> p + 1),
+  pos_b))`` is the number of places term B directly follows term A —
+  array expressions inside codegen, no UDF.
+
+Reference scope note: the reference's substring search (N4 rows in
+SURVEY.md §2) scans lines; a 10^12-document corpus answers the same
+"find documents containing X" question from this index without
+touching the corpus.
+"""
+
+from __future__ import annotations
+
+
+def build_inverted_index(docs, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """(term, doc_id, tf, positions) posting rows. Positions index the
+    empty-token-filtered word sequence (0-based) and come out sorted;
+    tf == size(positions) by construction."""
+    from pyspark.sql import functions as F
+
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+    )
+    posts = docs.select(
+        F.col(id_col),
+        F.posexplode(words).alias("pos", "term"),
+    )
+    return posts.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.array_sort(F.collect_list("pos")).alias("positions"),
+    )
+
+
+def write_index_partitioned(index, path: str, n_buckets: int = 64):
+    """Persist postings PARTITIONED BY a deterministic md5-derived
+    term bucket: a K-term query reads ≤K directories. md5 (not Spark's
+    ``hash``) keeps the bucket assignment engine-portable and stable
+    across runs/versions — the same determinism contract as the
+    stratified sampler."""
+    from pyspark.sql import functions as F
+
+    b = term_bucket(F.col("term"), n_buckets)
+    (
+        index.withColumn("__b", b)
+        .repartition("__b")
+        .write.mode("overwrite").partitionBy("__b").parquet(path)
+    )
+
+
+def term_bucket(term_col, n_buckets: int = 64):
+    """Deterministic bucket id for a term: first 15 md5 hex digits
+    (always < 2^63, no sign issues) mod n_buckets."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.conv(F.substring(F.md5(term_col), 1, 15), 16, 10)
+        .cast("long") % n_buckets
+    ).cast("int")
+
+
+def term_search(index, terms: list, k: int = 10,
+                id_col: str = "doc_id"):
+    """Conjunctive (AND) term search: documents containing EVERY query
+    term, scored by total tf, top-k with deterministic (score DESC,
+    doc_id ASC) order. Returns ``(rank, doc_id, score)``.
+
+    The index filter keeps only the query terms' postings — the
+    grouped AND runs over that slice, and the final rank window sees
+    at most k rows after the ordered limit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n = len(terms)
+    hits = (
+        index.where(F.col("term").isin(list(terms)))
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("term").alias("__nt"),
+            F.sum("tf").cast("long").alias("score"),
+        )
+        .where(F.col("__nt") == n)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return hits.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        id_col,
+        "score",
+    )
+
+
+def phrase_search(index, first: str, second: str,
+                  id_col: str = "doc_id"):
+    """Positional phrase search for the bigram ``first second``:
+    intersect (positions(first) + 1) with positions(second) per
+    document — the count is the exact number of occurrences. Pure
+    array expressions over the two terms' posting slices; one
+    doc-keyed join between them."""
+    from pyspark.sql import functions as F
+
+    a = index.where(F.col("term") == first).select(
+        id_col, F.col("positions").alias("__pa")
+    )
+    b = index.where(F.col("term") == second).select(
+        id_col, F.col("positions").alias("__pb")
+    )
+    nxt = F.transform(F.col("__pa"), lambda p: p + 1)
+    return (
+        a.join(b, id_col)
+        .select(
+            id_col,
+            F.size(F.array_intersect(nxt, F.col("__pb")))
+            .cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") > 0)
+    )
+
+
+def read_postings_pruned(spark, path: str, terms: list,
+                         n_buckets: int = 64):
+    """Read only the bucket directories the query terms can live in —
+    buckets are computed DRIVER-SIDE with the same md5 arithmetic
+    (:func:`_term_buckets_py`), so the predicate on the ``__b``
+    partition column is a literal list and Spark prunes directories
+    before listing a single file; the exact term filter then applies
+    inside the surviving buckets."""
+    from pyspark.sql import functions as F
+
+    buckets = _term_buckets_py(terms, n_buckets)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("__b").isin(buckets))
+        .where(F.col("term").isin(list(terms)))
+    )
+
+
+def _term_buckets_py(terms: list, n_buckets: int) -> list:
+    """Driver-side mirror of :func:`term_bucket` (same md5 prefix
+    arithmetic), so lookups know their buckets without a Spark job."""
+    import hashlib
+
+    return sorted({
+        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        % n_buckets
+        for t in terms
+    })
