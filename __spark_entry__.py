@@ -747,6 +747,32 @@ def q_warc_roundtrip(spark, sf_dir):
     return warc.parse_warc(files)
 
 
+def q_filter_verdict(spark, sf_dir):
+    """The corpus keep/drop filter chain (C4/FineWeb-style): language
+    + length + quality + repetition gates in one projection, with the
+    failed-rule reasons string. The oracle recomputes every gate from
+    raw text — integer inequality for repetition, IEEE-double raw
+    ratios at the quality thresholds, so no rounding contract is in
+    play anywhere."""
+    from logparser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.filter_verdict(docs)
+
+
+def q_wet_records(spark, sf_dir):
+    """The WARC→WET derivation (Common Crawl's extracted-text
+    product): pack the corpus into WARC files, parse the records back,
+    keep the valid responses and reduce each HTML payload to main
+    text. The oracle predicts every WET row arithmetically — including
+    that the %17 corrupted records and nothing else are absent."""
+    from logparser_spark.sources import warc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    files = warc.synth_warc_files(docs, per_file=8)
+    return warc.to_wet(warc.parse_warc(files))
+
+
 def q_term_search(spark, sf_dir):
     """Inverted-index conjunctive search: build positional postings
     from the corpus, AND-match ['spark', 'window'], score by total tf,
@@ -1306,6 +1332,49 @@ def _dataprep_sql() -> dict[str, str]:
     WITH mc AS (SELECT doc_id, {", ".join(hits_cols)} FROM documents)
     SELECT doc_id, {case_chain} AS pred_lang FROM mc"""
 
+    _fv_stop = " + ".join(
+        count_occ("(' ' || lower(text) || ' ')", f" {w} ")
+        for w in STOPWORDS_EN
+    )
+    sqls["filter_verdict"] = f"""
+    WITH base AS (
+      SELECT doc_id, {", ".join(hits_cols)},
+        length(text)::BIGINT AS n_chars,
+        len(list_filter(str_split(text, ' '), x -> length(x) > 0))::BIGINT
+          AS n_words,
+        len(list_distinct(
+          list_filter(str_split(text, ' '), x -> length(x) > 0)))::BIGINT
+          AS n_distinct,
+        length(replace(text, ' ', '')) AS n_nonspace,
+        ({_fv_stop}) AS stop_hits,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+      FROM documents),
+    sig AS (
+      SELECT doc_id, n_words,
+        {case_chain} AS pred_lang,
+        (CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 25 ELSE 0 END
+         + CASE WHEN n_words > 0
+                AND n_nonspace::DOUBLE / n_words BETWEEN 2 AND 12
+                THEN 25 ELSE 0 END
+         + CASE WHEN n_words > 0
+                AND stop_hits::DOUBLE / n_words >= 0.05
+                THEN 25 ELSE 0 END
+         + CASE WHEN n_chars > 0
+                AND n_alpha::DOUBLE / n_chars >= 0.70
+                THEN 25 ELSE 0 END)::BIGINT AS quality_score,
+        (pred_lang = 'en') AS lang_ok,
+        (n_words BETWEEN 5 AND 100000) AS len_ok,
+        ((n_words - n_distinct) * 1000000 <= 400000 * n_words) AS rep_ok
+      FROM base)
+    SELECT doc_id, pred_lang, n_words, quality_score,
+      (lang_ok AND len_ok AND quality_score >= 75 AND rep_ok) AS keep,
+      concat_ws(',',
+        CASE WHEN NOT lang_ok THEN 'lang' END,
+        CASE WHEN NOT len_ok THEN 'length' END,
+        CASE WHEN quality_score < 75 THEN 'quality' END,
+        CASE WHEN NOT rep_ok THEN 'repetition' END) AS reasons
+    FROM sig"""
+
     stop_parts = " + ".join(
         count_occ("(' ' || lower(text) || ' ')", f" {w} ")
         for w in STOPWORDS_EN
@@ -1525,6 +1594,15 @@ def _dataprep_sql() -> dict[str, str]:
 
     # gzip is invisible to record semantics by design: same oracle
     sqls["warc_gz_roundtrip"] = sqls["warc_roundtrip"]
+
+    sqls["wet_records"] = """
+    SELECT (doc_id // 8)::BIGINT AS file_id,
+      (doc_id % 8)::INT AS rec_no,
+      'http://site' || (doc_id % 50) || '.com/page/' || doc_id
+        AS target_uri,
+      '<urn:uuid:' || lpad(doc_id::VARCHAR, 32, '0') || '>' AS record_id,
+      trim(regexp_replace(text, '\\s+', ' ', 'g')) AS wet_text
+    FROM documents WHERE doc_id % 17 <> 0"""
 
     sqls["term_search"] = """
     WITH d AS (
@@ -2239,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
         "repetition_stats": q_repetition_stats,
+        "filter_verdict": q_filter_verdict,
         "pii_scrub": q_pii_scrub,
         "multimodal_meta": q_multimodal_meta,
         "video_meta": q_video_meta,
@@ -2257,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_degrees": q_outlink_degrees,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
+        "wet_records": q_wet_records,
         "term_search": q_term_search,
         "phrase_search": q_phrase_search,
         "host_pagerank": q_host_pagerank,

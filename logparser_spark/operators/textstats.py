@@ -458,3 +458,95 @@ def normalize_text(df, text_col: str = "text", id_col: str = "doc_id"):
         t.alias("norm_text"),
         (t != F.col(text_col)).alias("changed"),
     )
+
+
+def filter_verdict(df, text_col: str = "text", id_col: str = "doc_id",
+                   min_words: int = 5, max_words: int = 100_000,
+                   min_quality: int = 75, max_dup_ppm: int = 400_000,
+                   allowed_langs: tuple = ("en",)):
+    """C4/FineWeb-style corpus filter chain — the keep/drop decision a
+    training-data pipeline applies to every crawled page — as ONE
+    codegen'd projection over the scan (no joins between the signal
+    operators, which would re-scan the text column per signal; the
+    expressions below are the same building blocks `language_id` /
+    `quality_score` / `repetition_stats` use, composed in a single
+    SELECT because at 10^12 rows the text scan IS the budget).
+
+    Rules, evaluated per document:
+
+    - ``lang``: marker-argmax language must be in ``allowed_langs``
+    - ``length``: word count in [min_words, max_words]
+    - ``quality``: the composite quality_score >= min_quality (raw
+      IEEE-double ratios at the thresholds — bit-identical across
+      engines, no ROUND involved)
+    - ``repetition``: duplicate-word fraction <= max_dup_ppm, tested
+      as the INTEGER inequality (n_words - n_distinct) * 10^6 <=
+      max_dup_ppm * n_words — no division, no rounding contract at all
+
+    Output: ``(doc_id, pred_lang, n_words, quality_score, keep,
+    reasons)`` where ``reasons`` comma-joins the FAILED rule names in
+    fixed (lang, length, quality, repetition) order — '' when kept.
+    """
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+
+    # language argmax (same markers/tiebreak as language_id)
+    hits = {}
+    for lang, markers in LANG_MARKERS:
+        total = None
+        for m in markers:
+            c = _count_occurrences(padded, m)
+            total = c if total is None else total + c
+        hits[lang] = total
+    greatest = F.greatest(*hits.values())
+    pred = F.when(greatest <= 0, F.lit("und"))
+    for lang, _ in LANG_MARKERS:
+        pred = pred.when(hits[lang] == greatest, F.lit(lang))
+
+    # quality signals (same expressions as quality_score)
+    n_chars = F.length(t).cast("double")
+    word_arr = F.filter(F.split(t, " "), lambda w: F.length(w) > 0)
+    words = F.size(word_arr)
+    n_distinct = F.size(F.array_distinct(word_arr))
+    mean_wlen = F.when(
+        words > 0,
+        F.length(F.replace(t, F.lit(" "), F.lit(""))) / words,
+    ).otherwise(F.lit(0.0))
+    stop_hits = None
+    for w in STOPWORDS_EN:
+        c = _count_occurrences(padded, f" {w} ")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    stop_ratio = F.when(words > 0, stop_hits / words).otherwise(F.lit(0.0))
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_chars >= 50) & (n_chars <= 5000), 25).otherwise(0)
+        + F.when((mean_wlen >= 2) & (mean_wlen <= 12), 25).otherwise(0)
+        + F.when(stop_ratio >= 0.05, 25).otherwise(0)
+        + F.when(alpha_ratio >= 0.70, 25).otherwise(0)
+    ).cast("long")
+
+    lang_ok = pred.isin(*allowed_langs)
+    len_ok = (words >= min_words) & (words <= max_words)
+    q_ok = score >= min_quality
+    rep_ok = (
+        (words.cast("long") - n_distinct.cast("long")) * 1_000_000
+        <= F.lit(max_dup_ppm) * words.cast("long")
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(~lang_ok, F.lit("lang")),
+        F.when(~len_ok, F.lit("length")),
+        F.when(~q_ok, F.lit("quality")),
+        F.when(~rep_ok, F.lit("repetition")),
+    )
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        words.cast("long").alias("n_words"),
+        score.alias("quality_score"),
+        (lang_ok & len_ok & q_ok & rep_ok).alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -227,3 +227,23 @@ def parse_warc(files, binary_col: str = "warc",
     return files.select(file_col, binary_col).mapInPandas(
         fn, WARC_SCHEMA
     )
+
+
+def to_wet(records, payload_col: str = "payload"):
+    """WARC response records → WET-style conversion rows (the Common
+    Crawl "extracted text" product): valid records only, HTML payload
+    reduced to main text with the pure-Catalyst extractor
+    (``multimodal.extract_text`` — tag/script/entity/whitespace
+    rules), identity columns carried through. Map-only over the parse
+    output; the WARC→WET derivation is one projection, exactly how a
+    crawl pipeline materializes its text table."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.multimodal import extract_text
+
+    valid = records.where(
+        F.col("valid") & F.col("http_status").isNotNull()
+    )
+    return extract_text(
+        valid, html_col=payload_col, out_col="wet_text", binary=False
+    ).select("file_id", "rec_no", "target_uri", "record_id", "wet_text")

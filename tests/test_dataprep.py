@@ -877,6 +877,54 @@ def test_incremental_dedup_ledger(spark):
     assert dedup.incremental_dedup(batch, ledger2).count() == 0
 
 
+def test_filter_verdict_rules(spark):
+    """Each gate fails in isolation on a crafted doc; a good doc keeps
+    with empty reasons; reasons list failed rules in fixed order."""
+    from logparser_spark.operators import textstats
+
+    good = ("the cat and the dog of the house sat on the mat and "
+            "the bird flew over the tree and all was well here")
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "der hund und die katze und der vogel sind gut "
+                "zusammen in dem haus und der stadt immer froh"),  # lang
+            (3, "the and of"),                   # too short (+quality)
+            (4, "the " * 30 + "and of it"),      # repetition
+            (5, ""),                             # everything fails
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keep"], r["reasons"], r["pred_lang"])
+           for r in textstats.filter_verdict(docs).collect()}
+    assert got[1] == (True, "", "en")
+    assert got[2][0] is False and got[2][1] == "lang" \
+        and got[2][2] == "de"
+    assert got[3][0] is False and "length" in got[3][1]
+    assert got[4][0] is False and got[4][1] == "repetition"
+    assert got[5][0] is False \
+        and got[5][1] == "lang,length,quality"  # 0 words: rep holds
+    # reasons order is fixed: lang before length before quality
+    assert got[5][1].split(",") == ["lang", "length", "quality"]
+
+
+def test_warc_to_wet(spark):
+    from logparser_spark.sources import warc
+
+    docs = spark.createDataFrame(
+        [(i, f"body text {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    wet = warc.to_wet(warc.parse_warc(
+        warc.synth_warc_files(docs, per_file=4)
+    ))
+    rows = {r["rec_no"] + 4 * r["file_id"]: r for r in wet.collect()}
+    assert set(rows) == {i for i in range(20) if i % 17 != 0}
+    for i, r in rows.items():
+        assert r["wet_text"] == f"body text {i}"
+        assert r["target_uri"].endswith(f"/page/{i}")
+
+
 def test_bloom_bitmap_properties():
     """Pure-numpy bloom law: every inserted digest tests positive (NO
     false negatives — the property the dedup routing relies on), and
