@@ -986,6 +986,25 @@ def q_audio_samples(spark, sf_dir):
     )
 
 
+def q_image_pixels_jpeg(spark, sf_dir):
+    """REAL JPEG PIXEL decode: synthesize a baseline grayscale JPEG per
+    document (dims and per-8×8-block fill arithmetic in doc_id, every
+    third stream carrying restart markers), decode the bits back
+    through the full entropy path — stream-carried canonical Huffman
+    tables, DC prediction, AC run/size, byte unstuffing, RSTn —
+    dequantize, 2-D IDCT, crop, and aggregate the decoded pixels. The
+    blockwise-constant content makes the DCT spectrum DC-only, so the
+    round-trip is exact and the oracle computes every aggregate from
+    the closed-form pixel formula: any Huffman, zigzag, IDCT or MCU
+    cropping bug surfaces as a value mismatch."""
+    from logparser_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.decode_image_pixels(
+        multimodal.synth_jpeg(docs), binary_col="img", strict=True
+    )
+
+
 def q_video_frames(spark, sf_dir):
     """REAL frame-pixel extraction: synthesize a playable uncompressed
     AVI per document (dims/frame-count/fill all arithmetic in doc_id,
@@ -1763,6 +1782,24 @@ def _dataprep_sql() -> dict[str, str]:
        * 3 * ((doc_id % 8) + 1) * ((doc_id % 6) + 1))::BIGINT AS px_sum
     FROM documents"""
 
+    sqls["image_pixels_jpeg"] = """
+    WITH p AS (
+      SELECT doc_id, (doc_id % 21) + 4 AS w, (doc_id % 13) + 4 AS h
+      FROM documents),
+    b AS (
+      SELECT p.doc_id, p.w, p.h,
+        (p.doc_id * 31 + by.by * 17 + bx.bx * 5) % 256 AS v,
+        least(8, p.h - 8 * by.by) * least(8, p.w - 8 * bx.bx) AS npx
+      FROM p,
+        unnest(range(0, (p.h + 7) // 8)) by(by),
+        unnest(range(0, (p.w + 7) // 8)) bx(bx))
+    SELECT doc_id, 'jpeg' AS format,
+      max(w)::INT AS width, max(h)::INT AS height,
+      max(w * h)::BIGINT AS n_px,
+      sum(v * npx)::BIGINT AS px_sum,
+      max(v)::INT AS px_max
+    FROM b GROUP BY doc_id"""
+
     sqls["video_frames_rle"] = """
     SELECT doc_id,
       unnest(generate_series(0, doc_id % 5))::INT AS frame_no,
@@ -2325,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames_rle": q_video_frames_rle,
         "audio_meta": q_audio_meta,
         "audio_samples": q_audio_samples,
+        "image_pixels_jpeg": q_image_pixels_jpeg,
         "extract_text": q_extract_text,
         "canonical_urls": q_canonical_urls,
         "cdx_index": q_cdx_index,

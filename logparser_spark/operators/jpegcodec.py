@@ -1,0 +1,418 @@
+"""Real baseline JPEG (ITU T.81) decode — pure Python/NumPy, no
+imaging library: marker walk, DQT/DHT/SOF0/SOS/DRI parsing, canonical
+Huffman decode of the entropy-coded scan (DC categories, AC
+run/size + ZRL + EOB, byte unstuffing, restart markers), dequantize,
+2-D IDCT, level shift, MCU assembly and crop.
+
+Scope: baseline sequential, 8-bit, single-component (grayscale).
+Chroma-subsampled color scans raise ``NotImplementedError`` where the
+component interleave would go — honestly scoped, the entropy and
+transform machinery is the real thing either way. Huffman tables are
+read FROM THE STREAM (as the spec requires — real-world JPEGs carry
+optimized tables), never assumed.
+
+The companion encoder (``encode_jpeg_gray``) emits spec-valid streams
+with its own canonical tables, per-8×8-block content; constant blocks
+quantize to a DC-only spectrum whose IDCT is exact integer, which is
+what lets the oracle predict decoded pixels arithmetically while the
+decoder runs the full general path (Huffman → dequant → IDCT). AC
+coefficients, ZRL runs and restart markers are exercised by hand-built
+streams in tests/test_jpeg.py.
+
+Scale shape: called only inside Arrow-batched ``mapInPandas`` stages
+(``multimodal.decode_image_pixels``) — map-only, the same codec-slot
+budget as the FLAC/RLE8 decoders.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def zigzag_index() -> np.ndarray:
+    """Natural (row, col) position of each zigzag-order index: the
+    standard anti-diagonal walk, generated (not transcribed)."""
+    out = []
+    for s in range(15):
+        rows = range(s, -1, -1) if s % 2 == 0 else range(0, s + 1)
+        for r in rows:
+            c = s - r
+            if r < 8 and c < 8:
+                out.append((r, c))
+    return np.array(out)  # shape (64, 2)
+
+
+_ZIG = zigzag_index()
+
+# IDCT basis: B[u, x] = C(u)/2 * cos((2x+1) u pi / 16)
+_BASIS = np.array([
+    [
+        (np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+        * np.cos((2 * x + 1) * u * np.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+])
+
+
+def idct_2d(block: np.ndarray) -> np.ndarray:
+    """8×8 inverse DCT (T.81 A.3.3). DC-only blocks come out exactly
+    constant = S00/8."""
+    return _BASIS.T @ block @ _BASIS
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with FF00 unstuffing;
+    stops at any non-stuffing marker (RSTn handled by the caller)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self._d = data
+        self._pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        if self._pos >= len(self._d):
+            raise ValueError("jpeg: entropy data truncated")
+        b = self._d[self._pos]
+        if b == 0xFF:
+            nxt = self._d[self._pos + 1] if self._pos + 1 < len(self._d) \
+                else None
+            if nxt == 0x00:
+                self._pos += 2          # stuffed FF
+            else:
+                raise ValueError("jpeg: marker inside entropy segment")
+        else:
+            self._pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Drop padding bits; return the byte offset of the next
+        marker (caller checks it's RSTn/EOI). A final padded byte of
+        0xFF is stuffed as FF 00 by encoders — skip such pairs."""
+        self._acc = 0
+        self._n = 0
+        p = self._pos
+        while p + 1 < len(self._d) and self._d[p] == 0xFF \
+                and self._d[p + 1] == 0x00:
+            p += 2
+        self._pos = p
+        return p
+
+
+def build_huffman(bits: List[int], huffval: List[int]) -> Dict:
+    """DHT (BITS, HUFFVAL) → {(length, code): symbol}, the canonical
+    code assignment of T.81 C.2."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_symbol(r: _BitReader, table: Dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """Sign-extend a SIZE-bit JPEG magnitude value (T.81 F.12)."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_gray(b: bytes) -> np.ndarray:
+    """Baseline grayscale JPEG → uint8 pixel array (H, W). Raises on
+    anything outside baseline single-component scope."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: bad SOI")
+    qtables: Dict[int, np.ndarray] = {}
+    htables: Dict[Tuple[int, int], Dict] = {}
+    width = height = None
+    comp_q = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("jpeg: lost marker sync")
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i + 4:i + 2 + seglen]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit qtable not baseline")
+                zz = np.frombuffer(seg[j + 1:j + 65], dtype=np.uint8)
+                nat = np.zeros((8, 8), dtype=np.int32)
+                nat[_ZIG[:, 0], _ZIG[:, 1]] = zz
+                qtables[tq] = nat
+                j += 65
+        elif marker == 0xC4:  # DHT — possibly several tables
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1:j + 17])
+                n = sum(bits)
+                huffval = list(seg[j + 17:j + 17 + n])
+                htables[(tc, th)] = build_huffman(bits, huffval)
+                j += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = seg[0]
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit baseline supported")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "jpeg: color (multi-component) scans not implemented"
+                    " — grayscale baseline only"
+                )
+            if seg[7] != 0x11:
+                raise NotImplementedError("jpeg: subsampling unsupported")
+            comp_q = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "jpeg: non-baseline (progressive/arithmetic) scan"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if width is None or comp_q is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            if ns != 1:
+                raise NotImplementedError("jpeg: interleaved color scan")
+            td, ta = seg[2] >> 4, seg[2] & 0xF
+            dc_t = htables[(0, td)]
+            ac_t = htables[(1, ta)]
+            q = qtables[comp_q]
+            scan_start = i + 2 + seglen
+            return _decode_scan(
+                b, scan_start, width, height, dc_t, ac_t, q,
+                restart_interval,
+            )
+        i += 2 + seglen
+    raise ValueError("jpeg: no SOS marker")
+
+
+def _decode_scan(b, pos, width, height, dc_t, ac_t, q,
+                 restart_interval) -> np.ndarray:
+    mcux = (width + 7) // 8
+    mcuy = (height + 7) // 8
+    img = np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)
+    r = _BitReader(b, pos)
+    pred = 0
+    n_mcu = 0
+    for by in range(mcuy):
+        for bx in range(mcux):
+            if restart_interval and n_mcu and \
+                    n_mcu % restart_interval == 0:
+                p = r.align_to_marker()
+                if not (b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7):
+                    raise ValueError("jpeg: expected restart marker")
+                r = _BitReader(b, p + 2)
+                pred = 0
+            zz = np.zeros(64, dtype=np.int32)
+            size = _decode_symbol(r, dc_t)
+            pred += _extend(r.read_bits(size), size)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = _decode_symbol(r, ac_t)
+                if sym == 0x00:   # EOB
+                    break
+                if sym == 0xF0:   # ZRL: 16 zeros
+                    k += 16
+                    continue
+                run, sz = sym >> 4, sym & 0xF
+                k += run
+                if k > 63 or sz == 0:
+                    raise ValueError("jpeg: AC run overflow")
+                zz[k] = _extend(r.read_bits(sz), sz)
+                k += 1
+            coeffs = np.zeros((8, 8), dtype=np.int32)
+            coeffs[_ZIG[:, 0], _ZIG[:, 1]] = zz
+            block = idct_2d((coeffs * q).astype(np.float64)) + 128.0
+            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
+            n_mcu += 1
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)[
+        :height, :width
+    ]
+
+
+# ── encoder ─────────────────────────────────────────────────────────
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, v: int, k: int) -> None:
+        for i in range(k - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((v >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        while self._n:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+def _canonical_table(symbols: List[int]):
+    """All-same-length canonical Huffman over ``symbols`` (length L
+    chosen so the all-ones code stays unused, as T.81 requires):
+    returns (bits, huffval, {symbol: (length, code)})."""
+    n = len(symbols)
+    length = 1
+    while (1 << length) - 1 < n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    enc = {s: (length, i) for i, s in enumerate(symbols)}
+    return bits, list(symbols), enc
+
+
+def _size_cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _magnitude(v: int, size: int) -> int:
+    return v if v >= 0 else (v - 1) & ((1 << size) - 1)
+
+
+def encode_jpeg_gray(pixels: np.ndarray,
+                     restart_interval: int = 0) -> bytes:
+    """Grayscale baseline JPEG encoder (quant table all-ones → the
+    flat-block spectrum survives exactly): FDCT per 8×8 block (edge
+    blocks edge-padded), canonical same-length Huffman tables written
+    to DHT, optional restart markers. Deterministic bytes for
+    deterministic input."""
+    pixels = np.asarray(pixels, dtype=np.float64)
+    h, w = pixels.shape
+    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    padded = np.pad(pixels, ((0, mcuy * 8 - h), (0, mcux * 8 - w)),
+                    mode="edge")
+
+    # FDCT (inverse of _BASIS orthonormal pair) + quantize (q = 1)
+    blocks = []
+    for by in range(mcuy):
+        for bx in range(mcux):
+            blk = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+            s = _BASIS @ blk @ _BASIS.T
+            blocks.append(np.round(s).astype(np.int32))
+
+    # entropy symbols needed
+    dc_syms = set()
+    ac_syms = {0x00}
+    pred = 0
+    per_block = []
+    n_mcu = 0
+    for blk in blocks:
+        if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+            pred = 0
+        zz = blk[_ZIG[:, 0], _ZIG[:, 1]]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        dc_syms.add(_size_cat(diff))
+        acs = []
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                acs.append((0xF0, 0, 0))
+                ac_syms.add(0xF0)
+                run -= 16
+            sz = _size_cat(v)
+            acs.append(((run << 4) | sz, v, sz))
+            ac_syms.add((run << 4) | sz)
+            run = 0
+        eob = run > 0
+        per_block.append((diff, acs, eob))
+        n_mcu += 1
+
+    dc_bits, dc_vals, dc_enc = _canonical_table(sorted(dc_syms))
+    ac_bits, ac_vals, ac_enc = _canonical_table(sorted(ac_syms))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) \
+            + payload
+
+    zz_q = np.zeros(64, dtype=np.uint8)
+    zz_q[:] = 1
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + zz_q.tobytes())
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+               + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    wtr = _BitWriter()
+    n_mcu = 0
+    rst = 0
+    for diff, acs, eob in per_block:
+        if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+        sz = _size_cat(diff)
+        ln, code = dc_enc[sz]
+        wtr.write(code, ln)
+        if sz:
+            wtr.write(_magnitude(diff, sz), sz)
+        for sym, v, vsz in acs:
+            ln, code = ac_enc[sym]
+            wtr.write(code, ln)
+            if vsz:
+                wtr.write(_magnitude(v, vsz), vsz)
+        if eob:
+            ln, code = ac_enc[0x00]
+            wtr.write(code, ln)
+        n_mcu += 1
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

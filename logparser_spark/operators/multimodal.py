@@ -1063,3 +1063,86 @@ def synth_avi_rle8(df, id_col: str = "doc_id", out_col: str = "vid",
         ),
         out_col, id_col, keep_cols,
     )
+
+
+IMAGE_PIXELS_SCHEMA = (
+    "doc_id long, format string, width int, height int, n_px long, "
+    "px_sum long, px_max int"
+)
+
+
+def decode_image_pixels(df, binary_col: str = "img",
+                        id_col: str = "doc_id", strict: bool = False):
+    """mapInPandas stage: image binary → per-doc DECODED-PIXEL
+    aggregates (count, sum, max) plus dimensions. Baseline grayscale
+    JPEG is decoded for REAL through ``operators/jpegcodec.py`` — the
+    full entropy path (stream-carried canonical Huffman tables, DC
+    prediction, AC run/size with ZRL and EOB, byte unstuffing, restart
+    markers) then dequantize → 2-D IDCT → level shift. Formats whose
+    pixel decode genuinely needs an imaging/DSP library that this
+    sandbox lacks (progressive/color-subsampled JPEG, PNG inflate
+    filters, GIF LZW) follow the audio pattern: ``strict=True`` raises
+    exactly where the codec call belongs, otherwise the row carries
+    null pixel fields.
+
+    Aggregates, not a per-pixel explode: output stays proportional to
+    rows, the shape a 100 TB image-stats pass needs."""
+    from logparser_spark.operators.jpegcodec import decode_jpeg_gray
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, buf in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(buf) if buf is not None else b""
+                if b[:2] == b"\xff\xd8":
+                    px = decode_jpeg_gray(b)
+                    h, w = px.shape
+                    rows.append((
+                        did, "jpeg", w, h, int(px.size),
+                        int(px.astype("int64").sum()),
+                        int(px.max()) if px.size else None,
+                    ))
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "pixel decode for this format requires an "
+                        "imaging library (unavailable here)"
+                    )
+                rows.append((did, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "format", "width", "height", "n_px",
+                         "px_sum", "px_max"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        fn, IMAGE_PIXELS_SCHEMA
+    )
+
+
+def synth_jpeg(df, id_col: str = "doc_id", out_col: str = "img",
+               keep_cols: Optional[list] = None):
+    """Deterministic PIXEL-BEARING JPEG synthesizer: per id a baseline
+    grayscale JPEG with width = (id % 21) + 4, height = (id % 13) + 4
+    (partial edge MCUs in both axes), pixel (y, x) =
+    (id*31 + (y div 8)*17 + (x div 8)*5) % 256 — constant per 8×8
+    block, so the DCT spectrum is DC-only and the decode round-trips
+    EXACTLY (q = 1), letting an oracle predict every decoded-pixel
+    aggregate arithmetically while the engine runs the full Huffman →
+    dequant → IDCT path. Every third id carries restart markers
+    (DRI = 2 MCUs) so RSTn handling is exercised at query scale."""
+    import numpy as np
+
+    from logparser_spark.operators.jpegcodec import encode_jpeg_gray
+
+    def synth(i: int) -> bytes:
+        w = (i % 21) + 4
+        h = (i % 13) + 4
+        y, x = np.mgrid[0:h, 0:w]
+        img = ((i * 31 + (y // 8) * 17 + (x // 8) * 5) % 256)
+        return encode_jpeg_gray(
+            img.astype(np.uint8),
+            restart_interval=2 if i % 3 == 0 else 0,
+        )
+
+    return _synth_binary_stage(df, synth, out_col, id_col, keep_cols)

@@ -34,12 +34,13 @@ def test_at_most_one_python_stage_per_query(query_plans):
     two ArrowEvalPython/MapInArrow nodes means the optimizer cloned the
     UDF (the filter+project pushdown bug) and every line parses twice."""
     # multimodal_meta / video_meta / video_frames(_rle) / audio_meta /
-    # audio_samples intentionally chain TWO mapInPandas stages: the
-    # synth_png / synth_video / synth_avi_rgb / synth_avi_rle8 /
-    # synth_audio(_pcm) test feed (stands in for a data source) + the
-    # real decoder.
+    # audio_samples / image_pixels_jpeg intentionally chain TWO
+    # mapInPandas stages: the synth_png / synth_video / synth_avi_rgb /
+    # synth_avi_rle8 / synth_audio(_pcm) / synth_jpeg test feed (stands
+    # in for a data source) + the real decoder.
     allowed_two = {"multimodal_meta", "video_meta", "video_frames",
-                   "video_frames_rle", "audio_meta", "audio_samples"}
+                   "video_frames_rle", "audio_meta", "audio_samples",
+                   "image_pixels_jpeg"}
     # incremental_dedup_bloom intentionally plans the digest+bloom UDF
     # in BOTH union branches (bypass + verify): a deliberate
     # scan-twice / shuffle-only-candidates trade — the map-only stage
