@@ -1005,6 +1005,38 @@ def q_image_pixels_jpeg(spark, sf_dir):
     )
 
 
+def q_image_pixels_png(spark, sf_dir):
+    """REAL PNG PIXEL decode: synthesize a PNG per document (gray /
+    RGB / palette family by id mod 3, every row written with a
+    different scanline filter so all five unfilter paths — None, Sub,
+    Up, Average, Paeth — run at query scale), inflate and unfilter the
+    bytes back, and aggregate the decoded pixels. PNG is lossless, so
+    the oracle computes every aggregate from the closed-form sample
+    formula: any inflate-framing, filter-arithmetic or palette-lookup
+    bug surfaces as a value mismatch."""
+    from logparser_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.decode_image_pixels(
+        multimodal.synth_png_pixels(docs), binary_col="img", strict=True
+    )
+
+
+def q_image_pixels_gif(spark, sf_dir):
+    """REAL GIF PIXEL decode: synthesize a GIF89a per document (pixel
+    indices arithmetic in doc_id, odd ids interlaced), decode the
+    variable-width LZW code stream back through the global color
+    table, and aggregate the decoded pixels. The oracle computes the
+    same aggregates from the closed-form index formula — any LZW
+    bit-packing, code-width, interlace or palette bug mismatches."""
+    from logparser_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.decode_image_pixels(
+        multimodal.synth_gif(docs), binary_col="img", strict=True
+    )
+
+
 def q_video_frames(spark, sf_dir):
     """REAL frame-pixel extraction: synthesize a playable uncompressed
     AVI per document (dims/frame-count/fill all arithmetic in doc_id,
@@ -1800,6 +1832,46 @@ def _dataprep_sql() -> dict[str, str]:
       max(v)::INT AS px_max
     FROM b GROUP BY doc_id"""
 
+    sqls["image_pixels_png"] = """
+    WITH p AS (
+      SELECT doc_id, (doc_id % 19) + 1 AS w, (doc_id % 11) + 1 AS h,
+        doc_id % 3 AS fam
+      FROM documents),
+    s AS (
+      SELECT p.doc_id, p.w, p.h, p.fam,
+        CASE WHEN p.fam = 2
+          THEN 10 * ((p.doc_id + y.y * 5 + x.x) % 8) * (c.c + 1) + c.c
+          ELSE (p.doc_id * 13 + y.y * 7 + x.x * 3 + c.c * 11) % 256
+        END AS v
+      FROM p,
+        unnest(range(0, p.h)) y(y),
+        unnest(range(0, p.w)) x(x),
+        unnest(range(0, CASE WHEN p.fam = 0 THEN 1 ELSE 3 END)) c(c))
+    SELECT doc_id, 'png' AS format,
+      max(w)::INT AS width, max(h)::INT AS height,
+      count(*)::BIGINT AS n_px,
+      sum(v)::BIGINT AS px_sum,
+      max(v)::INT AS px_max
+    FROM s GROUP BY doc_id"""
+
+    sqls["image_pixels_gif"] = """
+    WITH p AS (
+      SELECT doc_id, (doc_id % 17) + 1 AS w, (doc_id % 9) + 1 AS h
+      FROM documents),
+    s AS (
+      SELECT p.doc_id, p.w, p.h,
+        10 * ((p.doc_id + 3 * y.y + 5 * x.x) % 8) * (c.c + 1) + c.c AS v
+      FROM p,
+        unnest(range(0, p.h)) y(y),
+        unnest(range(0, p.w)) x(x),
+        unnest(range(0, 3)) c(c))
+    SELECT doc_id, 'gif' AS format,
+      max(w)::INT AS width, max(h)::INT AS height,
+      count(*)::BIGINT AS n_px,
+      sum(v)::BIGINT AS px_sum,
+      max(v)::INT AS px_max
+    FROM s GROUP BY doc_id"""
+
     sqls["video_frames_rle"] = """
     SELECT doc_id,
       unnest(generate_series(0, doc_id % 5))::INT AS frame_no,
@@ -2363,6 +2435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": q_audio_meta,
         "audio_samples": q_audio_samples,
         "image_pixels_jpeg": q_image_pixels_jpeg,
+        "image_pixels_png": q_image_pixels_png,
+        "image_pixels_gif": q_image_pixels_gif,
         "extract_text": q_extract_text,
         "canonical_urls": q_canonical_urls,
         "cdx_index": q_cdx_index,

@@ -1074,31 +1074,41 @@ IMAGE_PIXELS_SCHEMA = (
 def decode_image_pixels(df, binary_col: str = "img",
                         id_col: str = "doc_id", strict: bool = False):
     """mapInPandas stage: image binary → per-doc DECODED-PIXEL
-    aggregates (count, sum, max) plus dimensions. Baseline grayscale
-    JPEG is decoded for REAL through ``operators/jpegcodec.py`` — the
-    full entropy path (stream-carried canonical Huffman tables, DC
-    prediction, AC run/size with ZRL and EOB, byte unstuffing, restart
-    markers) then dequantize → 2-D IDCT → level shift. Formats whose
-    pixel decode genuinely needs an imaging/DSP library that this
-    sandbox lacks (progressive/color-subsampled JPEG, PNG inflate
-    filters, GIF LZW) follow the audio pattern: ``strict=True`` raises
-    exactly where the codec call belongs, otherwise the row carries
-    null pixel fields.
+    aggregates (count, sum, max) plus dimensions. Three formats are
+    decoded for REAL: baseline grayscale JPEG through
+    ``operators/jpegcodec.py`` (stream-carried canonical Huffman
+    tables, DC prediction, AC run/size with ZRL and EOB, byte
+    unstuffing, restart markers, dequantize → 2-D IDCT); PNG through
+    ``operators/pngcodec.py`` (CRC-verified chunk walk, zlib inflate,
+    all five scanline unfilters, gray/RGB/palette color types); GIF
+    through ``operators/gifcodec.py`` (full variable-width LZW,
+    interlace, palette lookup). Decodes whose codec genuinely isn't
+    buildable here (progressive/color-subsampled JPEG, alpha PNG)
+    follow the audio pattern: ``strict=True`` raises exactly where the
+    codec call belongs, otherwise the row carries null pixel fields.
 
     Aggregates, not a per-pixel explode: output stays proportional to
     rows, the shape a 100 TB image-stats pass needs."""
+    from logparser_spark.operators.gifcodec import decode_gif
     from logparser_spark.operators.jpegcodec import decode_jpeg_gray
+    from logparser_spark.operators.pngcodec import decode_png_pixels
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, buf in zip(pdf[id_col], pdf[binary_col]):
                 b = bytes(buf) if buf is not None else b""
+                px = None
                 if b[:2] == b"\xff\xd8":
-                    px = decode_jpeg_gray(b)
-                    h, w = px.shape
+                    fmt, px = "jpeg", decode_jpeg_gray(b)
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    fmt, (_, px) = "png", decode_png_pixels(b)
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    fmt, px = "gif", decode_gif(b)
+                if px is not None:
+                    h, w = px.shape[:2]
                     rows.append((
-                        did, "jpeg", w, h, int(px.size),
+                        did, fmt, w, h, int(px.size),
                         int(px.astype("int64").sum()),
                         int(px.max()) if px.size else None,
                     ))
@@ -1144,5 +1154,68 @@ def synth_jpeg(df, id_col: str = "doc_id", out_col: str = "img",
             img.astype(np.uint8),
             restart_interval=2 if i % 3 == 0 else 0,
         )
+
+    return _synth_binary_stage(df, synth, out_col, id_col, keep_cols)
+
+
+IMAGE_TEST_PALETTE = [(10 * j, 20 * j + 1, 30 * j + 2) for j in range(8)]
+
+
+def synth_png_pixels(df, id_col: str = "doc_id", out_col: str = "img",
+                     keep_cols: Optional[list] = None):
+    """Deterministic PIXEL-BEARING PNG synthesizer: per id a PNG with
+    width = (id % 19) + 1, height = (id % 11) + 1, color family
+    id mod 3 (0 = grayscale, 1 = RGB truecolor, 2 = palette over
+    ``IMAGE_TEST_PALETTE``), sample (y, x, c) =
+    (id*13 + y*7 + x*3 + c*11) % 256 for gray/RGB and palette index
+    (id + y*5 + x) % 8 for the palette family. Row ``y`` is written
+    with filter type (id + y) % 5 — every decode exercises all five
+    unfilter paths across the corpus. PNG is lossless, so an oracle
+    predicts every decoded-pixel aggregate arithmetically while the
+    engine really inflates and unfilters."""
+    import numpy as np
+
+    from logparser_spark.operators.pngcodec import encode_png_pixels
+
+    def synth(i: int) -> bytes:
+        w = (i % 19) + 1
+        h = (i % 11) + 1
+        filters = [(i + y) % 5 for y in range(h)]
+        y, x = np.mgrid[0:h, 0:w]
+        fam = i % 3
+        if fam == 2:
+            idx = ((i + y * 5 + x) % 8).astype(np.uint8)
+            return encode_png_pixels(idx, row_filters=filters,
+                                     palette=IMAGE_TEST_PALETTE)
+        if fam == 0:
+            img = ((i * 13 + y * 7 + x * 3) % 256).astype(np.uint8)
+        else:
+            c = np.arange(3)[None, None, :]
+            img = ((i * 13 + y[:, :, None] * 7 + x[:, :, None] * 3
+                    + c * 11) % 256).astype(np.uint8)
+        return encode_png_pixels(img, row_filters=filters)
+
+    return _synth_binary_stage(df, synth, out_col, id_col, keep_cols)
+
+
+def synth_gif(df, id_col: str = "doc_id", out_col: str = "img",
+              keep_cols: Optional[list] = None):
+    """Deterministic PIXEL-BEARING GIF synthesizer: per id a GIF89a
+    with width = (id % 17) + 1, height = (id % 9) + 1, palette
+    ``IMAGE_TEST_PALETTE`` (entry j decodes to RGB (10j, 20j+1,
+    30j+2)), pixel index (y, x) = (id + 3y + 5x) % 8, and INTERLACED
+    row order for odd ids — the oracle predicts every decoded-pixel
+    aggregate arithmetically while the engine really unpacks
+    variable-width LZW codes."""
+    import numpy as np
+
+    from logparser_spark.operators.gifcodec import encode_gif
+
+    def synth(i: int) -> bytes:
+        w = (i % 17) + 1
+        h = (i % 9) + 1
+        y, x = np.mgrid[0:h, 0:w]
+        idx = ((i + 3 * y + 5 * x) % 8).astype(np.uint8)
+        return encode_gif(idx, IMAGE_TEST_PALETTE, interlace=i % 2 == 1)
 
     return _synth_binary_stage(df, synth, out_col, id_col, keep_cols)

@@ -1,0 +1,221 @@
+"""Real PNG pixel decode — pure Python/NumPy + stdlib ``zlib``, no
+imaging library: chunk walk with CRC-32 verification, IDAT
+concatenation, zlib inflate, and per-scanline UNFILTERING (the five
+spec filter types None/Sub/Up/Average/Paeth, RFC 2083 §6 semantics:
+Average floor-divides the predictor sum, Paeth breaks ties
+left→above→upper-left). Bit depth 8, color types 0 (grayscale),
+2 (RGB truecolor) and 3 (palette); Adam7 interlace and 16-bit depth
+raise ``NotImplementedError`` where the pass-extraction would go.
+
+The companion encoder (``encode_png_pixels``) emits spec-valid streams
+and can FILTER EACH ROW with a chosen type (cycling 0..4 exercises all
+five unfilter paths in one image). PNG is lossless, so decode is
+bit-exact against the input — which is what lets the oracle predict
+decoded pixels arithmetically while the decoder runs inflate +
+unfilter for real.
+
+Scale shape: called only inside Arrow-batched ``mapInPandas`` stages
+(``multimodal.decode_image_pixels``) — map-only, same codec-slot
+budget as the JPEG/FLAC/RLE8 decoders.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor over int16 arrays (a=left, b=above, c=upper
+    left); ties break a, then b, then c — the spec's exact order."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a,
+                   np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray,
+                bpp: int) -> np.ndarray:
+    """Apply filter ``ftype`` to a raw scanline (encoder side)."""
+    n = row.shape[0]
+    left = np.zeros(n, dtype=np.uint8)
+    left[bpp:] = row[:-bpp]
+    if ftype == 0:
+        return row.copy()
+    if ftype == 1:
+        return (row.astype(np.int16) - left).astype(np.uint8)
+    if ftype == 2:
+        return (row.astype(np.int16) - prev).astype(np.uint8)
+    if ftype == 3:
+        avg = (left.astype(np.int16) + prev.astype(np.int16)) // 2
+        return (row.astype(np.int16) - avg).astype(np.uint8)
+    if ftype == 4:
+        ul = np.zeros(n, dtype=np.uint8)
+        ul[bpp:] = prev[:-bpp]
+        return (row.astype(np.int16)
+                - _paeth(left, prev, ul)).astype(np.uint8)
+    raise ValueError(f"png: unknown filter type {ftype}")
+
+
+def _unfilter_row(ftype: int, filt: np.ndarray, prev: np.ndarray,
+                  bpp: int) -> np.ndarray:
+    """Invert filter ``ftype`` (decoder side). Sub/Paeth depend on the
+    already-reconstructed left neighbour, so those walk per-pixel
+    (the spec's data dependency, not an implementation choice)."""
+    n = filt.shape[0]
+    if ftype == 0:
+        return filt.copy()
+    if ftype == 2:
+        return (filt.astype(np.int16) + prev).astype(np.uint8)
+    out = np.zeros(n, dtype=np.uint8)
+    if ftype == 1:
+        for i in range(n):
+            left = out[i - bpp] if i >= bpp else 0
+            out[i] = (int(filt[i]) + int(left)) & 0xFF
+        return out
+    if ftype == 3:
+        for i in range(n):
+            left = int(out[i - bpp]) if i >= bpp else 0
+            out[i] = (int(filt[i]) + (left + int(prev[i])) // 2) & 0xFF
+        return out
+    if ftype == 4:
+        for i in range(n):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                      else c)
+            out[i] = (int(filt[i]) + pred) & 0xFF
+        return out
+    raise ValueError(f"png: unknown filter type {ftype}")
+
+
+def encode_png_pixels(pixels: np.ndarray,
+                      row_filters: Optional[List[int]] = None,
+                      palette: Optional[List[Tuple[int, int, int]]]
+                      = None) -> bytes:
+    """Pixels → spec-valid PNG bytes. ``pixels`` is (H, W) for
+    grayscale (color type 0), (H, W, 3) for RGB (color type 2), or —
+    with ``palette`` given — (H, W) palette INDICES (color type 3).
+    ``row_filters[y]`` picks the filter type written for row ``y``
+    (default: all 0); deterministic bytes for deterministic input
+    (zlib level fixed)."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if palette is not None:
+        color_type, ch = 3, 1
+        if pixels.ndim != 2:
+            raise ValueError("png: palette image must be (H, W) indices")
+        raw = pixels[:, :, None]
+    elif pixels.ndim == 2:
+        color_type, ch = 0, 1
+        raw = pixels[:, :, None]
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color_type, ch = 2, 3
+        raw = pixels
+    else:
+        raise ValueError("png: expected (H, W) or (H, W, 3) pixels")
+    h, w = raw.shape[:2]
+    bpp = ch
+
+    lines = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y].reshape(-1)
+        ftype = row_filters[y] if row_filters is not None else 0
+        lines.append(ftype)
+        lines += _filter_row(ftype, row, prev, bpp).tobytes()
+        prev = row
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = bytearray(_SIG)
+    out += _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    out += _chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_png_pixels(b: bytes) -> Tuple[str, np.ndarray]:
+    """PNG bytes → (kind, pixel array): ("gray", (H, W)) for color
+    type 0, ("rgb", (H, W, 3)) for types 2 and 3 (palette looked up).
+    CRC-verified chunk walk, multi-IDAT concatenation, full
+    unfiltering. Raises on interlace/16-bit/alpha — the honestly
+    unimplemented corners."""
+    if b[:8] != _SIG:
+        raise ValueError("png: bad signature")
+    i = 8
+    width = height = None
+    color_type = None
+    palette = None
+    idat = bytearray()
+    seen_iend = False
+    while i + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[i:i + 4])
+        tag = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + ln]
+        (crc,) = struct.unpack(">I", b[i + 8 + ln:i + 12 + ln])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, inter = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise NotImplementedError("png: only bit depth 8")
+            if inter != 0:
+                raise NotImplementedError("png: Adam7 interlace")
+            if comp != 0 or filt != 0:
+                raise ValueError("png: unknown compression/filter method")
+            if color_type not in (0, 2, 3):
+                raise NotImplementedError(
+                    f"png: color type {color_type} (alpha/gray-alpha)"
+                )
+        elif tag == b"PLTE":
+            if ln % 3:
+                raise ValueError("png: PLTE length not multiple of 3")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            seen_iend = True
+            break
+        i += 12 + ln
+    if width is None:
+        raise ValueError("png: missing IHDR")
+    if not seen_iend:
+        raise ValueError("png: missing IEND")
+    ch = 3 if color_type == 2 else 1
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("png: decompressed size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        prev = _unfilter_row(int(arr[y, 0]), arr[y, 1:], prev, ch)
+        out[y] = prev
+    if color_type == 0:
+        return "gray", out
+    if color_type == 2:
+        return "rgb", out.reshape(height, width, 3)
+    if palette is None:
+        raise ValueError("png: color type 3 without PLTE")
+    if int(out.max(initial=0)) >= palette.shape[0]:
+        raise ValueError("png: palette index out of range")
+    return "rgb", palette[out.reshape(height, width)]
