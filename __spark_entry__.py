@@ -1126,6 +1126,33 @@ def q_sample_stratified(spark, sf_dir):
     return corpus.sample_stratified(docs)
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Exact substring-span dedup (Lee et al. 2022 semantics),
+    detection half: every 5-token window occurring >= 2 times
+    corpus-wide marks its positions at every occurrence but the global
+    first; marked positions merge into maximal spans. Run on the raw
+    documents table, whose shared word soup makes ~10%+ of windows
+    duplicates — the oracle recomputes the full window-rank pipeline
+    in SQL, so the count, the first-occurrence tie-break, the
+    k-position fan-out and the island merge all have to match."""
+    from logparser_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.duplicate_spans(docs, k=5)
+
+
+def q_strip_duplicate_spans(spark, sf_dir):
+    """Exact substring-span dedup, removal half: delete every token
+    covered by a non-first duplicated 5-window occurrence and
+    reassemble each document from the survivors in order. One row per
+    document with the cleaned text — the oracle rebuilds it
+    token-by-token, so ordering, boundary and count bugs mismatch."""
+    from logparser_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.strip_duplicate_spans(docs, k=5)
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Corpus-wide paragraph dedup over constructed 4-paragraph pages:
     a global footer (every doc), a unique alpha paragraph (embeds
@@ -1981,6 +2008,59 @@ def _dataprep_sql() -> dict[str, str]:
         + count(*)) // (2 * count(*)))::BIGINT AS achieved_ppm
     FROM documents GROUP BY 1, 2"""
 
+    _span_cte = """
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+      FROM documents),
+    win AS (
+      SELECT doc_id, p.p AS pos,
+        array_to_string(w[p.p + 1 : p.p + 5], ' ') AS win
+      FROM t, unnest(range(0, greatest(len(w) - 4, 0))) p(p)),
+    r AS (
+      SELECT doc_id, pos,
+        count(*) OVER (PARTITION BY win) AS cnt,
+        row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rk
+      FROM win),
+    mk AS (
+      SELECT DISTINCT doc_id, pos + o.o AS tp
+      FROM r, unnest(range(0, 5)) o(o)
+      WHERE cnt >= 2 AND rk > 1)
+    """
+
+    sqls["duplicate_spans"] = _span_cte + """,
+    g AS (
+      SELECT doc_id, tp,
+        tp - row_number() OVER (PARTITION BY doc_id ORDER BY tp) AS grp
+      FROM mk)
+    SELECT doc_id,
+      min(tp)::BIGINT AS span_start,
+      max(tp)::BIGINT AS span_end,
+      (max(tp) - min(tp) + 1)::BIGINT AS span_len
+    FROM g GROUP BY doc_id, grp"""
+
+    sqls["strip_duplicate_spans"] = _span_cte + """,
+    tok AS (
+      SELECT doc_id, i.i AS tp, w[i.i + 1] AS tok
+      FROM t, unnest(range(0, len(w))) i(i)),
+    keep AS (
+      SELECT tok.doc_id, tok.tp, tok.tok
+      FROM tok
+      WHERE NOT EXISTS (
+        SELECT 1 FROM mk
+        WHERE mk.doc_id = tok.doc_id AND mk.tp = tok.tp)),
+    c AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS cleaned
+      FROM keep GROUP BY doc_id),
+    m AS (SELECT doc_id, count(*) AS nrm FROM mk GROUP BY doc_id)
+    SELECT t.doc_id,
+      coalesce(c.cleaned, '') AS cleaned,
+      len(t.w)::BIGINT AS n_tokens,
+      coalesce(m.nrm, 0)::BIGINT AS n_removed
+    FROM t
+    LEFT JOIN c ON c.doc_id = t.doc_id
+    LEFT JOIN m ON m.doc_id = t.doc_id"""
+
     sqls["paragraph_dedup"] = """
     SELECT doc_id,
       'doc ' || doc_id || ' alpha ' || text || chr(10) || chr(10)
@@ -2460,6 +2540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "domain_mix": q_domain_mix,
         "paragraph_dedup": q_paragraph_dedup,
+        "duplicate_spans": q_duplicate_spans,
+        "strip_duplicate_spans": q_strip_duplicate_spans,
         # checkpoint/lineage + skew
         "lineage_buckets": q_lineage_buckets,
         "host_line_tally_salted": q_host_line_tally_salted,

@@ -406,3 +406,131 @@ def paragraph_dedup(docs, min_dup: int = 2, text_col: str = "text",
             .alias("n_removed"),
         )
     )
+
+
+def duplicate_spans(docs, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Exact substring-span dedup, detection half (the suffix-array
+    pass of Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better", re-expressed as a window join): every
+    k-token window that occurs >= 2 times ANYWHERE in the corpus is a
+    duplicated substring; every occurrence except the canonical first
+    (minimal ``(doc_id, pos)``) marks its k token positions; marked
+    positions merge into maximal spans.
+
+    Output: ``(id_col, span_start, span_end, span_len)`` — one row per
+    maximal duplicated span (token positions, 0-based inclusive).
+
+    Scale shape: the window explode is map-side (one row per token,
+    the same fan-out as shingling); the only shuffles are (1) the
+    occurrence count/rank partitioned by the window STRING (at 10^12
+    rows key on xxhash64(win) instead — the count is identical, the
+    rank ordering unchanged; the string key is kept here for
+    bit-exact oracle parity), and (2) the per-document run-merge.
+    No join back to the corpus: rank and count land on the exploded
+    row via one window spec, the filter is applied in place, and the
+    span merge is the classic ``pos - row_number`` islands trick —
+    O(1) state per row, no collect, no cross product.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col), _words(text_col).alias("__w")
+    )
+    wins = toks.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.size("__w") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__w") - k),
+                    lambda p: F.array_join(
+                        F.slice(F.col("__w"), p + 1, k), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "win"),
+    )
+    by_win = Window.partitionBy("win")
+    ranked = wins.select(
+        id_col, "pos",
+        F.count("*").over(by_win).alias("__cnt"),
+        F.row_number()
+        .over(by_win.orderBy(id_col, "pos"))
+        .alias("__rk"),
+    )
+    marked = (
+        ranked.where((F.col("__cnt") >= 2) & (F.col("__rk") > 1))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("tp"),
+        )
+        .distinct()
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("tp")
+    )
+    runs = marked.select(id_col, "tp", (F.col("tp") - rn).alias("__grp"))
+    return (
+        runs.groupBy(id_col, "__grp")
+        .agg(
+            F.min("tp").cast("long").alias("span_start"),
+            F.max("tp").cast("long").alias("span_end"),
+        )
+        .select(
+            id_col, "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .alias("span_len"),
+        )
+    )
+
+
+def strip_duplicate_spans(docs, k: int = 5, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Exact substring-span dedup, removal half: delete every token
+    covered by a duplicated k-window occurrence (except the corpus-wide
+    first occurrence, which is kept — see :func:`duplicate_spans`) and
+    reassemble each document from its surviving tokens in order.
+
+    Output: ``(id_col, cleaned, n_tokens, n_removed)`` — one row per
+    input document.
+
+    Scale shape: the marked-position set flows back to the corpus as
+    one aggregated array per affected document (left broadcast-or-hash
+    join on the document id — the array is bounded by the document's
+    own token count, never corpus-sized), and the token filter is a
+    Catalyst lambda over the already-split array — no second explode,
+    no per-row Python."""
+    from pyspark.sql import functions as F
+
+    marked = (
+        duplicate_spans(docs, k=k, text_col=text_col, id_col=id_col)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("span_start"), F.col("span_end"))
+            ).alias("tp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("tp").alias("__rm"))
+    )
+    toks = docs.select(
+        F.col(id_col), _words(text_col).alias("__w")
+    )
+    joined = toks.join(marked, on=id_col, how="left").select(
+        id_col, "__w",
+        F.coalesce("__rm", F.array().cast("array<long>")).alias("__rm"),
+    )
+    kept = F.filter(
+        F.col("__w"),
+        lambda t, i: ~F.array_contains(F.col("__rm"), i.cast("long")),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("cleaned"),
+        F.size("__w").cast("long").alias("n_tokens"),
+        F.size("__rm").cast("long").alias("n_removed"),
+    )

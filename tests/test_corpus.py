@@ -311,3 +311,94 @@ class TestParagraphDedup:
         assert got[0]["cleaned"] == "b"
         assert got[1]["cleaned"] == "c"
         assert got[0]["n_paras"] == 2
+
+
+class TestDuplicateSpans:
+    """Exact substring-span dedup: spans known by construction."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def _spans(self, spark, rows, k=5):
+        out = corpus.duplicate_spans(self._docs(spark, rows), k=k)
+        return sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+            for r in out.collect()
+        )
+
+    def _strip(self, spark, rows, k=5):
+        out = corpus.strip_duplicate_spans(self._docs(spark, rows), k=k)
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    ROWS = [
+        (0, "a b c d e x1 x2"),
+        (1, "p q a b c d e r"),
+        (2, "a b c d e a b c d e"),
+        (3, "short text"),
+        (4, "m n o p q z1 z2 z3 m n o p q"),
+    ]
+
+    def test_spans_by_construction(self, spark):
+        # "a b c d e": first occurrence (0,0) kept; (1,2), (2,0), (2,5)
+        # marked — doc 2's two hits merge into one 0..9 span.
+        # "m n o p q": same-doc repeat, (4,8) marked.
+        assert self._spans(spark, self.ROWS) == [
+            (1, 2, 6, 5),
+            (2, 0, 9, 10),
+            (4, 8, 12, 5),
+        ]
+
+    def test_strip_reassembles_in_order(self, spark):
+        got = self._strip(spark, self.ROWS)
+        assert got[0]["cleaned"] == "a b c d e x1 x2"
+        assert got[0]["n_removed"] == 0
+        assert got[1]["cleaned"] == "p q r"
+        assert (got[1]["n_tokens"], got[1]["n_removed"]) == (8, 5)
+        assert got[2]["cleaned"] == ""
+        assert (got[2]["n_tokens"], got[2]["n_removed"]) == (10, 10)
+        assert got[3]["cleaned"] == "short text"
+        assert got[4]["cleaned"] == "m n o p q z1 z2 z3"
+        assert got[4]["n_removed"] == 5
+
+    def test_doc_shorter_than_k_yields_no_windows(self, spark):
+        rows = [(0, "a b"), (1, "a b")]  # identical but < k tokens
+        assert self._spans(spark, rows) == []
+        got = self._strip(spark, rows)
+        assert got[0]["cleaned"] == "a b" and got[0]["n_removed"] == 0
+
+    def test_first_occurrence_tiebreak_is_min_doc_then_pos(self, spark):
+        # same window in doc 5 pos 3 and doc 7 pos 0: doc 5 keeps it
+        rows = [
+            (7, "k l m n o t1 t2"),
+            (5, "u v w k l m n o"),
+        ]
+        assert self._spans(spark, rows) == [(7, 0, 4, 5)]
+
+    def test_overlapping_distinct_windows_merge(self, spark):
+        # doc 1 repeats a 6-token phrase: two overlapping duplicated
+        # 5-windows (pos 0 and pos 1) merge into one 0..5 span
+        rows = [
+            (0, "a b c d e f tail0"),
+            (1, "a b c d e f tail1"),
+        ]
+        assert self._spans(spark, rows) == [(1, 0, 5, 6)]
+
+    def test_adjacent_but_separate_spans_stay_separate(self, spark):
+        # two duplicated phrases in doc 1 separated by a unique token:
+        # positions 0..4 and 6..10 — NOT merged across the gap
+        rows = [
+            (0, "a b c d e q r s t u extra words here"),
+            (1, "a b c d e GAP1 q r s t u"),
+        ]
+        assert self._spans(spark, rows) == [
+            (1, 0, 4, 5), (1, 6, 10, 5),
+        ]
+
+    def test_whitespace_runs_ignored_like_words(self, spark):
+        # double spaces produce empty tokens that _words drops; the
+        # two docs still match token-for-token
+        rows = [
+            (0, "a  b c d  e tail0"),
+            (1, "a b  c d e tail1"),
+        ]
+        assert self._spans(spark, rows) == [(1, 0, 4, 5)]
