@@ -1037,6 +1037,23 @@ def q_image_pixels_gif(spark, sf_dir):
     )
 
 
+def q_image_pixels_bmp(spark, sf_dir):
+    """REAL BMP PIXEL decode: synthesize a .bmp per document (24-bit
+    bottom-up, 24-bit top-down negative-height DIB, or 8-bit BI_RLE8
+    palettized by id mod 3; dims arithmetic in doc_id so every 4-byte
+    stride-padding case occurs), walk the file+info headers, flip DIB
+    rows, strip stride padding, decode RLE8 opcodes through the
+    RGBQUAD palette, and aggregate the decoded pixels against the
+    closed-form oracle — any stride, orientation, palette or opcode
+    bug mismatches."""
+    from logparser_spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.decode_image_pixels(
+        multimodal.synth_bmp(docs), binary_col="img", strict=True
+    )
+
+
 def q_video_frames(spark, sf_dir):
     """REAL frame-pixel extraction: synthesize a playable uncompressed
     AVI per document (dims/frame-count/fill all arithmetic in doc_id,
@@ -1899,6 +1916,28 @@ def _dataprep_sql() -> dict[str, str]:
       max(v)::INT AS px_max
     FROM s GROUP BY doc_id"""
 
+    sqls["image_pixels_bmp"] = """
+    WITH p AS (
+      SELECT doc_id, (doc_id % 14) + 1 AS w, (doc_id % 7) + 1 AS h,
+        doc_id % 3 AS fam
+      FROM documents),
+    s AS (
+      SELECT p.doc_id, p.w, p.h,
+        CASE WHEN p.fam = 2
+          THEN 10 * ((p.doc_id + 2 * y.y + 3 * x.x) % 8) * (c.c + 1) + c.c
+          ELSE (p.doc_id * 11 + y.y * 5 + x.x * 3 + c.c * 7) % 256
+        END AS v
+      FROM p,
+        unnest(range(0, p.h)) y(y),
+        unnest(range(0, p.w)) x(x),
+        unnest(range(0, 3)) c(c))
+    SELECT doc_id, 'bmp' AS format,
+      max(w)::INT AS width, max(h)::INT AS height,
+      count(*)::BIGINT AS n_px,
+      sum(v)::BIGINT AS px_sum,
+      max(v)::INT AS px_max
+    FROM s GROUP BY doc_id"""
+
     sqls["video_frames_rle"] = """
     SELECT doc_id,
       unnest(generate_series(0, doc_id % 5))::INT AS frame_no,
@@ -2517,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixels_jpeg": q_image_pixels_jpeg,
         "image_pixels_png": q_image_pixels_png,
         "image_pixels_gif": q_image_pixels_gif,
+        "image_pixels_bmp": q_image_pixels_bmp,
         "extract_text": q_extract_text,
         "canonical_urls": q_canonical_urls,
         "cdx_index": q_cdx_index,

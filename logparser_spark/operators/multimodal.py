@@ -1105,6 +1105,8 @@ def decode_image_pixels(df, binary_col: str = "img",
                     fmt, (_, px) = "png", decode_png_pixels(b)
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
                     fmt, px = "gif", decode_gif(b)
+                elif b[:2] == b"BM":
+                    fmt, px = "bmp", decode_bmp_pixels(b)
                 if px is not None:
                     h, w = px.shape[:2]
                     rows.append((
@@ -1217,5 +1219,161 @@ def synth_gif(df, id_col: str = "doc_id", out_col: str = "img",
         y, x = np.mgrid[0:h, 0:w]
         idx = ((i + 3 * y + 5 * x) % 8).astype(np.uint8)
         return encode_gif(idx, IMAGE_TEST_PALETTE, interlace=i % 2 == 1)
+
+    return _synth_binary_stage(df, synth, out_col, id_col, keep_cols)
+
+
+def _rle8_encode_rows(rows) -> bytes:
+    """Arbitrary palette-index rows → spec RLE8 (encoded runs capped
+    at 255, EOL after each row, EOB at the end). Inverse of
+    ``_rle8_decode`` for in-bounds content; used by the BMP/AVI
+    synthesizers to exercise varied-run decode paths."""
+    out = bytearray()
+    for row in rows:
+        x = 0
+        n = len(row)
+        while x < n:
+            run = 1
+            while (x + run < n and row[x + run] == row[x]
+                   and run < 255):
+                run += 1
+            out += bytes([run, row[x]])
+            x += run
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"      # EOB
+    return bytes(out)
+
+
+def make_bmp(pixels, top_down: bool = False,
+             palette: Optional[list] = None, rle8: bool = False) -> bytes:
+    """Pixels → spec-valid .bmp bytes (BITMAPFILEHEADER +
+    BITMAPINFOHEADER). ``pixels`` is (H, W, 3) BGR for 24-bit BI_RGB
+    (``top_down=True`` writes a negative-height top-down DIB), or
+    (H, W) palette indices with ``palette`` = [(b, g, r), ...] for
+    8-bit — BI_RGB rows, or BI_RLE8 when ``rle8=True``. Row order in
+    ``pixels`` is always logical top-down; this function handles the
+    DIB bottom-up flip."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if palette is None:
+        h, w = px.shape[:2]
+        stride = (w * 3 + 3) & ~3
+        rows = px if top_down else px[::-1]
+        data = b"".join(
+            rows[y].tobytes() + b"\x00" * (stride - w * 3)
+            for y in range(h)
+        )
+        bih = struct.pack("<IiiHHIIiiII", 40, w,
+                          -h if top_down else h, 1, 24, 0,
+                          len(data), 0, 0, 0, 0)
+        pal = b""
+    else:
+        h, w = px.shape
+        npal = len(palette)
+        pal = b"".join(struct.pack("<BBBB", bl, g, r, 0)
+                       for bl, g, r in palette)
+        dib_rows = px if top_down else px[::-1]
+        if rle8:
+            if top_down:
+                raise ValueError("bmp: RLE8 must be bottom-up (spec)")
+            data = _rle8_encode_rows([bytes(r) for r in dib_rows])
+            comp = 1
+        else:
+            stride = (w + 3) & ~3
+            data = b"".join(
+                dib_rows[y].tobytes() + b"\x00" * (stride - w)
+                for y in range(h)
+            )
+            comp = 0
+        bih = struct.pack("<IiiHHIIiiII", 40, w,
+                          -h if top_down else h, 1, 8, comp,
+                          len(data), 0, 0, npal, npal)
+    offset = 14 + 40 + len(pal)
+    bfh = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    return bfh + bih + pal + data
+
+
+def decode_bmp_pixels(b: bytes):
+    """BMP bytes → (H, W, 3) uint8 BGR pixel array (logical top-down
+    row order, whatever the DIB orientation). REAL decode for 24-bit
+    BI_RGB (bottom-up and top-down), 8-bit palettized BI_RGB, and
+    8-bit BI_RLE8 (through ``_rle8_decode`` — the same opcode walk the
+    AVI 'MRLE' stream uses). 16/32-bit and BI_RLE4 raise."""
+    import numpy as np
+
+    if b[:2] != b"BM":
+        raise ValueError("bmp: bad signature")
+    (offset,) = struct.unpack("<I", b[10:14])
+    size, w, h_signed, planes, bpp, comp = struct.unpack(
+        "<IiiHHI", b[14:34]
+    )
+    if size < 40:
+        raise ValueError("bmp: pre-BITMAPINFOHEADER DIB")
+    (clr_used,) = struct.unpack("<I", b[46:50])
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if bpp == 24 and comp == 0:
+        stride = (w * 3 + 3) & ~3
+        need = offset + stride * h
+        if len(b) < need:
+            raise ValueError("bmp: truncated pixel data")
+        rows = np.frombuffer(
+            b[offset:need], dtype=np.uint8
+        ).reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+        return rows if top_down else rows[::-1]
+    if bpp == 8:
+        npal = clr_used or 256
+        pal_at = 14 + size
+        quads = np.frombuffer(
+            b[pal_at:pal_at + 4 * npal], dtype=np.uint8
+        ).reshape(-1, 4)[:, :3]  # BGR, reserved byte dropped
+        if comp == 0:
+            stride = (w + 3) & ~3
+            idx = np.frombuffer(
+                b[offset:offset + stride * h], dtype=np.uint8
+            ).reshape(h, stride)[:, :w]
+            if not top_down:
+                idx = idx[::-1]
+        elif comp == 1:
+            if top_down:
+                raise ValueError("bmp: top-down RLE8 is invalid")
+            rows = _rle8_decode(b[offset:], w, h)
+            idx = np.array([list(r) for r in rows],
+                           dtype=np.uint8)[::-1]
+        else:
+            raise NotImplementedError(f"bmp: compression {comp}")
+        if int(idx.max(initial=0)) >= quads.shape[0]:
+            raise ValueError("bmp: palette index out of range")
+        return quads[idx]
+    raise NotImplementedError(f"bmp: {bpp}bpp/compression {comp}")
+
+
+def synth_bmp(df, id_col: str = "doc_id", out_col: str = "img",
+              keep_cols: Optional[list] = None):
+    """Deterministic PIXEL-BEARING BMP synthesizer: per id a BMP with
+    width = (id % 14) + 1, height = (id % 7) + 1, family id mod 3
+    (0 = 24-bit bottom-up, 1 = 24-bit TOP-DOWN negative-height DIB,
+    2 = 8-bit BI_RLE8 over ``IMAGE_TEST_PALETTE``). 24-bit sample
+    (y, x, c) = (id*11 + y*5 + x*3 + c*7) % 256 in logical top-down
+    coordinates; RLE8 index (y, x) = (id + 2y + 3x) % 8 (varied runs,
+    so the opcode decode sees real run boundaries). BMP is lossless —
+    the oracle predicts every decoded-pixel aggregate arithmetically
+    while the engine really walks strides, flips DIB rows and decodes
+    RLE8 opcodes."""
+    import numpy as np
+
+    def synth(i: int) -> bytes:
+        w = (i % 14) + 1
+        h = (i % 7) + 1
+        fam = i % 3
+        y, x = np.mgrid[0:h, 0:w]
+        if fam == 2:
+            idx = ((i + 2 * y + 3 * x) % 8).astype(np.uint8)
+            return make_bmp(idx, palette=IMAGE_TEST_PALETTE, rle8=True)
+        c = np.arange(3)[None, None, :]
+        px = ((i * 11 + y[:, :, None] * 5 + x[:, :, None] * 3
+               + c * 7) % 256).astype(np.uint8)
+        return make_bmp(px, top_down=fam == 1)
 
     return _synth_binary_stage(df, synth, out_col, id_col, keep_cols)

@@ -270,3 +270,96 @@ def test_synth_png_gif_decode_stage(spark):
         assert (r["format"], r["width"], r["height"]) == ("gif", w, h)
         assert r["n_px"] == px.size and r["px_sum"] == int(px.sum())
         assert r["px_max"] == int(px.max())
+
+
+# ── BMP ──────────────────────────────────────────────────────────────
+
+
+def test_bmp_24bit_roundtrip_both_orientations():
+    from logparser_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        make_bmp,
+    )
+
+    rng = np.random.RandomState(3)
+    for h, w in [(1, 1), (5, 7), (4, 2), (3, 14)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        for td in (False, True):
+            assert np.array_equal(
+                decode_bmp_pixels(make_bmp(px, top_down=td)), px
+            ), (h, w, td)
+
+
+def test_bmp_8bit_palette_and_rle8_roundtrip():
+    from logparser_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        make_bmp,
+    )
+
+    rng = np.random.RandomState(4)
+    P = np.array([(b, g, r) for b, g, r in PAL8], dtype=np.uint8)
+    idx = rng.randint(0, 8, size=(6, 9)).astype(np.uint8)
+    for rle in (False, True):
+        out = decode_bmp_pixels(make_bmp(idx, palette=PAL8, rle8=rle))
+        assert np.array_equal(out, P[idx]), rle
+
+
+def test_rle8_row_encoder_is_decode_inverse_on_long_runs():
+    from logparser_spark.operators.multimodal import (
+        _rle8_decode,
+        _rle8_encode_rows,
+    )
+
+    rows = [bytes([5] * 300 + [2] * 4 + [7]), bytes([1] * 305)]
+    dec = _rle8_decode(_rle8_encode_rows(rows), 305, 2)
+    assert [bytes(r) for r in dec] == rows
+
+
+def test_bmp_rejects_malformed():
+    from logparser_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        make_bmp,
+    )
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = bytearray(make_bmp(px))
+    with pytest.raises(ValueError, match="signature"):
+        decode_bmp_pixels(b"XX" + bytes(good[2:]))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp_pixels(bytes(good[:-4]))
+    # 16bpp unsupported
+    bad = bytearray(good)
+    bad[28] = 16
+    with pytest.raises(NotImplementedError):
+        decode_bmp_pixels(bytes(bad))
+    with pytest.raises(ValueError, match="bottom-up"):
+        make_bmp(np.zeros((2, 2), dtype=np.uint8), palette=PAL8,
+                 rle8=True, top_down=True)
+
+
+def test_synth_bmp_decode_stage(spark):
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import multimodal
+
+    docs = spark.range(0, 42).select(F.col("id").alias("doc_id"))
+    P = np.array([(b, g, r) for b, g, r in PAL8], dtype=np.int64)
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.decode_image_pixels(
+            multimodal.synth_bmp(docs), binary_col="img", strict=True
+        ).collect()
+    }
+    for i in range(42):
+        w, h, fam = (i % 14) + 1, (i % 7) + 1, i % 3
+        y, x = np.mgrid[0:h, 0:w]
+        if fam == 2:
+            px = P[(i + 2 * y + 3 * x) % 8]
+        else:
+            c = np.arange(3)[None, None, :]
+            px = ((i * 11 + y[:, :, None] * 5 + x[:, :, None] * 3
+                   + c * 7) % 256)
+        r = got[i]
+        assert (r["format"], r["width"], r["height"]) == ("bmp", w, h)
+        assert r["n_px"] == px.size and r["px_sum"] == int(px.sum())
+        assert r["px_max"] == int(px.max())

@@ -41,7 +41,7 @@ def test_at_most_one_python_stage_per_query(query_plans):
     allowed_two = {"multimodal_meta", "video_meta", "video_frames",
                    "video_frames_rle", "audio_meta", "audio_samples",
                    "image_pixels_jpeg", "image_pixels_png",
-                   "image_pixels_gif"}
+                   "image_pixels_gif", "image_pixels_bmp"}
     # incremental_dedup_bloom intentionally plans the digest+bloom UDF
     # in BOTH union branches (bypass + verify): a deliberate
     # scan-twice / shuffle-only-candidates trade — the map-only stage
