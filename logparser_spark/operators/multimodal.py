@@ -1172,7 +1172,10 @@ def synth_png_pixels(df, id_col: str = "doc_id", out_col: str = "img",
     (id*13 + y*7 + x*3 + c*11) % 256 for gray/RGB and palette index
     (id + y*5 + x) % 8 for the palette family. Row ``y`` is written
     with filter type (id + y) % 5 — every decode exercises all five
-    unfilter paths across the corpus. PNG is lossless, so an oracle
+    unfilter paths across the corpus — and every 7th id is written in
+    the Adam7 INTERLACED layout (decoded pixels identical, so the
+    oracle is layout-blind while the decoder walks all 7 passes). PNG
+    is lossless, so an oracle
     predicts every decoded-pixel aggregate arithmetically while the
     engine really inflates and unfilters."""
     import numpy as np
@@ -1182,20 +1185,24 @@ def synth_png_pixels(df, id_col: str = "doc_id", out_col: str = "img",
     def synth(i: int) -> bytes:
         w = (i % 19) + 1
         h = (i % 11) + 1
-        filters = [(i + y) % 5 for y in range(h)]
+        inter = i % 7 == 0
+        # interlaced streams carry up to h+14 scanlines across passes
+        filters = [(i + y) % 5 for y in range(h + 14)]
         y, x = np.mgrid[0:h, 0:w]
         fam = i % 3
         if fam == 2:
             idx = ((i + y * 5 + x) % 8).astype(np.uint8)
             return encode_png_pixels(idx, row_filters=filters,
-                                     palette=IMAGE_TEST_PALETTE)
+                                     palette=IMAGE_TEST_PALETTE,
+                                     interlace=inter)
         if fam == 0:
             img = ((i * 13 + y * 7 + x * 3) % 256).astype(np.uint8)
         else:
             c = np.arange(3)[None, None, :]
             img = ((i * 13 + y[:, :, None] * 7 + x[:, :, None] * 3
                     + c * 11) % 256).astype(np.uint8)
-        return encode_png_pixels(img, row_filters=filters)
+        return encode_png_pixels(img, row_filters=filters,
+                                 interlace=inter)
 
     return _synth_binary_stage(df, synth, out_col, id_col, keep_cols)
 

@@ -3,9 +3,11 @@ imaging library: chunk walk with CRC-32 verification, IDAT
 concatenation, zlib inflate, and per-scanline UNFILTERING (the five
 spec filter types None/Sub/Up/Average/Paeth, RFC 2083 §6 semantics:
 Average floor-divides the predictor sum, Paeth breaks ties
-left→above→upper-left). Bit depth 8, color types 0 (grayscale),
-2 (RGB truecolor) and 3 (palette); Adam7 interlace and 16-bit depth
-raise ``NotImplementedError`` where the pass-extraction would go.
+left→above→upper-left), plus the full 7-pass Adam7 interlace layout
+(each pass an independently-filtered sub-image; empty passes skipped).
+Bit depth 8, color types 0 (grayscale), 2 (RGB truecolor) and
+3 (palette); 16-bit depth and alpha color types raise
+``NotImplementedError``.
 
 The companion encoder (``encode_png_pixels``) emits spec-valid streams
 and can FILTER EACH ROW with a chosen type (cycling 0..4 exercises all
@@ -105,16 +107,50 @@ def _unfilter_row(ftype: int, filt: np.ndarray, prev: np.ndarray,
     raise ValueError(f"png: unknown filter type {ftype}")
 
 
+# Adam7 pass origins and steps: (row_start, col_start, row_step,
+# col_step) — the spec's 8×8 sampling grid.
+_ADAM7 = [(0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+          (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1)]
+
+
+def _adam7_passes(w: int, h: int):
+    """(row_start, col_start, row_step, col_step, pass_w, pass_h) for
+    each of the 7 passes; empty passes report 0 in a dimension and
+    contribute NO scanlines (the spec's skip rule)."""
+    for rs, cs, rstep, cstep in _ADAM7:
+        pw = (w - cs + cstep - 1) // cstep if w > cs else 0
+        ph = (h - rs + rstep - 1) // rstep if h > rs else 0
+        yield rs, cs, rstep, cstep, pw, ph
+
+
+def _serialize_rows(rows, ch: int, filters, base: int) -> bytes:
+    """Filter a sub-image's scanlines (each filtered against the
+    previous scanline OF THE SAME sub-image, zeros above the first —
+    exactly how each interlace pass restarts)."""
+    out = bytearray()
+    prev = np.zeros(rows.shape[1] * ch if rows.ndim == 3
+                    else rows.shape[1], dtype=np.uint8)
+    for k in range(rows.shape[0]):
+        row = rows[k].reshape(-1)
+        ftype = filters[base + k] if filters is not None else 0
+        out.append(ftype)
+        out += _filter_row(ftype, row, prev, ch).tobytes()
+        prev = row
+    return bytes(out)
+
+
 def encode_png_pixels(pixels: np.ndarray,
                       row_filters: Optional[List[int]] = None,
                       palette: Optional[List[Tuple[int, int, int]]]
-                      = None) -> bytes:
+                      = None, interlace: bool = False) -> bytes:
     """Pixels → spec-valid PNG bytes. ``pixels`` is (H, W) for
     grayscale (color type 0), (H, W, 3) for RGB (color type 2), or —
     with ``palette`` given — (H, W) palette INDICES (color type 3).
-    ``row_filters[y]`` picks the filter type written for row ``y``
-    (default: all 0); deterministic bytes for deterministic input
-    (zlib level fixed)."""
+    ``row_filters[y]`` picks the filter type written for output
+    scanline ``y`` in stream order (default: all 0); with
+    ``interlace=True`` the stream is the 7-pass Adam7 layout and each
+    pass filters its scanlines independently. Deterministic bytes for
+    deterministic input (zlib level fixed)."""
     pixels = np.asarray(pixels, dtype=np.uint8)
     if palette is not None:
         color_type, ch = 3, 1
@@ -130,18 +166,21 @@ def encode_png_pixels(pixels: np.ndarray,
     else:
         raise ValueError("png: expected (H, W) or (H, W, 3) pixels")
     h, w = raw.shape[:2]
-    bpp = ch
 
     lines = bytearray()
-    prev = np.zeros(w * ch, dtype=np.uint8)
-    for y in range(h):
-        row = raw[y].reshape(-1)
-        ftype = row_filters[y] if row_filters is not None else 0
-        lines.append(ftype)
-        lines += _filter_row(ftype, row, prev, bpp).tobytes()
-        prev = row
+    if interlace:
+        base = 0
+        for rs, cs, rstep, cstep, pw, ph in _adam7_passes(w, h):
+            if pw == 0 or ph == 0:
+                continue
+            sub = raw[rs::rstep, cs::cstep]
+            lines += _serialize_rows(sub, ch, row_filters, base)
+            base += ph
+    else:
+        lines += _serialize_rows(raw, ch, row_filters, 0)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
     out = bytearray(_SIG)
     out += _chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -151,12 +190,26 @@ def encode_png_pixels(pixels: np.ndarray,
     return bytes(out)
 
 
+def _deserialize_rows(buf: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Unfilter ``h`` scanlines of a (sub-)image from the raw
+    inflated stream → (h, w*ch) samples."""
+    stride = w * ch
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        prev = _unfilter_row(int(arr[y, 0]), arr[y, 1:], prev, ch)
+        out[y] = prev
+    return out
+
+
 def decode_png_pixels(b: bytes) -> Tuple[str, np.ndarray]:
     """PNG bytes → (kind, pixel array): ("gray", (H, W)) for color
     type 0, ("rgb", (H, W, 3)) for types 2 and 3 (palette looked up).
     CRC-verified chunk walk, multi-IDAT concatenation, full
-    unfiltering. Raises on interlace/16-bit/alpha — the honestly
-    unimplemented corners."""
+    unfiltering, both interlace methods (none / Adam7). Raises on
+    16-bit depth and alpha color types — the honestly unimplemented
+    corners."""
     if b[:8] != _SIG:
         raise ValueError("png: bad signature")
     i = 8
@@ -177,8 +230,8 @@ def decode_png_pixels(b: bytes) -> Tuple[str, np.ndarray]:
                 struct.unpack(">IIBBBBB", data)
             if depth != 8:
                 raise NotImplementedError("png: only bit depth 8")
-            if inter != 0:
-                raise NotImplementedError("png: Adam7 interlace")
+            if inter not in (0, 1):
+                raise ValueError("png: unknown interlace method")
             if comp != 0 or filt != 0:
                 raise ValueError("png: unknown compression/filter method")
             if color_type not in (0, 2, 3):
@@ -201,15 +254,25 @@ def decode_png_pixels(b: bytes) -> Tuple[str, np.ndarray]:
         raise ValueError("png: missing IEND")
     ch = 3 if color_type == 2 else 1
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise ValueError("png: decompressed size mismatch")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        prev = _unfilter_row(int(arr[y, 0]), arr[y, 1:], prev, ch)
-        out[y] = prev
+    if inter == 0:
+        if len(raw) != height * (width * ch + 1):
+            raise ValueError("png: decompressed size mismatch")
+        out = _deserialize_rows(raw, height, width, ch)
+    else:
+        grid = np.zeros((height, width, ch), dtype=np.uint8)
+        pos = 0
+        for rs, cs, rstep, cstep, pw, ph in _adam7_passes(width, height):
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (pw * ch + 1)
+            if pos + need > len(raw):
+                raise ValueError("png: decompressed size mismatch")
+            sub = _deserialize_rows(raw[pos:pos + need], ph, pw, ch)
+            pos += need
+            grid[rs::rstep, cs::cstep] = sub.reshape(ph, pw, ch)
+        if pos != len(raw):
+            raise ValueError("png: decompressed size mismatch")
+        out = grid.reshape(height, width * ch)
     if color_type == 0:
         return "gray", out
     if color_type == 2:

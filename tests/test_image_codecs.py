@@ -109,13 +109,13 @@ def test_png_rejects_malformed():
     bad[i] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png_pixels(bytes(bad))
-    # interlace flag set (re-CRC'd) → honestly unimplemented
+    # unknown interlace method (re-CRC'd)
     ih = bytes(good).find(b"IHDR")
     ihdr = bytearray(good[ih + 4:ih + 17])
-    ihdr[12] = 1
+    ihdr[12] = 2
     inter = (_SIG + _chunk(b"IHDR", bytes(ihdr))
              + bytes(good)[ih + 21:])
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    with pytest.raises(ValueError, match="interlace"):
         decode_png_pixels(inter)
     # alpha color type
     ihdr6 = struct.pack(">IIBBBBB", 3, 3, 8, 6, 0, 0, 0)
@@ -363,3 +363,41 @@ def test_synth_bmp_decode_stage(spark):
         assert (r["format"], r["width"], r["height"]) == ("bmp", w, h)
         assert r["n_px"] == px.size and r["px_sum"] == int(px.sum())
         assert r["px_max"] == int(px.max())
+
+
+def test_png_adam7_interlace_roundtrip_all_families():
+    rng = np.random.RandomState(13)
+    # sizes that exercise empty passes (1x1: only pass 1 non-empty;
+    # 2x2: passes 1,6,7; plus non-multiples of 8)
+    for h, w in [(1, 1), (2, 2), (3, 5), (8, 8), (9, 17), (16, 4)]:
+        img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        filters = [(y + 1) % 5 for y in range(h + 14)]  # per scanline
+        b = encode_png_pixels(img, row_filters=filters, interlace=True)
+        kind, out = decode_png_pixels(b)
+        assert kind == "gray" and np.array_equal(out, img), (h, w)
+        img3 = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        b = encode_png_pixels(img3, row_filters=filters, interlace=True)
+        assert np.array_equal(decode_png_pixels(b)[1], img3), (h, w)
+        idx = rng.randint(0, 8, size=(h, w)).astype(np.uint8)
+        b = encode_png_pixels(idx, palette=PAL8, interlace=True)
+        assert np.array_equal(
+            decode_png_pixels(b)[1], np.array(PAL8, dtype=np.uint8)[idx]
+        ), (h, w)
+
+
+def test_png_adam7_pass_geometry():
+    from logparser_spark.operators.pngcodec import _adam7_passes
+
+    # 8x8: pass sizes 1,1,2,4,8,16,32 scanpixels (the spec's census)
+    sizes = [(pw, ph) for *_, pw, ph in _adam7_passes(8, 8)]
+    assert sizes == [(1, 1), (1, 1), (2, 1), (2, 2),
+                     (4, 2), (4, 4), (8, 4)]
+    assert sum(pw * ph for pw, ph in sizes) == 64
+    # 1x1: only pass 1 contributes
+    sizes = [(pw, ph) for *_, pw, ph in _adam7_passes(1, 1)]
+    assert sizes[0] == (1, 1)
+    assert all(pw == 0 or ph == 0 for pw, ph in sizes[1:])
+    # any size: passes tile the image exactly
+    for w, h in [(5, 3), (13, 9), (16, 16), (7, 1)]:
+        assert sum(pw * ph for *_, pw, ph in _adam7_passes(w, h)) \
+            == w * h
