@@ -148,15 +148,18 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg_gray(b: bytes) -> np.ndarray:
-    """Baseline grayscale JPEG → uint8 pixel array (H, W). Raises on
-    anything outside baseline single-component scope."""
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline JPEG → uint8 sample array: (H, W) for a
+    single-component (grayscale) scan, (H, W, 3) DECODED COMPONENT
+    samples (YCbCr as stored — color-space conversion is a separate
+    stage) for a 3-component 4:4:4 interleaved scan. Raises on
+    anything outside baseline non-subsampled scope."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("jpeg: bad SOI")
     qtables: Dict[int, np.ndarray] = {}
     htables: Dict[Tuple[int, int], Dict] = {}
     width = height = None
-    comp_q = None
+    sof_comps: List[Tuple[int, int]] = []  # (comp_id, tq) in SOF order
     restart_interval = 0
     i = 2
     while i + 4 <= len(b):
@@ -193,14 +196,20 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
             ncomp = seg[5]
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit baseline supported")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "jpeg: color (multi-component) scans not implemented"
-                    " — grayscale baseline only"
+                    f"jpeg: {ncomp}-component scan (CMYK?) unsupported"
                 )
-            if seg[7] != 0x11:
-                raise NotImplementedError("jpeg: subsampling unsupported")
-            comp_q = seg[8]
+            sof_comps = []
+            for k in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * k:9 + 3 * k]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "jpeg: chroma subsampling (needs per-component"
+                        " MCU tiling + upsampling) unsupported —"
+                        " 4:4:4 only"
+                    )
+                sof_comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -209,31 +218,76 @@ def decode_jpeg_gray(b: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
-            if width is None or comp_q is None:
+            if width is None or not sof_comps:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
-            if ns != 1:
-                raise NotImplementedError("jpeg: interleaved color scan")
-            td, ta = seg[2] >> 4, seg[2] & 0xF
-            dc_t = htables[(0, td)]
-            ac_t = htables[(1, ta)]
-            q = qtables[comp_q]
+            if ns != len(sof_comps):
+                raise NotImplementedError(
+                    "jpeg: non-interleaved multi-scan file"
+                )
+            by_id = dict(sof_comps)
+            comps = []
+            for k in range(ns):
+                cs = seg[1 + 2 * k]
+                td, ta = seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 0xF
+                comps.append((
+                    htables[(0, td)], htables[(1, ta)],
+                    qtables[by_id[cs]],
+                ))
             scan_start = i + 2 + seglen
             return _decode_scan(
-                b, scan_start, width, height, dc_t, ac_t, q,
-                restart_interval,
+                b, scan_start, width, height, comps, restart_interval,
             )
         i += 2 + seglen
     raise ValueError("jpeg: no SOS marker")
 
 
-def _decode_scan(b, pos, width, height, dc_t, ac_t, q,
+def decode_jpeg_gray(b: bytes) -> np.ndarray:
+    """Single-component entry point kept for callers that require
+    grayscale; rejects color streams."""
+    out = decode_jpeg(b)
+    if out.ndim != 2:
+        raise ValueError("jpeg: expected a grayscale scan")
+    return out
+
+
+def _decode_block(r, dc_t, ac_t, q, pred: int):
+    """One 8×8 block off the bitstream → (spatial block, new DC
+    predictor)."""
+    zz = np.zeros(64, dtype=np.int32)
+    size = _decode_symbol(r, dc_t)
+    pred += _extend(r.read_bits(size), size)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = _decode_symbol(r, ac_t)
+        if sym == 0x00:   # EOB
+            break
+        if sym == 0xF0:   # ZRL: 16 zeros
+            k += 16
+            continue
+        run, sz = sym >> 4, sym & 0xF
+        k += run
+        if k > 63 or sz == 0:
+            raise ValueError("jpeg: AC run overflow")
+        zz[k] = _extend(r.read_bits(sz), sz)
+        k += 1
+    coeffs = np.zeros((8, 8), dtype=np.int32)
+    coeffs[_ZIG[:, 0], _ZIG[:, 1]] = zz
+    return idct_2d((coeffs * q).astype(np.float64)) + 128.0, pred
+
+
+def _decode_scan(b, pos, width, height, comps,
                  restart_interval) -> np.ndarray:
+    """Interleaved baseline scan: per MCU one 8×8 block per component
+    (4:4:4), each component carrying its own Huffman tables, quant
+    table and DC predictor; RSTn resets every predictor."""
+    nc = len(comps)
     mcux = (width + 7) // 8
     mcuy = (height + 7) // 8
-    img = np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)
+    img = np.zeros((mcuy * 8, mcux * 8, nc), dtype=np.float64)
     r = _BitReader(b, pos)
-    pred = 0
+    preds = [0] * nc
     n_mcu = 0
     for by in range(mcuy):
         for bx in range(mcux):
@@ -243,33 +297,18 @@ def _decode_scan(b, pos, width, height, dc_t, ac_t, q,
                 if not (b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7):
                     raise ValueError("jpeg: expected restart marker")
                 r = _BitReader(b, p + 2)
-                pred = 0
-            zz = np.zeros(64, dtype=np.int32)
-            size = _decode_symbol(r, dc_t)
-            pred += _extend(r.read_bits(size), size)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = _decode_symbol(r, ac_t)
-                if sym == 0x00:   # EOB
-                    break
-                if sym == 0xF0:   # ZRL: 16 zeros
-                    k += 16
-                    continue
-                run, sz = sym >> 4, sym & 0xF
-                k += run
-                if k > 63 or sz == 0:
-                    raise ValueError("jpeg: AC run overflow")
-                zz[k] = _extend(r.read_bits(sz), sz)
-                k += 1
-            coeffs = np.zeros((8, 8), dtype=np.int32)
-            coeffs[_ZIG[:, 0], _ZIG[:, 1]] = zz
-            block = idct_2d((coeffs * q).astype(np.float64)) + 128.0
-            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
+                preds = [0] * nc
+            for ci, (dc_t, ac_t, q) in enumerate(comps):
+                block, preds[ci] = _decode_block(
+                    r, dc_t, ac_t, q, preds[ci]
+                )
+                img[by * 8:(by + 1) * 8,
+                    bx * 8:(bx + 1) * 8, ci] = block
             n_mcu += 1
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)[
+    out = np.clip(np.round(img), 0, 255).astype(np.uint8)[
         :height, :width
     ]
+    return out[:, :, 0] if nc == 1 else out
 
 
 # ── encoder ─────────────────────────────────────────────────────────
@@ -318,58 +357,61 @@ def _magnitude(v: int, size: int) -> int:
     return v if v >= 0 else (v - 1) & ((1 << size) - 1)
 
 
-def encode_jpeg_gray(pixels: np.ndarray,
-                     restart_interval: int = 0) -> bytes:
-    """Grayscale baseline JPEG encoder (quant table all-ones → the
-    flat-block spectrum survives exactly): FDCT per 8×8 block (edge
-    blocks edge-padded), canonical same-length Huffman tables written
-    to DHT, optional restart markers. Deterministic bytes for
-    deterministic input."""
-    pixels = np.asarray(pixels, dtype=np.float64)
-    h, w = pixels.shape
+def encode_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
+    """Baseline JPEG encoder, grayscale (H, W) or 3-component 4:4:4
+    interleaved (H, W, 3) component samples (quant table all-ones →
+    the flat-block spectrum survives exactly): FDCT per 8×8 block
+    (edge blocks edge-padded), one canonical same-length DC/AC Huffman
+    table pair shared by every component (spec-legal) written to DHT,
+    per-component DC predictors, optional restart markers.
+    Deterministic bytes for deterministic input."""
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3):
+        raise ValueError("jpeg: expected (H, W) or (H, W, 3) samples")
+    h, w, nc = px.shape
     mcux, mcuy = (w + 7) // 8, (h + 7) // 8
-    padded = np.pad(pixels, ((0, mcuy * 8 - h), (0, mcux * 8 - w)),
+    padded = np.pad(px, ((0, mcuy * 8 - h), (0, mcux * 8 - w), (0, 0)),
                     mode="edge")
 
-    # FDCT (inverse of _BASIS orthonormal pair) + quantize (q = 1)
-    blocks = []
-    for by in range(mcuy):
-        for bx in range(mcux):
-            blk = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
-            s = _BASIS @ blk @ _BASIS.T
-            blocks.append(np.round(s).astype(np.int32))
-
-    # entropy symbols needed
+    # entropy symbols needed, walking MCUs in scan order (FDCT with
+    # the inverse of the _BASIS orthonormal pair, quantizer = 1)
     dc_syms = set()
     ac_syms = {0x00}
-    pred = 0
-    per_block = []
+    preds = [0] * nc
+    per_unit = []  # one (diff, acs, eob) per data unit in scan order
     n_mcu = 0
-    for blk in blocks:
-        if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-            pred = 0
-        zz = blk[_ZIG[:, 0], _ZIG[:, 1]]
-        diff = int(zz[0]) - pred
-        pred = int(zz[0])
-        dc_syms.add(_size_cat(diff))
-        acs = []
-        run = 0
-        for k in range(1, 64):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                acs.append((0xF0, 0, 0))
-                ac_syms.add(0xF0)
-                run -= 16
-            sz = _size_cat(v)
-            acs.append(((run << 4) | sz, v, sz))
-            ac_syms.add((run << 4) | sz)
-            run = 0
-        eob = run > 0
-        per_block.append((diff, acs, eob))
-        n_mcu += 1
+    for by in range(mcuy):
+        for bx in range(mcux):
+            if restart_interval and n_mcu and \
+                    n_mcu % restart_interval == 0:
+                preds = [0] * nc
+            for ci in range(nc):
+                blk = padded[by * 8:(by + 1) * 8,
+                             bx * 8:(bx + 1) * 8, ci] - 128.0
+                s = np.round(_BASIS @ blk @ _BASIS.T).astype(np.int32)
+                zz = s[_ZIG[:, 0], _ZIG[:, 1]]
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                dc_syms.add(_size_cat(diff))
+                acs = []
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        acs.append((0xF0, 0, 0))
+                        ac_syms.add(0xF0)
+                        run -= 16
+                    sz = _size_cat(v)
+                    acs.append(((run << 4) | sz, v, sz))
+                    ac_syms.add((run << 4) | sz)
+                    run = 0
+                per_unit.append((diff, acs, run > 0))
+            n_mcu += 1
 
     dc_bits, dc_vals, dc_enc = _canonical_table(sorted(dc_syms))
     ac_bits, ac_vals, ac_enc = _canonical_table(sorted(ac_syms))
@@ -380,21 +422,27 @@ def encode_jpeg_gray(pixels: np.ndarray,
 
     zz_q = np.zeros(64, dtype=np.uint8)
     zz_q[:] = 1
+    sof = struct.pack(">BHHB", 8, h, w, nc) + b"".join(
+        bytes([ci + 1, 0x11, 0]) for ci in range(nc)
+    )
+    sos = bytes([nc]) + b"".join(
+        bytes([ci + 1, 0x00]) for ci in range(nc)
+    ) + bytes([0, 63, 0])
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0x00]) + zz_q.tobytes())
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
-               + bytes([1, 0x11, 0]))
+    out += seg(0xC0, sof)
     out += seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
     out += seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += seg(0xDA, sos)
 
     wtr = _BitWriter()
-    n_mcu = 0
     rst = 0
-    for diff, acs, eob in per_block:
-        if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+    for u, (diff, acs, eob) in enumerate(per_unit):
+        n_mcu = u // nc
+        if restart_interval and n_mcu and u % (restart_interval * nc) \
+                == 0:
             wtr.flush()
             wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
             rst += 1
@@ -411,8 +459,16 @@ def encode_jpeg_gray(pixels: np.ndarray,
         if eob:
             ln, code = ac_enc[0x00]
             wtr.write(code, ln)
-        n_mcu += 1
     wtr.flush()
     out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_gray(pixels: np.ndarray,
+                     restart_interval: int = 0) -> bytes:
+    """Grayscale entry point (kept for existing callers)."""
+    pixels = np.asarray(pixels)
+    if pixels.ndim != 2:
+        raise ValueError("jpeg: encode_jpeg_gray expects (H, W)")
+    return encode_jpeg(pixels, restart_interval=restart_interval)

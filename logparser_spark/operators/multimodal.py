@@ -1090,7 +1090,7 @@ def decode_image_pixels(df, binary_col: str = "img",
     Aggregates, not a per-pixel explode: output stays proportional to
     rows, the shape a 100 TB image-stats pass needs."""
     from logparser_spark.operators.gifcodec import decode_gif
-    from logparser_spark.operators.jpegcodec import decode_jpeg_gray
+    from logparser_spark.operators.jpegcodec import decode_jpeg
     from logparser_spark.operators.pngcodec import decode_png_pixels
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1100,7 +1100,7 @@ def decode_image_pixels(df, binary_col: str = "img",
                 b = bytes(buf) if buf is not None else b""
                 px = None
                 if b[:2] == b"\xff\xd8":
-                    fmt, px = "jpeg", decode_jpeg_gray(b)
+                    fmt, px = "jpeg", decode_jpeg(b)
                 elif b[:8] == b"\x89PNG\r\n\x1a\n":
                     fmt, (_, px) = "png", decode_png_pixels(b)
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
@@ -1135,24 +1135,32 @@ def decode_image_pixels(df, binary_col: str = "img",
 def synth_jpeg(df, id_col: str = "doc_id", out_col: str = "img",
                keep_cols: Optional[list] = None):
     """Deterministic PIXEL-BEARING JPEG synthesizer: per id a baseline
-    grayscale JPEG with width = (id % 21) + 4, height = (id % 13) + 4
-    (partial edge MCUs in both axes), pixel (y, x) =
-    (id*31 + (y div 8)*17 + (x div 8)*5) % 256 — constant per 8×8
-    block, so the DCT spectrum is DC-only and the decode round-trips
-    EXACTLY (q = 1), letting an oracle predict every decoded-pixel
-    aggregate arithmetically while the engine runs the full Huffman →
-    dequant → IDCT path. Every third id carries restart markers
-    (DRI = 2 MCUs) so RSTn handling is exercised at query scale."""
+    JPEG with width = (id % 21) + 4, height = (id % 13) + 4 (partial
+    edge MCUs in both axes), GRAYSCALE for even ids and 3-component
+    4:4:4 INTERLEAVED for odd ids; sample (y, x, c) =
+    (id*31 + (y div 8)*17 + (x div 8)*5 + c*43) % 256 — constant per
+    8×8 block, so every component's DCT spectrum is DC-only and the
+    decode round-trips EXACTLY (q = 1), letting an oracle predict
+    every decoded-sample aggregate arithmetically while the engine
+    runs the full Huffman → dequant → IDCT path (with per-component
+    DC predictors on the color side). Every third id carries restart
+    markers (DRI = 2 MCUs) so RSTn handling is exercised at query
+    scale."""
     import numpy as np
 
-    from logparser_spark.operators.jpegcodec import encode_jpeg_gray
+    from logparser_spark.operators.jpegcodec import encode_jpeg
 
     def synth(i: int) -> bytes:
         w = (i % 21) + 4
         h = (i % 13) + 4
         y, x = np.mgrid[0:h, 0:w]
-        img = ((i * 31 + (y // 8) * 17 + (x // 8) * 5) % 256)
-        return encode_jpeg_gray(
+        base = i * 31 + (y // 8) * 17 + (x // 8) * 5
+        if i % 2 == 0:
+            img = base % 256
+        else:
+            c = np.arange(3)[None, None, :]
+            img = (base[:, :, None] + c * 43) % 256
+        return encode_jpeg(
             img.astype(np.uint8),
             restart_interval=2 if i % 3 == 0 else 0,
         )

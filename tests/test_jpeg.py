@@ -264,13 +264,73 @@ def test_decoder_rejects_malformed_streams():
         decode_jpeg_gray(good[:sos_at] + b"\xff\xd9")
 
 
-def test_decoder_rejects_color_scan():
+def test_decoder_rejects_subsampled_and_cmyk_scans():
     img = _constant_block_image(5)
     good = bytearray(encode_jpeg_gray(img))
     i = good.find(b"\xff\xc0")
-    good[i + 9] = 3  # ncomp byte inside SOF0
-    with pytest.raises(NotImplementedError, match="color"):
-        decode_jpeg_gray(bytes(good))
+    bad = bytearray(good)
+    bad[i + 11] = 0x22  # sampling-factor byte: 2x2 = 4:2:0
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg_gray(bytes(bad))
+    bad = bytearray(good)
+    bad[i + 9] = 4  # ncomp byte inside SOF0 (CMYK-style)
+    with pytest.raises(NotImplementedError, match="component"):
+        decode_jpeg_gray(bytes(bad))
+
+
+def _constant_block_image_color(did: int) -> np.ndarray:
+    w = (did % 21) + 4
+    h = (did % 13) + 4
+    y, x = np.mgrid[0:h, 0:w]
+    c = np.arange(3)[None, None, :]
+    return ((did * 31 + (y // 8)[:, :, None] * 17
+             + (x // 8)[:, :, None] * 5 + c * 43) % 256).astype(np.uint8)
+
+
+def test_color_roundtrip_exact_on_blockwise_constant():
+    from logparser_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for did in [1, 3, 5, 17, 101, 255]:
+        img = _constant_block_image_color(did)
+        ri = 2 if did % 3 == 0 else 0
+        out = decode_jpeg(encode_jpeg(img, restart_interval=ri))
+        assert out.shape == img.shape
+        assert np.array_equal(out, img), did
+
+
+def test_color_general_content_and_restart_invariance():
+    from logparser_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, size=(19, 13, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    # per-component DC predictors must survive restart resets
+    out_rst = decode_jpeg(encode_jpeg(img, restart_interval=3))
+    assert np.array_equal(out, out_rst)
+
+
+def test_color_components_carry_independent_dc_predictors():
+    from logparser_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # channels drift apart block to block: any predictor crosstalk
+    # between components would corrupt later blocks
+    y, x = np.mgrid[0:8, 0:32]
+    img = np.stack([
+        ((x // 8) * 40) % 256,
+        (255 - (x // 8) * 60) % 256,
+        ((x // 8) * (x // 8) * 25 + 7) % 256,
+    ], axis=2).astype(np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img)), img)
 
 
 def test_synth_jpeg_decode_pixels_stage(spark):
@@ -289,10 +349,11 @@ def test_synth_jpeg_decode_pixels_stage(spark):
     }
     assert len(got) == 64
     for did in range(64):
-        img = _constant_block_image(did)
+        img = (_constant_block_image(did) if did % 2 == 0
+               else _constant_block_image_color(did))
         r = got[did]
         assert r["format"] == "jpeg"
-        assert (r["width"], r["height"]) == img.shape[::-1]
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
         assert r["n_px"] == img.size
         assert r["px_sum"] == int(img.astype(np.int64).sum())
         assert r["px_max"] == int(img.max())
