@@ -1172,6 +1172,39 @@ def q_strip_duplicate_spans(spark, sf_dir):
     return corpus.strip_duplicate_spans(docs, k=5)
 
 
+# Fixed tokenizer merge rules for the apply-side query: compound
+# chains (t+h → th+e; r+o → ro+w) exercise training-order dependence.
+BPE_MERGES = [("t", "h"), ("th", "e"), ("s", "t"), ("a", "r"),
+              ("e", "r"), ("r", "o"), ("ro", "w"), ("i", "n")]
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """REAL BPE tokenization (apply half): the full spaced-symbol
+    merge chain — 8 ordered literal replaces with word boundaries
+    blocking cross-word merges — over every document, emitting the
+    COMPLETE token stream plus counts. Map-only, zero UDF/shuffle; the
+    oracle states the identical replace chain, so every token
+    boundary is hash-checked cross-engine."""
+    from logparser_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe.bpe_apply_tokens(docs, BPE_MERGES)
+
+
+def q_bpe_train(spark, sf_dir):
+    """REAL BPE training (learn half, Sennrich et al. 2016): 4 merge
+    rounds over the distinct-word frequency table — adjacent-pair
+    explode weighted by word frequency, corpus argmax with the
+    lexicographic tie-break, winner folded back via one replace. The
+    oracle UNROLLS the same 4 rounds in SQL (each round's argmax CTE
+    feeding the next round's replace through scalar subqueries), so
+    the learned rules AND their pair counts must match exactly."""
+    from logparser_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe.bpe_train_frame(docs, n_merges=4)
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Corpus-wide paragraph dedup over constructed 4-paragraph pages:
     a global footer (every doc), a unique alpha paragraph (embeds
@@ -2104,6 +2137,62 @@ def _dataprep_sql() -> dict[str, str]:
     LEFT JOIN c ON c.doc_id = t.doc_id
     LEFT JOIN m ON m.doc_id = t.doc_id"""
 
+    _bpe_marked = r"""regexp_replace(
+      regexp_replace(
+        regexp_replace(regexp_replace(text, '[#|]', '', 'g'),
+                       '\s+', '|', 'g'),
+        '^\|+|\|+$', '', 'g'),
+      '(.)', '#\1 ', 'g')"""
+    _bpe_chain = _bpe_marked
+    for _a, _b in BPE_MERGES:
+        _bpe_chain = (f"replace({_bpe_chain}, '#{_a} #{_b} ', "
+                      f"'#{_a}{_b} ')")
+    sqls["bpe_tokens"] = f"""
+    SELECT doc_id,
+      trim(replace({_bpe_chain}, '#', '')) AS bpe_text,
+      len(list_filter(string_split({_bpe_chain}, ' '),
+          t -> len(t) > 1 AND t != '#|'))::BIGINT AS n_tokens,
+      len(list_filter(string_split_regex(text, '\\s+'),
+          t -> len(t) > 0))::BIGINT AS n_words
+    FROM documents"""
+
+    # unrolled 4-round BPE training: round k's argmax CTE (r{k}) feeds
+    # round k+1's word table (w{k}) through scalar subqueries
+    _rounds = 4
+    _bpe_sql = [r"""
+    WITH w0 AS (
+      SELECT regexp_replace(word, '(.)', '#\1 ', 'g') AS s,
+             count(*)::BIGINT AS freq
+      FROM (SELECT unnest(list_filter(
+              string_split_regex(
+                regexp_replace(text, '[#|]', '', 'g'), '\s+'),
+              t -> len(t) > 0)) AS word
+            FROM documents)
+      GROUP BY 1)"""]
+    for _k in range(1, _rounds + 1):
+        _bpe_sql.append(f""",
+    r{_k} AS (
+      SELECT t[i.i] AS a, t[i.i + 1] AS b, sum(freq)::BIGINT AS cnt
+      FROM (SELECT list_filter(string_split(s, ' '),
+                               x -> len(x) > 0) AS t, freq
+            FROM w{_k - 1}),
+        unnest(range(1, len(t))) i(i)
+      GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1)""")
+        if _k < _rounds:
+            _bpe_sql.append(f""",
+    w{_k} AS (
+      SELECT replace(s,
+                     (SELECT a || ' ' || b || ' ' FROM r{_k}),
+                     (SELECT '#' || substr(a, 2) || substr(b, 2) || ' '
+                      FROM r{_k})) AS s, freq
+      FROM w{_k - 1})""")
+    _bpe_sql.append("\n    " + "\n    UNION ALL ".join(
+        f"SELECT {_k}::INT AS step, substr(a, 2) AS \"left\", "
+        f"substr(b, 2) AS \"right\", cnt AS pair_count FROM r{_k}"
+        for _k in range(1, _rounds + 1)
+    ))
+    sqls["bpe_train"] = "".join(_bpe_sql)
+
     sqls["paragraph_dedup"] = """
     SELECT doc_id,
       'doc ' || doc_id || ' alpha ' || text || chr(10) || chr(10)
@@ -2586,6 +2675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "duplicate_spans": q_duplicate_spans,
         "strip_duplicate_spans": q_strip_duplicate_spans,
+        "bpe_tokens": q_bpe_tokens,
+        "bpe_train": q_bpe_train,
         # checkpoint/lineage + skew
         "lineage_buckets": q_lineage_buckets,
         "host_line_tally_salted": q_host_line_tally_salted,
