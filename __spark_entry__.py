@@ -616,6 +616,19 @@ def q_robots_allowed(spark, sf_dir):
     )
 
 
+def q_bigram_score(spark, sf_dir):
+    """Conditional-bigram LM quality scoring (the rung above
+    unigram_score): add-1-smoothed p(w2|w1) in integer ppm — model,
+    history mass and vocabulary all built from the corpus itself, the
+    whole score kept in exact 64-bit integer division so the oracle
+    reproduces it bit for bit (a float log-perplexity would drift in
+    the last ulp across engines)."""
+    from logparser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.bigram_doc_score(docs)
+
+
 def q_unigram_score(spark, sf_dir):
     """Corpus-unigram LM quality scoring (CCNet-style): build the
     unigram table from the corpus itself, then score each document by
@@ -1677,6 +1690,32 @@ def _dataprep_sql() -> dict[str, str]:
        ELSE 0 END)::BIGINT AS score_ppm
     FROM documents doc LEFT JOIN d USING (doc_id), tot"""
 
+    sqls["bigram_score"] = """
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+      FROM documents),
+    bg AS (
+      SELECT doc_id, w[i.i] AS w1, w[i.i + 1] AS w2
+      FROM t, unnest(range(1, len(w))) i(i)),
+    m AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+    h AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM m GROUP BY 1),
+    v AS (SELECT count(DISTINCT word)::BIGINT AS vs
+          FROM (SELECT unnest(w) AS word FROM t)),
+    d AS (
+      SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+        sum((1000000 * (coalesce(m.c12, 0) + 1))
+            // (coalesce(h.c1, 0) + v.vs))::BIGINT AS sum_p
+      FROM bg
+      LEFT JOIN m ON m.w1 = bg.w1 AND m.w2 = bg.w2
+      LEFT JOIN h ON h.w1 = bg.w1, v
+      GROUP BY 1)
+    SELECT doc.doc_id,
+      coalesce(d.n_bigrams, 0)::BIGINT AS n_bigrams,
+      (CASE WHEN coalesce(d.n_bigrams, 0) > 0
+        THEN d.sum_p // d.n_bigrams ELSE 0 END)::BIGINT AS score_ppm
+    FROM documents doc LEFT JOIN d USING (doc_id)"""
+
     sqls["tfidf_top"] = """
     WITH w AS (
       SELECT doc_id, unnest(list_filter(string_split(text, ' '),
@@ -2656,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_lookup": q_cdx_lookup,
         "robots_allowed": q_robots_allowed,
         "unigram_score": q_unigram_score,
+        "bigram_score": q_bigram_score,
         "tfidf_top": q_tfidf_top,
         "normalize_text": q_normalize_text,
         "outlink_degrees": q_outlink_degrees,

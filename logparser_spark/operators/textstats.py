@@ -550,3 +550,94 @@ def filter_verdict(df, text_col: str = "text", id_col: str = "doc_id",
         (lang_ok & len_ok & q_ok & rep_ok).alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def bigram_doc_score(df, text_col: str = "text", id_col: str = "doc_id",
+                     model_df=None, hist_df=None, vocab_size=None):
+    """CCNet-style LM quality scoring, one rung above
+    :func:`unigram_doc_score`: an add-1-smoothed CONDITIONAL bigram
+    model, kept integer-exact so any SQL engine reproduces it bit for
+    bit. Per within-document adjacent word pair (w1, w2):
+
+        p_ppm = (10^6 * (c12 + 1)) div (c1 + V)
+
+    where ``c12`` = corpus count of the bigram, ``c1`` = corpus count
+    of bigrams starting with ``w1`` (the history mass), ``V`` =
+    distinct unigram vocabulary size; the document score is
+    ``sum(p_ppm) div n_bigrams`` (integer division throughout — the
+    ``div``s are exact 64-bit ops, never IEEE doubles, which is what
+    makes the score engine-portable where a float log-perplexity would
+    drift in the last ulp).
+
+    Two-pass shape mirroring the unigram scorer: (1) one bigram-keyed
+    aggregate builds the model (at web scale ~10^8-row, still far
+    below the corpus; pass ``model_df``/``hist_df``/``vocab_size`` to
+    reuse a persisted model), plus one O(1) scalar job for ``V``;
+    (2) explode each doc's bigrams, broadcast-join model + history,
+    re-aggregate per doc with map-side partials. OOV bigrams keep
+    contributing (c12 = 0, and an unseen history costs 10^6 div V) —
+    unseen text scores LOW, as a filter needs.
+
+    Output: ``(doc_id, n_bigrams, score_ppm)``; docs with fewer than
+    two tokens score 0 with ``n_bigrams = 0``.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda t: F.length(t) > 0)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.get(toks, i).alias("w1"),
+                F.get(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = df.select(
+        F.col(id_col), F.explode(pairs).alias("b")
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+    if model_df is None:
+        model_df = bg.groupBy("w1", "w2").agg(
+            F.count("*").cast("long").alias("c12")
+        ).persist()
+    if hist_df is None:
+        hist_df = model_df.groupBy("w1").agg(
+            F.sum("c12").cast("long").alias("c1")
+        )
+    if vocab_size is None:
+        vocab_size = (
+            df.select(F.explode(toks).alias("w")).distinct().count()
+        )
+    if vocab_size == 0:
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(0).cast("long").alias("score_ppm"),
+        )
+
+    p_ppm = F.expr(
+        f"(1000000 * (coalesce(c12, 0) + 1)) div "
+        f"(coalesce(c1, 0) + {int(vocab_size)})"
+    )
+    per_doc = (
+        bg.join(F.broadcast(model_df), ["w1", "w2"], "left")
+        .join(F.broadcast(hist_df), ["w1"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(p_ppm).cast("long").alias("sum_p"),
+        )
+    )
+    base = df.select(F.col(id_col)).join(per_doc, id_col, "left")
+    return base.select(
+        F.col(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long")
+        .alias("n_bigrams"),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.expr("sum_p div n_bigrams"),
+        ).otherwise(F.lit(0)).cast("long").alias("score_ppm"),
+    )

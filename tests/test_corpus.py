@@ -402,3 +402,54 @@ class TestDuplicateSpans:
             (1, "a b  c d e tail1"),
         ]
         assert self._spans(spark, rows) == [(1, 0, 4, 5)]
+
+
+class TestBigramScore:
+    """Integer-exact bigram LM scoring vs a naive reference."""
+
+    def _score(self, spark, texts):
+        from logparser_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        out = textstats.bigram_doc_score(docs).collect()
+        return {r["doc_id"]: (r["n_bigrams"], r["score_ppm"])
+                for r in out}
+
+    @staticmethod
+    def _naive(texts):
+        import collections
+
+        toks = [[w for w in t.split(" ") if w] for t in texts]
+        bgs = [list(zip(ws, ws[1:])) for ws in toks]
+        c12 = collections.Counter(b for bs in bgs for b in bs)
+        c1 = collections.Counter(b[0] for bs in bgs for b in bs)
+        V = len({w for ws in toks for w in ws})
+        out = {}
+        for i, bs in enumerate(bgs):
+            if not bs:
+                out[i] = (0, 0)
+                continue
+            sp = sum(
+                (1_000_000 * (c12[b] + 1)) // (c1[b[0]] + V)
+                for b in bs
+            )
+            out[i] = (len(bs), sp // len(bs))
+        return out
+
+    def test_matches_naive_reference(self, spark):
+        texts = [
+            "the cat sat on the mat",
+            "the cat ate",
+            "mat the cat",
+            "solo",          # 1 token -> 0 bigrams
+            "",              # empty
+            "the the the the",
+        ]
+        assert self._score(spark, texts) == self._naive(texts)
+
+    def test_repetitive_doc_scores_higher_than_rare(self, spark):
+        texts = ["a b a b a b a b", "q z x w v u t s"]
+        got = self._score(spark, texts)
+        assert got[0][1] > got[1][1]
