@@ -629,6 +629,22 @@ def q_bigram_score(spark, sf_dir):
     return textstats.bigram_doc_score(docs)
 
 
+def q_fix_mojibake(spark, sf_dir):
+    """Double-encoding repair: synthesize per-document mojibake
+    ('café' shipped as 'cafÃ©'; every third doc ships clean accented
+    text that must pass through UNTOUCHED), then repair with the pure
+    Catalyst encode/decode pair gated by the signature + Latin-1
+    round-trip + valid-UTF-8 conditions. The oracle states the
+    repaired text by construction — a false positive on the clean
+    docs or a missed/garbled repair both mismatch."""
+    from logparser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.fix_mojibake(
+        textstats.synth_mojibake(docs), text_col="text2"
+    )
+
+
 def q_unigram_score(spark, sf_dir):
     """Corpus-unigram LM quality scoring (CCNet-style): build the
     unigram table from the corpus itself, then score each document by
@@ -1690,6 +1706,16 @@ def _dataprep_sql() -> dict[str, str]:
        ELSE 0 END)::BIGINT AS score_ppm
     FROM documents doc LEFT JOIN d USING (doc_id), tot"""
 
+    sqls["fix_mojibake"] = """
+    SELECT doc_id,
+      (CASE doc_id % 4
+        WHEN 0 THEN 'café crème'
+        WHEN 1 THEN 'naïve façade'
+        WHEN 2 THEN 'señor año'
+        ELSE 'über größe' END) || ' doc ' || doc_id AS fixed,
+      (doc_id % 3 != 0) AS was_fixed
+    FROM documents"""
+
     sqls["bigram_score"] = """
     WITH t AS (
       SELECT doc_id,
@@ -2696,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_allowed": q_robots_allowed,
         "unigram_score": q_unigram_score,
         "bigram_score": q_bigram_score,
+        "fix_mojibake": q_fix_mojibake,
         "tfidf_top": q_tfidf_top,
         "normalize_text": q_normalize_text,
         "outlink_degrees": q_outlink_degrees,

@@ -641,3 +641,99 @@ def bigram_doc_score(df, text_col: str = "text", id_col: str = "doc_id",
             F.expr("sum_p div n_bigrams"),
         ).otherwise(F.lit(0)).cast("long").alias("score_ppm"),
     )
+
+
+def fix_mojibake(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Repair the classic double-encoding mojibake (UTF-8 bytes read
+    back as Latin-1: 'café' shipped as 'cafÃ©') — a standard crawl
+    cleanup — as a PURE Catalyst expression: re-encode the text to
+    ISO-8859-1 (recovering the original UTF-8 bytes) and decode as
+    UTF-8. The repair applies only when ALL of:
+
+    1. the text carries a mojibake signature: some char in the UTF-8
+       LEAD-byte range (U+00C2–U+00F4 — the Latin-1 views of lead
+       bytes, 'Ã'/'Â'/'â'/'ð'...) immediately followed by one in the
+       continuation range (U+0080–U+00BF);
+    2. the text survives a Latin-1 round-trip unchanged (characters
+       above U+00FF can't have come from a Latin-1 misread); and
+    3. the re-decode produces no U+FFFD (the recovered bytes really
+       are valid UTF-8).
+
+    Anything else passes through untouched — genuine accented Latin-1
+    text fails (1) and (3), already-clean Unicode fails (2).
+
+    All three gates are PURE REGEX over the text (condition 3 is the
+    UTF-8 DFA written as character classes over the byte-valued
+    chars), so the ANSI-strict ``decode`` — which throws on malformed
+    input rather than substituting U+FFFD — only ever executes inside
+    the CASE branch where validity is already proven.
+
+    Output: ``(id_col, fixed, was_fixed)``. Map-only, no UDF/shuffle —
+    the encode/decode pair runs inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    # the UTF-8 well-formedness DFA (RFC 3629 table) over chars whose
+    # codepoints ARE the recovered byte values
+    utf8_valid = (
+        "^(?:[\\x00-\\x7F]"
+        "|[\\xC2-\\xDF][\\x80-\\xBF]"
+        "|\\xE0[\\xA0-\\xBF][\\x80-\\xBF]"
+        "|[\\xE1-\\xEC][\\x80-\\xBF]{2}"
+        "|\\xED[\\x80-\\x9F][\\x80-\\xBF]"
+        "|[\\xEE-\\xEF][\\x80-\\xBF]{2}"
+        "|\\xF0[\\x90-\\xBF][\\x80-\\xBF]{2}"
+        "|[\\xF1-\\xF3][\\x80-\\xBF]{3}"
+        "|\\xF4[\\x80-\\x8F][\\x80-\\xBF]{3}"
+        ")*$"
+    )
+    s = F.col(text_col)
+    valid = (
+        s.rlike("[\\xC2-\\xF4][\\x80-\\xBF]")  # mojibake signature
+        & s.rlike("^[\\x00-\\xFF]*$")  # could have come from Latin-1
+        & s.rlike(utf8_valid)          # recovered bytes are UTF-8
+    )
+    fixed = F.when(
+        valid, F.decode(F.encode(s, "ISO-8859-1"), "UTF-8")
+    ).otherwise(s)
+    return df.select(
+        F.col(id_col),
+        fixed.alias("fixed"),
+        (valid & (fixed != s)).alias("was_fixed"),
+    )
+
+
+MOJIBAKE_BASES = ["café crème", "naïve façade", "señor año",
+                  "über größe"]
+
+
+def synth_mojibake(df, id_col: str = "doc_id", out_col: str = "text2",
+                   keep_cols=None):
+    """Deterministic mojibake synthesizer: base(i) =
+    MOJIBAKE_BASES[i % 4] + ' doc ' + i; every third id ships CLEAN
+    (the no-fix path — real accents that must survive untouched), the
+    rest ship double-encoded (UTF-8 bytes re-read as Latin-1). An
+    oracle predicts the repaired text by construction."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    keep = keep_cols if keep_cols is not None else [id_col]
+
+    def synth(i: int) -> str:
+        base = f"{MOJIBAKE_BASES[i % 4]} doc {i}"
+        if i % 3 == 0:
+            return base
+        return base.encode("utf-8").decode("latin-1")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [synth(int(i)) for i in pdf[id_col]]
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keep).schema.fields
+    ) + f", {out_col} string"
+    return df.select(*keep).mapInPandas(fn, schema)

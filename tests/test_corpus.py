@@ -453,3 +453,45 @@ class TestBigramScore:
         texts = ["a b a b a b a b", "q z x w v u t s"]
         got = self._score(spark, texts)
         assert got[0][1] > got[1][1]
+
+
+class TestFixMojibake:
+    def _fix(self, spark, texts):
+        from logparser_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        out = textstats.fix_mojibake(docs).collect()
+        return {r["doc_id"]: (r["fixed"], r["was_fixed"]) for r in out}
+
+    def test_repairs_double_encoded_and_keeps_clean(self, spark):
+        clean = ["café crème", "naïve façade", "plain ascii",
+                 "日本語テキスト", ""]
+        broken = [c.encode("utf-8").decode("latin-1")
+                  for c in clean[:2]]
+        got = self._fix(spark, clean + broken)
+        for i, c in enumerate(clean):
+            assert got[i] == (c, False), (i, got[i])
+        assert got[5] == ("café crème", True)
+        assert got[6] == ("naïve façade", True)
+
+    def test_invalid_recovered_bytes_pass_through(self, spark):
+        # 'Ã' followed by a NON-continuation byte: signature matches
+        # but the recovered bytes are not valid UTF-8 -> untouched
+        s = "Ã!abc"
+        got = self._fix(spark, [s])
+        assert got[0] == (s, False)
+
+    def test_supplementary_and_emoji_mojibake(self, spark):
+        orig = "snow ☃ and \U0001F600 end"  # 3- and 4-byte UTF-8
+        broken = orig.encode("utf-8").decode("latin-1")
+        got = self._fix(spark, [broken])
+        assert got[0] == (orig, True)
+
+    def test_text_with_non_latin1_chars_never_touched(self, spark):
+        # contains the signature substring AND chars > U+00FF: cannot
+        # have come from a Latin-1 misread
+        s = "Ã© plus Ā macron"
+        got = self._fix(spark, [s])
+        assert got[0] == (s, False)
