@@ -645,6 +645,32 @@ def q_fix_mojibake(spark, sf_dir):
     )
 
 
+def q_cms_sketch(spark, sf_dir):
+    """Count-min sketch build (Cormode-Muthukrishnan): 4 md5-hash rows
+    × 64 counters over the corpus token stream, emitted as the
+    mergeable (r, bucket, cnt) table. The bucket hash is the repo's
+    cross-engine md5 contract, so the oracle reproduces every counter
+    exactly — the map-side explode, the bounded-key aggregation and
+    the hash itself are all checked."""
+    from logparser_spark.operators import sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sketch.cms_build(docs, depth=4, width=64)
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Heavy hitters through the sketch: estimate every distinct term
+    (min over the 4 probed counters, broadcast join) and keep
+    est >= 900. True counts ride along, making the one-sided
+    overestimate guarantee (est >= cnt_true, collisions only inflate)
+    part of the checked output."""
+    from logparser_spark.operators import sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sketch.cms_heavy_hitters(docs, threshold=900, depth=4,
+                                    width=64)
+
+
 def q_unigram_score(spark, sf_dir):
     """Corpus-unigram LM quality scoring (CCNet-style): build the
     unigram table from the corpus itself, then score each document by
@@ -1706,6 +1732,44 @@ def _dataprep_sql() -> dict[str, str]:
        ELSE 0 END)::BIGINT AS score_ppm
     FROM documents doc LEFT JOIN d USING (doc_id), tot"""
 
+    sqls["cms_sketch"] = """
+    WITH w AS (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                                x -> len(x) > 0)) AS term
+      FROM documents),
+    p AS (
+      SELECT r.r AS r,
+        ('0x' || substr(md5(r.r::VARCHAR || ':' || term), 1, 8))::BIGINT
+          % 64 AS bucket
+      FROM w, unnest(range(0, 4)) r(r))
+    SELECT r::INT AS r, bucket::BIGINT AS bucket,
+      count(*)::BIGINT AS cnt
+    FROM p GROUP BY 1, 2"""
+
+    sqls["cms_heavy_hitters"] = """
+    WITH w AS (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                                x -> len(x) > 0)) AS term
+      FROM documents),
+    sk AS (
+      SELECT r.r AS r,
+        ('0x' || substr(md5(r.r::VARCHAR || ':' || term), 1, 8))::BIGINT
+          % 64 AS bucket,
+        count(*)::BIGINT AS cnt
+      FROM w, unnest(range(0, 4)) r(r) GROUP BY 1, 2),
+    t AS (SELECT term, count(*)::BIGINT AS cnt_true FROM w GROUP BY 1),
+    pr AS (
+      SELECT t.term, t.cnt_true, r.r AS r,
+        ('0x' || substr(md5(r.r::VARCHAR || ':' || t.term), 1, 8))::BIGINT
+          % 64 AS bucket
+      FROM t, unnest(range(0, 4)) r(r)),
+    e AS (
+      SELECT pr.term, pr.cnt_true,
+        min(coalesce(sk.cnt, 0))::BIGINT AS est
+      FROM pr LEFT JOIN sk ON sk.r = pr.r AND sk.bucket = pr.bucket
+      GROUP BY 1, 2)
+    SELECT term, cnt_true, est FROM e WHERE est >= 900"""
+
     sqls["fix_mojibake"] = """
     SELECT doc_id,
       (CASE doc_id % 4
@@ -2723,6 +2787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_score": q_unigram_score,
         "bigram_score": q_bigram_score,
         "fix_mojibake": q_fix_mojibake,
+        "cms_sketch": q_cms_sketch,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "tfidf_top": q_tfidf_top,
         "normalize_text": q_normalize_text,
         "outlink_degrees": q_outlink_degrees,

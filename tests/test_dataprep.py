@@ -1331,3 +1331,75 @@ def test_host_pagerank_hand_computed(spark):
     again = {r["host"]: r["rank"]
              for r in weburl.host_pagerank(edges, iters=1).collect()}
     assert again == got
+
+
+class TestCountMinSketch:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+
+    def test_overestimate_guarantee_and_exactness_when_wide(self, spark):
+        from pyspark.sql import functions as F
+
+        from logparser_spark.operators import sketch
+
+        docs = self._docs(spark, ["a b a c a b", "c d e a", "f f f"])
+        true = {"a": 4, "b": 2, "c": 2, "d": 1, "e": 1, "f": 3}
+        hh = {
+            r["term"]: (r["cnt_true"], r["est"])
+            for r in sketch.cms_heavy_hitters(
+                docs, threshold=0, depth=4, width=4096
+            ).collect()
+        }
+        assert {t: c for t, (c, _) in hh.items()} == true
+        # est >= true always; with width >> vocab, exact w.h.p. (4096
+        # buckets, 6 terms, 4 independent rows: a collision in EVERY
+        # row is ~(6/4096)^4 — deterministic hashes, so just assert)
+        assert all(e == c for c, e in hh.values())
+
+    def test_collisions_only_inflate_never_deflate(self, spark):
+        from logparser_spark.operators import sketch
+
+        docs = self._docs(spark, ["x y z w v u t s r q p o n m"])
+        hh = {
+            r["term"]: (r["cnt_true"], r["est"])
+            for r in sketch.cms_heavy_hitters(
+                docs, threshold=0, depth=2, width=2
+            ).collect()
+        }
+        assert all(e >= c for c, e in hh.values())
+        # 14 distinct terms in 2 buckets: someone must have collided
+        assert any(e > c for c, e in hh.values())
+
+    def test_sketch_merge_equals_whole_corpus_build(self, spark):
+        from pyspark.sql import functions as F
+
+        from logparser_spark.operators import sketch
+
+        texts = ["a b c a", "b c d", "d d e a"]
+        whole = sketch.cms_build(self._docs(spark, texts),
+                                 depth=3, width=8)
+        shards = [
+            sketch.cms_build(self._docs(spark, [t]), depth=3, width=8)
+            for t in texts
+        ]
+        merged = (
+            shards[0].union(shards[1]).union(shards[2])
+            .groupBy("r", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        key = lambda rows: sorted(map(tuple, rows))
+        assert key(whole.collect()) == key(merged.collect())
+
+    def test_absent_term_estimates_from_colliding_mass_only(self, spark):
+        from logparser_spark.operators import sketch
+
+        docs = self._docs(spark, ["a a a a"])
+        sk = sketch.cms_build(docs, depth=4, width=4096)
+        terms = docs.sparkSession.createDataFrame(
+            [("zzz-not-present",)], ["term"]
+        )
+        est = sketch.cms_estimate(sk, terms, depth=4,
+                                  width=4096).collect()[0]["est"]
+        assert est == 0  # wide sketch: no collision with 'a'
