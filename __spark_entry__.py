@@ -671,6 +671,39 @@ def q_cms_heavy_hitters(spark, sf_dir):
                                     width=64)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count over the corpus word-3-gram stream
+    (thousands of distinct items — past the linear-counting range, so
+    the raw estimator is the operative one): 64 md5-contract
+    registers, rank = leading zeros of the 54-bit suffix, estimate in
+    exact integer arithmetic (alpha = 709/1000, harmonic sum scaled by
+    2^30). True distinct rides along as a literal (one O(1) scalar
+    job, the unigram-total pattern) so the estimate's accuracy is
+    visible in the checked row."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split(F.col("text"), " "),
+                    lambda t: F.length(t) > 0)
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    items = docs.select(F.explode(grams).alias("item"))
+    regs = sketch.hll_registers(items, "item")
+    est = sketch.hll_estimate(regs)
+    true_d = items.distinct().count()
+    return est.select(
+        "v_empty", "s30", "raw_est",
+        F.lit(true_d).cast("long").alias("true_distinct"),
+    )
+
+
 def q_unigram_score(spark, sf_dir):
     """Corpus-unigram LM quality scoring (CCNet-style): build the
     unigram table from the corpus itself, then score each document by
@@ -1770,6 +1803,34 @@ def _dataprep_sql() -> dict[str, str]:
       GROUP BY 1, 2)
     SELECT term, cnt_true, est FROM e WHERE est >= 900"""
 
+    sqls["hll_distinct"] = """
+    WITH t AS (
+      SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+      FROM documents),
+    g AS (
+      SELECT array_to_string(w[i.i : i.i + 2], ' ') AS item
+      FROM t, unnest(range(1, greatest(len(w) - 1, 1))) i(i)),
+    h AS (
+      SELECT ('0x' || substr(md5(item), 1, 15))::BIGINT AS h FROM g),
+    r AS (
+      SELECT h >> 54 AS bucket,
+        CASE WHEN h % (1::BIGINT << 54) = 0 THEN 55
+             ELSE 55 - length(bin(h % (1::BIGINT << 54)))
+        END AS rank
+      FROM h),
+    reg AS (SELECT bucket, max(rank) AS max_rank FROM r GROUP BY 1),
+    e AS (
+      SELECT count(*)::BIGINT AS used,
+        sum((1::BIGINT << (30 - least(max_rank, 30))))::BIGINT AS s_used
+      FROM reg)
+    SELECT (64 - used)::BIGINT AS v_empty,
+      (s_used + (64 - used) * (1::BIGINT << 30))::BIGINT AS s30,
+      ((709::BIGINT * 64 * 64 * (1::BIGINT << 30))
+       // (1000 * (s_used + (64 - used) * (1::BIGINT << 30))))::BIGINT
+        AS raw_est,
+      (SELECT count(DISTINCT item) FROM g)::BIGINT AS true_distinct
+    FROM e"""
+
     sqls["fix_mojibake"] = """
     SELECT doc_id,
       (CASE doc_id % 4
@@ -2789,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "cms_sketch": q_cms_sketch,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hll_distinct": q_hll_distinct,
         "tfidf_top": q_tfidf_top,
         "normalize_text": q_normalize_text,
         "outlink_degrees": q_outlink_degrees,

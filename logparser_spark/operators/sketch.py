@@ -119,3 +119,75 @@ def cms_heavy_hitters(docs, threshold: int, depth: int = 4,
     return est.where(F.col("est") >= threshold).select(
         "term", "cnt_true", "est"
     )
+
+
+HLL_M = 64          # registers (6-bit bucket index)
+HLL_HASH_BITS = 60  # 15 hex chars of md5 — positive in any BIGINT
+HLL_RANK_BITS = HLL_HASH_BITS - 6   # 54-bit suffix; ranks 1..55
+HLL_ALPHA_PPT = 709  # alpha_64 = 0.709 (Flajolet et al. 2007, exact
+                     # rational 709/1000 as the cross-engine contract)
+HLL_SUM_SCALE = 30   # harmonic sum carried as sum(2^(30-min(r,30)))
+
+
+def hll_registers(df, item_col):
+    """HyperLogLog register table over an item column (duplicates
+    irrelevant by construction — that is the sketch's point): 64
+    registers, bucket = top 6 bits of the 60-bit md5-contract hash,
+    rank = leading zeros of the 54-bit suffix + 1. One bounded-key
+    groupBy (≤ 64 rows out of any partition after map-side max);
+    registers from corpus shards merge by ``union → groupBy(bucket) →
+    max(max_rank)``. Output: ``(bucket, max_rank)``, integer-exact in
+    any engine."""
+    from pyspark.sql import functions as F
+
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 15),
+        16, 10,
+    ).cast("long")
+    # shiftright, not `/`: the hash exceeds 2^53, where double
+    # division would lose exactness
+    bucket = F.shiftright(h, HLL_RANK_BITS).cast("long")
+    suffix = h % F.lit(1 << HLL_RANK_BITS)
+    # bin() of a positive value has no leading zeros, so its length IS
+    # the highest-set-bit position; suffix 0 → max rank
+    rank = F.when(suffix == 0, F.lit(HLL_RANK_BITS + 1)).otherwise(
+        F.lit(HLL_RANK_BITS + 1) - F.length(F.bin(suffix))
+    )
+    return (
+        df.select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").cast("int").alias("max_rank"))
+    )
+
+
+def hll_estimate(registers_df):
+    """Registers → one row ``(v_empty, s30, raw_est)``: ``v_empty`` =
+    empty registers (the linear-counting trigger — the ln-based
+    small-range correction is a client-side float step by contract,
+    everything here stays integer), ``s30`` = the harmonic sum scaled
+    by 2^30 (terms below 2^-30 truncate — a documented, deterministic
+    contract costing < m·2^-30 relative error), ``raw_est`` =
+    alpha·m² / (s30 / 2^30) in exact 64-bit integer division."""
+    from pyspark.sql import functions as F
+
+    m = HLL_M
+    term = F.expr(
+        f"CAST(pow(2, {HLL_SUM_SCALE} - least(max_rank, "
+        f"{HLL_SUM_SCALE})) AS BIGINT)"
+    )
+    agg = registers_df.agg(
+        F.count("*").cast("long").alias("used"),
+        F.sum(term).cast("long").alias("s_used"),
+    )
+    # empty registers contribute 2^-0 = 1 each → 2^30 scaled
+    numerator = HLL_ALPHA_PPT * m * m * (1 << HLL_SUM_SCALE)
+    return agg.select(
+        (F.lit(m) - F.col("used")).cast("long").alias("v_empty"),
+        (F.col("s_used")
+         + (F.lit(m) - F.col("used")) * F.lit(1 << HLL_SUM_SCALE))
+        .cast("long").alias("s30"),
+        F.expr(
+            f"CAST({numerator} div (1000 * (s_used + "
+            f"({m} - used) * {1 << HLL_SUM_SCALE})) AS BIGINT)"
+        ).alias("raw_est"),
+    )

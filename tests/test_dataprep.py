@@ -1403,3 +1403,65 @@ class TestCountMinSketch:
         est = sketch.cms_estimate(sk, terms, depth=4,
                                   width=4096).collect()[0]["est"]
         assert est == 0  # wide sketch: no collision with 'a'
+
+
+class TestHyperLogLog:
+    def test_estimate_accuracy_and_duplicate_blindness(self, spark):
+        from pyspark.sql import functions as F
+
+        from logparser_spark.operators import sketch
+
+        n = 5000
+        items = spark.range(0, n).select(
+            F.concat(F.lit("item-"), F.col("id")).alias("item")
+        )
+        est1 = sketch.hll_estimate(
+            sketch.hll_registers(items, "item")
+        ).collect()[0]
+        # duplicating every item must not move a single register
+        dup = items.union(items).union(items)
+        est3 = sketch.hll_estimate(
+            sketch.hll_registers(dup, "item")
+        ).collect()[0]
+        assert est1 == est3
+        # 64 registers: typical error 1.04/sqrt(64) = 13%; allow 3x
+        assert abs(est1["raw_est"] - n) / n < 0.40
+        assert est1["v_empty"] == 0  # 5000 items >> 64 buckets
+
+    def test_register_merge_law(self, spark):
+        from pyspark.sql import functions as F
+
+        from logparser_spark.operators import sketch
+
+        a = spark.range(0, 800).select(
+            F.concat(F.lit("x"), F.col("id")).alias("item"))
+        b = spark.range(400, 1500).select(
+            F.concat(F.lit("x"), F.col("id")).alias("item"))
+        whole = sketch.hll_registers(a.union(b), "item")
+        merged = (
+            sketch.hll_registers(a, "item")
+            .union(sketch.hll_registers(b, "item"))
+            .groupBy("bucket")
+            .agg(F.max("max_rank").cast("int").alias("max_rank"))
+        )
+        key = lambda rows: sorted(map(tuple, rows))
+        assert key(whole.collect()) == key(merged.collect())
+
+    def test_rank_derivation_matches_bit_math(self, spark):
+        from pyspark.sql import functions as F
+
+        from logparser_spark.operators import sketch
+        import hashlib
+
+        items = [f"probe-{i}" for i in range(50)]
+        df = spark.createDataFrame([(s,) for s in items], ["item"])
+        rows = sketch.hll_registers(df, "item").collect()
+        regs = {r["bucket"]: r["max_rank"] for r in rows}
+        expect = {}
+        for s in items:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            bucket = h >> 54
+            suffix = h % (1 << 54)
+            rank = 55 if suffix == 0 else 55 - suffix.bit_length()
+            expect[bucket] = max(expect.get(bucket, 0), rank)
+        assert regs == expect
