@@ -469,6 +469,20 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(docs)
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs via the pigeonhole band join: any pair
+    within Hamming distance 3 of the 32-bit fingerprint shares one of
+    the 4 8-bit bands verbatim, so candidates come from a bucketed
+    equality join (size-capped like LSH) and the exact bit_count(xor)
+    verifies each. The oracle recomputes fingerprints, bands, cap and
+    verification in SQL — completeness of the pigeonhole route and the
+    bit math are both checked."""
+    from logparser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_near_dup_pairs(docs)
+
+
 def q_fingerprint(spark, sf_dir):
     from logparser_spark.operators import dedup
 
@@ -1483,6 +1497,25 @@ def _dataprep_sql() -> dict[str, str]:
       SELECT doc_id, {bit_sums}
       FROM toks GROUP BY doc_id)
     SELECT doc_id, CAST({bit_val} AS BIGINT) AS simhash FROM perbit"""
+
+    sqls["simhash_near_dup"] = f"""WITH sims AS ({sqls["simhash"]}),
+    banded AS (
+      SELECT doc_id, simhash, b.b AS band_id,
+        (simhash >> (b.b * {SIMHASH_BITS // 4}))
+          & {(1 << (SIMHASH_BITS // 4)) - 1} AS band_val
+      FROM sims, unnest(range(0, 4)) b(b)),
+    ok AS (
+      SELECT band_id, band_val FROM banded
+      GROUP BY 1, 2 HAVING count(*) <= {LSH_MAX_BUCKET}),
+    bd AS (
+      SELECT banded.* FROM banded
+      JOIN ok USING (band_id, band_val))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM bd a
+    JOIN bd b ON a.band_id = b.band_id AND a.band_val = b.band_val
+      AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
     fp_cols = ",\n        ".join(
         f"MIN(({MINHASH_A[i]} * (shingle_hash % {P}) + {17 * (i + 1)}) % {P})"
@@ -2851,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_sketch": q_cms_sketch,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_distinct": q_hll_distinct,
+        "simhash_near_dup": q_simhash_near_dup,
         "tfidf_top": q_tfidf_top,
         "normalize_text": q_normalize_text,
         "outlink_degrees": q_outlink_degrees,

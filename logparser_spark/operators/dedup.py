@@ -559,3 +559,74 @@ def doc_fingerprint(df, text_col: str = "text", id_col: str = "doc_id",
         for i in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def simhash_near_dup_pairs(df, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_hamming: int = 3, bands: int = 4,
+                           max_bucket: int | None = LSH_MAX_BUCKET,
+                           sim_df=None):
+    """SimHash near-dup pairs (Charikar 2002 + the Manku/Jain/Sarma
+    pigeonhole trick): split the ``SIMHASH_BITS``-bit fingerprint into
+    ``bands`` equal bit-bands — any pair within Hamming distance
+    ``max_hamming < bands`` shares at least one band VERBATIM — so
+    candidates come from an equality join on (band_id, band_value),
+    never an all-pairs scan, and the exact ``bit_count(xor)`` check
+    verifies each candidate. Same bounded-bucket treatment as LSH:
+    buckets over ``max_bucket`` members are dropped before the pair
+    join (output stays ≤ max_bucket²/2 per bucket).
+
+    Output: distinct ``(id_a, id_b, hamming)`` with id_a < id_b and
+    hamming <= max_hamming. Pass ``sim_df`` to reuse persisted
+    fingerprints."""
+    from pyspark.sql import functions as F
+
+    if max_hamming >= bands:
+        raise ValueError(
+            "pigeonhole needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    if SIMHASH_BITS % bands:
+        raise ValueError("bands must divide SIMHASH_BITS")
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    sims = sim_df if sim_df is not None else simhash(df, text_col, id_col)
+    banded = sims.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(mask).alias("band_val"),
+            )
+            for b in range(bands)
+        ])).alias("p"),
+    ).select(id_col, "simhash",
+             F.col("p.band_id").alias("band_id"),
+             F.col("p.band_val").alias("band_val"))
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band_id", "band_val")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("band_id", "band_val")
+        )
+        banded = banded.join(ok, ["band_id", "band_val"], "left_semi")
+    a = banded.select("band_id", "band_val",
+                      F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("__sa"))
+    b = banded.select("band_id", "band_val",
+                      F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("__sb"))
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(
+                F.col("__sa").bitwiseXOR(F.col("__sb"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

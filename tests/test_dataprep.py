@@ -1465,3 +1465,57 @@ class TestHyperLogLog:
             rank = 55 if suffix == 0 else 55 - suffix.bit_length()
             expect[bucket] = max(expect.get(bucket, 0), rank)
         assert regs == expect
+
+
+class TestSimhashNearDup:
+    def test_pigeonhole_route_equals_brute_force(self, spark):
+        """With the cap disabled, the band join must find EXACTLY the
+        all-pairs hamming<=3 set — the pigeonhole guarantee."""
+        from pyspark.sql import functions as F
+
+        from logparser_spark.operators import dedup
+
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 3
+        texts = [base + suffix for suffix in
+                 ["", "x", "x y", "qq rr ss tt uu vv ww zz", "x", ""]]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.simhash_near_dup_pairs(
+                docs, max_bucket=None
+            ).collect()
+        )
+        sims = {r["doc_id"]: r["simhash"]
+                for r in dedup.simhash(docs).collect()}
+        brute = sorted(
+            (a, b, bin(sims[a] ^ sims[b]).count("1"))
+            for a in sims for b in sims
+            if a < b and bin(sims[a] ^ sims[b]).count("1") <= 3
+        )
+        assert got == brute and len(brute) >= 3  # non-trivial corpus
+
+    def test_max_hamming_must_be_below_bands(self, spark):
+        import pytest as _pytest
+
+        from logparser_spark.operators import dedup
+
+        docs = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="pigeonhole"):
+            dedup.simhash_near_dup_pairs(docs, max_hamming=4, bands=4)
+
+    def test_bucket_cap_drops_degenerate_buckets(self, spark):
+        from logparser_spark.operators import dedup
+
+        # 30 identical docs: every band bucket holds all 30
+        docs = spark.createDataFrame(
+            [(i, "same text here") for i in range(30)],
+            ["doc_id", "text"],
+        )
+        assert dedup.simhash_near_dup_pairs(
+            docs, max_bucket=10
+        ).count() == 0
+        assert dedup.simhash_near_dup_pairs(
+            docs, max_bucket=None
+        ).count() == 30 * 29 // 2
