@@ -718,6 +718,28 @@ def q_hll_distinct(spark, sf_dir):
     )
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact document-length quantiles (p0/p25/p50/p75/p99/p100 of the
+    whitespace-token count) by histogram rank-select — the value-keyed
+    aggregate plus the same two-level prefix sum as the global line
+    ordinal, no global sort, integer-ppm rank contract. The oracle
+    recomputes the histogram cumsum and every rank in SQL."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lens = docs.select(
+        F.size(F.filter(
+            F.split(F.col("text"), " "), lambda t: F.length(t) > 0
+        )).cast("long").alias("n_tok")
+    )
+    return quantiles.quantiles_exact(
+        lens, "n_tok",
+        [0, 250_000, 500_000, 750_000, 990_000, 1_000_000],
+    )
+
+
 def q_unigram_score(spark, sf_dir):
     """Corpus-unigram LM quality scoring (CCNet-style): build the
     unigram table from the corpus itself, then score each document by
@@ -1864,6 +1886,22 @@ def _dataprep_sql() -> dict[str, str]:
       (SELECT count(DISTINCT item) FROM g)::BIGINT AS true_distinct
     FROM e"""
 
+    sqls["length_quantiles"] = """
+    WITH v AS (
+      SELECT len(list_filter(string_split(text, ' '),
+                             x -> len(x) > 0))::BIGINT AS val
+      FROM documents),
+    n AS (SELECT count(*)::BIGINT AS n FROM v),
+    s AS (SELECT val, count(*)::BIGINT AS c FROM v GROUP BY 1),
+    c AS (SELECT val, sum(c) OVER (ORDER BY val) AS cum FROM s),
+    q AS (SELECT unnest([0, 250000, 500000, 750000, 990000,
+                         1000000])::BIGINT AS q_ppm)
+    SELECT q.q_ppm,
+      (SELECT min(val) FROM c
+       WHERE cum >= (q.q_ppm * (n.n - 1)) // 1000000 + 1)::BIGINT
+        AS value
+    FROM q, n"""
+
     sqls["fix_mojibake"] = """
     SELECT doc_id,
       (CASE doc_id % 4
@@ -2885,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_distinct": q_hll_distinct,
         "simhash_near_dup": q_simhash_near_dup,
+        "length_quantiles": q_length_quantiles,
         "tfidf_top": q_tfidf_top,
         "normalize_text": q_normalize_text,
         "outlink_degrees": q_outlink_degrees,

@@ -1519,3 +1519,51 @@ class TestSimhashNearDup:
         assert dedup.simhash_near_dup_pairs(
             docs, max_bucket=None
         ).count() == 30 * 29 // 2
+
+
+class TestExactQuantiles:
+    QS = [0, 250_000, 500_000, 750_000, 990_000, 1_000_000]
+
+    def _q(self, spark, vals, bucket_width=64, qs=None):
+        from logparser_spark.operators import quantiles
+
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        out = quantiles.quantiles_exact(
+            df, "v", qs or self.QS, bucket_width=bucket_width
+        ).collect()
+        return {r["q_ppm"]: r["value"] for r in out}
+
+    @staticmethod
+    def _naive(vals, qs):
+        s = sorted(vals)
+        n = len(s)
+        return {q: s[(q * (n - 1)) // 1_000_000] for q in qs}
+
+    def test_matches_rank_contract(self, spark):
+        import random
+
+        rng = random.Random(3)
+        vals = [rng.randrange(0, 500) for _ in range(997)]
+        assert self._q(spark, vals) == self._naive(vals, self.QS)
+
+    def test_bucket_width_is_semantics_free(self, spark):
+        import random
+
+        rng = random.Random(5)
+        vals = [rng.randrange(0, 1000) for _ in range(400)]
+        for w in (1, 7, 64, 10_000):
+            assert self._q(spark, vals, bucket_width=w) \
+                == self._naive(vals, self.QS), w
+
+    def test_duplicate_heavy_and_single_value(self, spark):
+        vals = [42] * 100
+        got = self._q(spark, vals)
+        assert set(got.values()) == {42}
+        # ties at the median: 0 x50, 9 x50 -> p50 rank 50 = value 0
+        vals = [0] * 50 + [9] * 50
+        got = self._q(spark, vals, qs=[500_000])
+        assert got[500_000] == self._naive(vals, [500_000])[500_000]
+
+    def test_empty_input_yields_nulls(self, spark):
+        got = self._q(spark, [], qs=[0, 1_000_000])
+        assert got == {0: None, 1_000_000: None}
