@@ -740,6 +740,20 @@ def q_length_quantiles(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Strict-order view→click→purchase funnel over the events table:
+    per user the earliest view, the first click strictly after it,
+    the first purchase strictly after that — chained conditional
+    window minima over one user-keyed exchange. The oracle rebuilds
+    the chain with per-step correlated aggregates, so ordering
+    strictness, per-user dedup and the ppm conversion math all have
+    to match."""
+    from logparser_spark.operators import telemetry
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return telemetry.funnel(events, ["view", "click", "purchase"])
+
+
 def q_unigram_score(spark, sf_dir):
     """Corpus-unigram LM quality scoring (CCNet-style): build the
     unigram table from the corpus itself, then score each document by
@@ -1886,6 +1900,31 @@ def _dataprep_sql() -> dict[str, str]:
       (SELECT count(DISTINCT item) FROM g)::BIGINT AS true_distinct
     FROM e"""
 
+    sqls["events_funnel"] = """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY 1),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY 1),
+    u AS (SELECT (SELECT count(*) FROM t1)::BIGINT AS u1,
+                 (SELECT count(*) FROM t2)::BIGINT AS u2,
+                 (SELECT count(*) FROM t3)::BIGINT AS u3)
+    SELECT s.step::INT AS step, s.event_type,
+      CASE s.step WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END::BIGINT
+        AS n_users,
+      (CASE WHEN u1 > 0 THEN
+        (CASE s.step WHEN 1 THEN u1 WHEN 2 THEN u2 ELSE u3 END
+         * 1000000) // u1
+       ELSE 0 END)::BIGINT AS conv_ppm
+    FROM u, (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+      s(step, event_type)"""
+
     sqls["length_quantiles"] = """
     WITH v AS (
       SELECT len(list_filter(string_split(text, ' '),
@@ -2924,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "simhash_near_dup": q_simhash_near_dup,
         "length_quantiles": q_length_quantiles,
+        "events_funnel": q_events_funnel,
         "tfidf_top": q_tfidf_top,
         "normalize_text": q_normalize_text,
         "outlink_degrees": q_outlink_degrees,

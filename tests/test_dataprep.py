@@ -1567,3 +1567,51 @@ class TestExactQuantiles:
     def test_empty_input_yields_nulls(self, spark):
         got = self._q(spark, [], qs=[0, 1_000_000])
         assert got == {0: None, 1_000_000: None}
+
+
+class TestFunnel:
+    def _run(self, spark, rows, steps=("view", "click", "purchase")):
+        from logparser_spark.operators import telemetry
+
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        out = telemetry.funnel(df, list(steps)).collect()
+        return {r["step"]: (r["event_type"], r["n_users"],
+                            r["conv_ppm"]) for r in out}
+
+    def test_strict_order_and_conversion(self, spark):
+        from datetime import datetime as dt
+
+        T = lambda s: dt(2024, 1, 1, 0, 0, s)
+        rows = [
+            # user 1: full funnel in order
+            (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+            # user 2: click BEFORE view -> stops at view
+            (2, T(5), "click"), (2, T(6), "view"),
+            # user 3: view + click, purchase before click -> step 2
+            (3, T(1), "view"), (3, T(4), "click"), (3, T(2), "purchase"),
+            # user 4: purchase only -> reaches nothing
+            (4, T(1), "purchase"),
+            # user 5: same-timestamp click as view -> NOT after
+            (5, T(1), "view"), (5, T(1), "click"),
+        ]
+        got = self._run(spark, rows)
+        assert got[1] == ("view", 4, 1_000_000)
+        assert got[2] == ("click", 2, 500_000)
+        assert got[3] == ("purchase", 1, 250_000)
+
+    def test_later_earlier_pairs_still_count(self, spark):
+        from datetime import datetime as dt
+
+        T = lambda s: dt(2024, 1, 1, 0, 0, s)
+        # first click precedes the first view, but a second click
+        # follows it: t2 = first click AFTER t1 -> user converts
+        rows = [(1, T(2), "view"), (1, T(1), "click"),
+                (1, T(3), "click"), (1, T(4), "purchase")]
+        got = self._run(spark, rows)
+        assert got[2][1] == 1 and got[3][1] == 1
+
+    def test_empty_events(self, spark):
+        got = self._run(spark, [])
+        assert got[1][1] == 0 and got[1][2] == 0
