@@ -754,6 +754,30 @@ def q_events_funnel(spark, sf_dir):
     return telemetry.funnel(events, ["view", "click", "purchase"])
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over the events table: cohort = the
+    week bucket (anchored 2024-01-01) of each user's first event;
+    cell (cohort, offset) counts distinct cohort users active offset
+    weeks later. Two user-keyed aggregates + one user-keyed join +
+    one bounded groupBy — the oracle rebuilds the same cells."""
+    from logparser_spark.operators import telemetry
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return telemetry.cohort_retention(events, epoch="2024-01-01")
+
+
+def q_spike_hours(spark, sf_dir):
+    """Hourly anomaly detection per event type: hours whose count
+    exceeds 1.5× the trailing-24-observed-hour mean (integer
+    cross-multiplication, full-window gate). The windows run over
+    hour-cardinality aggregates, never event rows — the oracle
+    replicates the rows-based trailing frame exactly."""
+    from logparser_spark.operators import telemetry
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return telemetry.spike_hours(events)
+
+
 def q_unigram_score(spark, sf_dir):
     """Corpus-unigram LM quality scoring (CCNet-style): build the
     unigram table from the corpus itself, then score each document by
@@ -1925,6 +1949,35 @@ def _dataprep_sql() -> dict[str, str]:
     FROM u, (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
       s(step, event_type)"""
 
+    sqls["cohort_retention"] = """
+    WITH ev AS (
+      SELECT user_id AS u,
+        (datediff('day', DATE '2024-01-01', ts::DATE) // 7)::BIGINT
+          AS bkt
+      FROM events),
+    c AS (SELECT u, min(bkt) AS cohort FROM ev GROUP BY 1),
+    a AS (SELECT DISTINCT u, bkt FROM ev)
+    SELECT c.cohort::BIGINT AS cohort,
+      (a.bkt - c.cohort)::BIGINT AS "offset",
+      count(*)::BIGINT AS n_users
+    FROM a JOIN c ON a.u = c.u GROUP BY 1, 2"""
+
+    sqls["spike_hours"] = """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+        count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, hr, cnt,
+        sum(cnt) OVER (PARTITION BY event_type ORDER BY hr
+          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_sum,
+        count(cnt) OVER (PARTITION BY event_type ORDER BY hr
+          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS nprev
+      FROM h)
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+      cnt, trail_sum::BIGINT AS trail_sum
+    FROM w WHERE nprev = 24 AND cnt * 24 * 2 > 3 * trail_sum"""
+
     sqls["length_quantiles"] = """
     WITH v AS (
       SELECT len(list_filter(string_split(text, ' '),
@@ -2964,6 +3017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "length_quantiles": q_length_quantiles,
         "events_funnel": q_events_funnel,
+        "cohort_retention": q_cohort_retention,
+        "spike_hours": q_spike_hours,
         "tfidf_top": q_tfidf_top,
         "normalize_text": q_normalize_text,
         "outlink_degrees": q_outlink_degrees,

@@ -74,3 +74,87 @@ def funnel(events, steps: Sequence[str], user_col: str = "user_id",
         F.col("step").cast("int"), "event_type",
         F.col("n_users").cast("long"), F.col("conv_ppm").cast("long"),
     )
+
+
+def cohort_retention(events, epoch: str, user_col: str = "user_id",
+                     ts_col: str = "ts", unit_days: int = 7):
+    """Cohort retention: cohort(user) = the ``unit_days``-bucket of
+    the user's FIRST event (anchored at ``epoch``, a date literal —
+    part of the query contract, not data-sniffed); retention cell
+    (cohort, offset) = distinct cohort users active in bucket
+    cohort + offset.
+
+    Output: ``(cohort, offset, n_users)`` with integer bucket indexes.
+
+    Scale shape: two user-keyed aggregates (first-event, distinct
+    user-bucket activity) + one broadcastable join of the per-user
+    cohort onto the activity rows (both sides are user-cardinality,
+    the join key is the user id — a co-partitioned hash join, no
+    corpus-sized side), then one bounded groupBy (#cohorts ×
+    #offsets)."""
+    from pyspark.sql import functions as F
+
+    bucket = F.expr(
+        f"datediff(to_date({ts_col}), date'{epoch}') "
+        f"div {int(unit_days)}"
+    ).cast("long")
+    ev = events.select(F.col(user_col).alias("u"),
+                       bucket.alias("bkt"))
+    cohorts = ev.groupBy("u").agg(F.min("bkt").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(cohorts, "u")
+        .select("cohort", (F.col("bkt") - F.col("cohort"))
+                .alias("offset"))
+        .groupBy("cohort", "offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+def spike_hours(events, window_hours: int = 24,
+                factor_num: int = 3, factor_den: int = 2,
+                ts_col: str = "ts", type_col: str = "event_type"):
+    """Hourly spike detection per event type: an hour spikes when its
+    count exceeds ``factor`` × the mean of the trailing
+    ``window_hours`` OBSERVED hours (rows-based window — missing hours
+    don't pad; the documented contract), requiring a full trailing
+    window. Integer cross-multiplication, no division:
+    ``cnt * window * factor_den > factor_num * trail_sum * 1``.
+
+    Output: ``(event_type, hour, cnt, trail_sum)`` for spiking hours.
+
+    Scale shape: one (type, hour)-keyed aggregate (bounded key space),
+    then windows partitioned by type over hour-cardinality rows —
+    never event-level data inside a window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    hourly = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-window_hours, -1)
+    )
+    scored = hourly.select(
+        "event_type", "hour", "cnt",
+        F.sum("cnt").over(w).alias("trail_sum"),
+        F.count("cnt").over(w).alias("__nprev"),
+    )
+    return (
+        scored.where(
+            (F.col("__nprev") == window_hours)
+            & (F.col("cnt") * window_hours * factor_den
+               > factor_num * F.col("trail_sum"))
+        )
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "cnt", F.col("trail_sum").cast("long").alias("trail_sum"),
+        )
+    )

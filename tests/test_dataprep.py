@@ -1615,3 +1615,56 @@ class TestFunnel:
     def test_empty_events(self, spark):
         got = self._run(spark, [])
         assert got[1][1] == 0 and got[1][2] == 0
+
+
+class TestRetentionAndSpikes:
+    def test_cohort_retention_by_construction(self, spark):
+        from datetime import datetime as dt
+
+        from logparser_spark.operators import telemetry
+
+        rows = [
+            # user 1: first event week 0, active weeks 0, 1, 3
+            (1, dt(2024, 1, 2), "a"), (1, dt(2024, 1, 9), "a"),
+            (1, dt(2024, 1, 24), "a"),
+            # user 2: first event week 1, active weeks 1, 2
+            (2, dt(2024, 1, 10), "a"), (2, dt(2024, 1, 16), "a"),
+            # user 3: week 0 only (two events, one distinct bucket)
+            (3, dt(2024, 1, 3), "a"), (3, dt(2024, 1, 5), "a"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        got = {
+            (r["cohort"], r["offset"]): r["n_users"]
+            for r in telemetry.cohort_retention(
+                df, epoch="2024-01-01"
+            ).collect()
+        }
+        assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
+                       (1, 0): 1, (1, 1): 1}
+
+    def test_spike_detection_by_construction(self, spark):
+        from datetime import datetime as dt, timedelta
+
+        from logparser_spark.operators import telemetry
+
+        rows = []
+        t0 = dt(2024, 1, 1)
+        # 30 hours of steady 4 events/hour, hour 27 carries 12 (3x)
+        for h in range(30):
+            n = 12 if h == 27 else 4
+            for i in range(n):
+                rows.append((h * 100 + i, t0 + timedelta(hours=h,
+                                                         minutes=i),
+                             "view"))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+        got = telemetry.spike_hours(df).collect()
+        assert [(r["event_type"], r["hour"], r["cnt"], r["trail_sum"])
+                for r in got] == [
+            ("view", "2024-01-02 03:00:00", 12, 96)
+        ]
+        # hours 0..23 are gated out (incomplete trailing window)
+        assert all(r["hour"] >= "2024-01-02 00:00:00" for r in got)
