@@ -778,6 +778,40 @@ def q_spike_hours(spark, sf_dir):
     return telemetry.spike_hours(events)
 
 
+def q_sample_fixed_n(spark, sf_dir):
+    """Deterministic fixed-size uniform sample: the 25 documents with
+    the lowest salted-md5 rank — Spark plans TakeOrdered (per-partition
+    heaps, one 25-row merge), never a full sort. The oracle states the
+    same ORDER BY hash LIMIT n, so membership AND content must
+    match."""
+    from logparser_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.sample_fixed_n(docs, 25).select("doc_id", "text")
+
+
+def q_fuzzy_key_pairs(spark, sf_dir):
+    """Edit-distance-1 key pairs via FastSS deletion-neighborhood
+    blocking (no cross product): key set = corpus vocabulary plus each
+    word's first-char-dropped tail (a deterministic typo corpus, so
+    every word pairs with its own tail), candidates from the shared
+    1-deletion-variant equality join, exact levenshtein verify. The
+    oracle rebuilds neighborhoods and verification in SQL."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.fuzzyjoin import fuzzy_key_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        F.explode(F.filter(
+            F.split(F.col("text"), " "), lambda t: F.length(t) > 0
+        )).alias("k")
+    ).distinct()
+    tails = words.select(F.expr("substring(k, 2)").alias("k")) \
+        .where(F.length("k") > 0)
+    return fuzzy_key_pairs(words.union(tails).distinct(), "k")
+
+
 def q_unigram_score(spark, sf_dir):
     """Corpus-unigram LM quality scoring (CCNet-style): build the
     unigram table from the corpus itself, then score each document by
@@ -1949,6 +1983,33 @@ def _dataprep_sql() -> dict[str, str]:
     FROM u, (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
       s(step, event_type)"""
 
+    sqls["sample_fixed_n"] = """
+    SELECT doc_id, text FROM documents
+    ORDER BY md5('salt42|' || doc_id::VARCHAR), doc_id LIMIT 25"""
+
+    sqls["fuzzy_key_pairs"] = """
+    WITH v AS (
+      SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+                                         x -> len(x) > 0)) AS k
+      FROM documents),
+    kk AS (
+      SELECT k FROM v
+      UNION
+      SELECT substr(k, 2) AS k FROM v WHERE len(k) > 1),
+    nb AS (
+      SELECT k, k AS var FROM kk
+      UNION
+      SELECT k, substr(k, 1, i.i - 1) || substr(k, i.i + 1, len(k))
+        AS var
+      FROM kk, unnest(range(1, len(k) + 1)) i(i)),
+    ok AS (SELECT var FROM nb GROUP BY var HAVING count(*) <= 500),
+    bd AS (SELECT nb.* FROM nb JOIN ok USING (var)),
+    p AS (
+      SELECT DISTINCT a.k AS key_a, b.k AS key_b
+      FROM bd a JOIN bd b ON a.var = b.var AND a.k < b.k)
+    SELECT key_a, key_b, levenshtein(key_a, key_b)::INT AS dist
+    FROM p WHERE levenshtein(key_a, key_b) <= 1"""
+
     sqls["cohort_retention"] = """
     WITH ev AS (
       SELECT user_id AS u,
@@ -3019,6 +3080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "cohort_retention": q_cohort_retention,
         "spike_hours": q_spike_hours,
+        "sample_fixed_n": q_sample_fixed_n,
+        "fuzzy_key_pairs": q_fuzzy_key_pairs,
         "tfidf_top": q_tfidf_top,
         "normalize_text": q_normalize_text,
         "outlink_degrees": q_outlink_degrees,

@@ -534,3 +534,28 @@ def strip_duplicate_spans(docs, k: int = 5, text_col: str = "text",
         F.size("__w").cast("long").alias("n_tokens"),
         F.size("__rm").cast("long").alias("n_removed"),
     )
+
+
+def sample_fixed_n(docs, n: int, id_col: str = "doc_id",
+                   salt: str = SAMPLE_SALT):
+    """Deterministic fixed-size uniform sample: the n rows whose
+    salted md5 rank lowest — the reproducible eval-set/holdout
+    selector (re-running over the same ids reselects the identical
+    sample; changing the salt draws a fresh one). Hash order is the
+    repo's cross-engine md5 contract, ties broken by the full digest
+    (collision-free in practice, and the id is appended for total
+    order anyway).
+
+    Scale shape: a global top-k by hash — Spark plans TakeOrdered
+    (per-partition heaps + one k-row merge), never a full sort
+    materialization. Output: the sampled rows with their rank hash
+    (``__h``) dropped."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        docs.withColumn("__h", h)
+        .orderBy("__h", id_col)
+        .limit(n)
+        .drop("__h")
+    )

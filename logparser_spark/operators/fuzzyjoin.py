@@ -1,0 +1,71 @@
+"""Fuzzy key matching at scale: all pairs of distinct keys within
+Levenshtein distance 1, WITHOUT a cross product — the FastSS /
+deletion-neighborhood blocking scheme (Bocek et al. 2007): two strings
+are within edit distance 1 iff they share a member of their
+1-deletion neighborhoods (the string itself plus every
+one-character-deleted variant). So: explode each key into its
+neighborhood, equality-join on the variant, verify with the exact
+``levenshtein`` — candidates scale with Σ len(key), never |keys|².
+
+The variant generation is a pure Catalyst transform over character
+positions; the verify is the built-in edit distance (same DP in any
+engine). Used for vocabulary normalization (spelling variants),
+near-identical host names, and key reconciliation."""
+
+from __future__ import annotations
+
+
+def deletion_neighborhood(col):
+    """key → array of the key itself + every 1-deletion variant."""
+    from pyspark.sql import functions as F
+
+    return F.array_union(
+        F.array(col),
+        F.when(
+            F.length(col) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.concat(
+                    col.substr(F.lit(1), i - 1),
+                    col.substr(i + 1, F.length(col)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def fuzzy_key_pairs(keys_df, key_col: str = "key",
+                    max_bucket: int | None = 500):
+    """Distinct pairs (key_a < key_b) of keys within Levenshtein
+    distance 1. ``keys_df`` should carry distinct keys (dedupe first —
+    pair semantics are over the key SET). Buckets larger than
+    ``max_bucket`` are dropped before the pair join (the LSH-style
+    output-cardinality bound; a variant shared by b keys emits O(b²)
+    candidates).
+
+    Output: ``(key_a, key_b, dist)`` with dist ∈ {1} (identical keys
+    are not pairs; distance-0 duplicates belong to exact dedup)."""
+    from pyspark.sql import functions as F
+
+    base = keys_df.select(F.col(key_col).alias("k")).distinct()
+    nbh = base.select(
+        "k", F.explode(deletion_neighborhood(F.col("k"))).alias("v")
+    ).distinct()
+    if max_bucket is not None:
+        ok = (
+            nbh.groupBy("v").agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("v")
+        )
+        nbh = nbh.join(ok, "v", "left_semi")
+    a = nbh.select(F.col("v"), F.col("k").alias("key_a"))
+    b = nbh.select(F.col("v"), F.col("k").alias("key_b"))
+    return (
+        a.join(b, "v")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+        .withColumn("dist",
+                    F.levenshtein("key_a", "key_b").cast("int"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -1668,3 +1668,67 @@ class TestRetentionAndSpikes:
         ]
         # hours 0..23 are gated out (incomplete trailing window)
         assert all(r["hour"] >= "2024-01-02 00:00:00" for r in got)
+
+
+class TestFuzzyAndSample:
+    def test_fuzzy_pairs_equal_brute_force(self, spark):
+        import itertools
+
+        from logparser_spark.operators.fuzzyjoin import fuzzy_key_pairs
+
+        keys = ["cat", "cats", "bat", "hat", "dog", "", "a", "f",
+                "xyz", "cart", "car"]
+        df = spark.createDataFrame([(k,) for k in keys], ["key"])
+        got = sorted((r["key_a"], r["key_b"])
+                     for r in fuzzy_key_pairs(df).collect())
+
+        def lev(a, b):
+            import functools
+
+            @functools.lru_cache(None)
+            def d(i, j):
+                if i == 0:
+                    return j
+                if j == 0:
+                    return i
+                return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                           d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+            return d(len(a), len(b))
+
+        brute = sorted(
+            (min(a, b), max(a, b))
+            for a, b in itertools.combinations(keys, 2)
+            if lev(a, b) == 1
+        )
+        assert got == brute and len(brute) >= 6
+
+    def test_fuzzy_bucket_cap_bounds_output(self, spark):
+        from logparser_spark.operators.fuzzyjoin import fuzzy_key_pairs
+
+        # 40 keys all sharing variant 'x' (they are 'x' + distinct
+        # char): every pair is distance... only via bucket 'x'
+        keys = [f"x{chr(97 + i)}" for i in range(26)]
+        df = spark.createDataFrame([(k,) for k in keys], ["key"])
+        assert fuzzy_key_pairs(df, max_bucket=5).count() == 0
+        n = fuzzy_key_pairs(df, max_bucket=None).count()
+        assert n == 26 * 25 // 2  # all pairs differ in one substitution
+
+    def test_sample_fixed_n_deterministic_and_uniformish(self, spark):
+        from pyspark.sql import functions as F
+
+        from logparser_spark.operators import corpus
+
+        docs = spark.range(0, 1000).select(
+            F.col("id").alias("doc_id"),
+            F.col("id").cast("string").alias("text"),
+        )
+        s1 = sorted(r["doc_id"] for r in
+                    corpus.sample_fixed_n(docs, 50).collect())
+        s2 = sorted(r["doc_id"] for r in
+                    corpus.sample_fixed_n(docs, 50).collect())
+        assert s1 == s2 and len(s1) == 50
+        s3 = sorted(r["doc_id"] for r in corpus.sample_fixed_n(
+            docs, 50, salt="other|").collect())
+        assert s3 != s1  # a different salt draws a different sample
+        # n > rows: returns everything
+        assert corpus.sample_fixed_n(docs, 5000).count() == 1000
