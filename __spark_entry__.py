@@ -1184,17 +1184,19 @@ def q_audio_samples(spark, sf_dir):
 
 def q_image_pixels_jpeg(spark, sf_dir):
     """REAL JPEG PIXEL decode: synthesize a baseline JPEG per document
-    (grayscale for even ids, 3-component 4:4:4 interleaved for odd;
-    dims and per-8×8-block fill arithmetic in doc_id, every third
-    stream carrying restart markers), decode the bits back through the
-    full entropy path — stream-carried canonical Huffman tables,
-    per-component DC prediction, AC run/size, byte unstuffing, RSTn —
-    dequantize, 2-D IDCT, crop, and aggregate the decoded samples. The
-    blockwise-constant content makes every component's DCT spectrum
-    DC-only, so the round-trip is exact and the oracle computes every
-    aggregate from the closed-form sample formula: any Huffman,
-    zigzag, IDCT, component-interleave or MCU cropping bug surfaces
-    as a value mismatch."""
+    (family id mod 3: grayscale / 4:4:4 interleaved / 4:2:0
+    chroma-subsampled — the real-crawl layout with four Y + Cb + Cr
+    per MCU; dims and per-16×16-tile fill arithmetic in doc_id, every
+    second stream carrying restart markers), decode the bits back
+    through the full entropy path — stream-carried canonical Huffman
+    tables, per-component DC prediction, AC run/size, byte
+    unstuffing, RSTn, chroma replication-upsample — dequantize, 2-D
+    IDCT, crop, and aggregate the decoded samples. The tile-constant
+    content makes every component's DCT spectrum DC-only and the
+    chroma resample lossless, so the round-trip is exact and the
+    oracle computes every aggregate from the closed-form sample
+    formula: any Huffman, zigzag, IDCT, interleave, subsampling or
+    MCU cropping bug surfaces as a value mismatch."""
     from logparser_spark.operators import multimodal
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2310,15 +2312,15 @@ def _dataprep_sql() -> dict[str, str]:
     sqls["image_pixels_jpeg"] = """
     WITH p AS (
       SELECT doc_id, (doc_id % 21) + 4 AS w, (doc_id % 13) + 4 AS h,
-        CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nch
+        CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS nch
       FROM documents),
     b AS (
       SELECT p.doc_id, p.w, p.h, p.nch,
-        (p.doc_id * 31 + by.by * 17 + bx.bx * 5 + c.c * 43) % 256 AS v,
-        least(8, p.h - 8 * by.by) * least(8, p.w - 8 * bx.bx) AS npx
+        (p.doc_id * 31 + ty.t * 17 + tx.t * 5 + c.c * 43) % 256 AS v,
+        least(16, p.h - 16 * ty.t) * least(16, p.w - 16 * tx.t) AS npx
       FROM p,
-        unnest(range(0, (p.h + 7) // 8)) by(by),
-        unnest(range(0, (p.w + 7) // 8)) bx(bx),
+        unnest(range(0, (p.h + 15) // 16)) ty(t),
+        unnest(range(0, (p.w + 15) // 16)) tx(t),
         unnest(range(0, p.nch)) c(c))
     SELECT doc_id, 'jpeg' AS format,
       max(w)::INT AS width, max(h)::INT AS height,

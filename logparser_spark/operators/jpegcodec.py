@@ -4,15 +4,17 @@ Huffman decode of the entropy-coded scan (DC categories, AC
 run/size + ZRL + EOB, byte unstuffing, restart markers), dequantize,
 2-D IDCT, level shift, MCU assembly and crop.
 
-Scope: baseline sequential, 8-bit, single-component (grayscale).
-Chroma-subsampled color scans raise ``NotImplementedError`` where the
-component interleave would go — honestly scoped, the entropy and
-transform machinery is the real thing either way. Huffman tables are
-read FROM THE STREAM (as the spec requires — real-world JPEGs carry
-optimized tables), never assumed.
+Scope: baseline sequential, 8-bit — grayscale, 3-component 4:4:4
+interleaved (per-component Huffman/quant/DC-predictors), and
+4:2:0 chroma-subsampled (2×2/1×1/1×1 — the dominant real-crawl
+layout; MCU = four Y blocks + Cb + Cr, chroma upsampled by 2×2
+replication as the documented contract). Progressive/arithmetic
+scans and other sampling layouts raise ``NotImplementedError``.
+Huffman tables are read FROM THE STREAM (as the spec requires —
+real-world JPEGs carry optimized tables), never assumed.
 
-The companion encoder (``encode_jpeg_gray``) emits spec-valid streams
-with its own canonical tables, per-8×8-block content; constant blocks
+The companion encoders (``encode_jpeg``, ``encode_jpeg_420``) emit
+spec-valid streams with their own canonical tables; constant blocks
 quantize to a DC-only spectrum whose IDCT is exact integer, which is
 what lets the oracle predict decoded pixels arithmetically while the
 decoder runs the full general path (Huffman → dequant → IDCT). AC
@@ -152,8 +154,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     """Baseline JPEG → uint8 sample array: (H, W) for a
     single-component (grayscale) scan, (H, W, 3) DECODED COMPONENT
     samples (YCbCr as stored — color-space conversion is a separate
-    stage) for a 3-component 4:4:4 interleaved scan. Raises on
-    anything outside baseline non-subsampled scope."""
+    stage) for 3-component scans, 4:4:4 interleaved or 4:2:0
+    chroma-subsampled (replication-upsampled). Raises on anything
+    outside baseline scope."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("jpeg: bad SOI")
     qtables: Dict[int, np.ndarray] = {}
@@ -203,13 +206,14 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             sof_comps = []
             for k in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * k:9 + 3 * k]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "jpeg: chroma subsampling (needs per-component"
-                        " MCU tiling + upsampling) unsupported —"
-                        " 4:4:4 only"
-                    )
-                sof_comps.append((cid, tq))
+                sof_comps.append((cid, samp, tq))
+            samps = [s for _, s, _ in sof_comps]
+            if samps != [0x11] * ncomp and samps != [0x22, 0x11, 0x11]:
+                raise NotImplementedError(
+                    "jpeg: sampling layout "
+                    f"{[hex(s) for s in samps]} unsupported — "
+                    "4:4:4, grayscale, or 4:2:0 (2x2,1x1,1x1) only"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -225,7 +229,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     "jpeg: non-interleaved multi-scan file"
                 )
-            by_id = dict(sof_comps)
+            by_id = {cid: tq for cid, _, tq in sof_comps}
             comps = []
             for k in range(ns):
                 cs = seg[1 + 2 * k]
@@ -235,6 +239,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     qtables[by_id[cs]],
                 ))
             scan_start = i + 2 + seglen
+            if [s for _, s, _ in sof_comps] == [0x22, 0x11, 0x11]:
+                return _decode_scan_420(
+                    b, scan_start, width, height, comps,
+                    restart_interval,
+                )
             return _decode_scan(
                 b, scan_start, width, height, comps, restart_interval,
             )
@@ -472,3 +481,164 @@ def encode_jpeg_gray(pixels: np.ndarray,
     if pixels.ndim != 2:
         raise ValueError("jpeg: encode_jpeg_gray expects (H, W)")
     return encode_jpeg(pixels, restart_interval=restart_interval)
+
+
+def _decode_scan_420(b, pos, width, height, comps,
+                     restart_interval) -> np.ndarray:
+    """Interleaved baseline 4:2:0 scan: MCU = 16×16 luma pixels as
+    four Y blocks (row-major 2×2) followed by one Cb and one Cr block
+    covering the same area at half resolution. Chroma planes are
+    upsampled by 2×2 REPLICATION (T.81 leaves the filter to the
+    decoder; replication is this codec's documented deterministic
+    contract). RSTn resets all three predictors; the restart interval
+    counts MCUs."""
+    (dc_y, ac_y, q_y), (dc_cb, ac_cb, q_cb), (dc_cr, ac_cr, q_cr) = comps
+    mcux = (width + 15) // 16
+    mcuy = (height + 15) // 16
+    ypl = np.zeros((mcuy * 16, mcux * 16), dtype=np.float64)
+    cbpl = np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)
+    crpl = np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)
+    r = _BitReader(b, pos)
+    py = pcb = pcr = 0
+    n_mcu = 0
+    for by in range(mcuy):
+        for bx in range(mcux):
+            if restart_interval and n_mcu and \
+                    n_mcu % restart_interval == 0:
+                p = r.align_to_marker()
+                if not (b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7):
+                    raise ValueError("jpeg: expected restart marker")
+                r = _BitReader(b, p + 2)
+                py = pcb = pcr = 0
+            for sy in range(2):
+                for sx in range(2):
+                    blk, py = _decode_block(r, dc_y, ac_y, q_y, py)
+                    y0 = by * 16 + sy * 8
+                    x0 = bx * 16 + sx * 8
+                    ypl[y0:y0 + 8, x0:x0 + 8] = blk
+            blk, pcb = _decode_block(r, dc_cb, ac_cb, q_cb, pcb)
+            cbpl[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
+            blk, pcr = _decode_block(r, dc_cr, ac_cr, q_cr, pcr)
+            crpl[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
+            n_mcu += 1
+    up = lambda p: p.repeat(2, axis=0).repeat(2, axis=1)
+    out = np.stack([ypl, up(cbpl), up(crpl)], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)[
+        :height, :width
+    ]
+
+
+def encode_jpeg_420(pixels: np.ndarray,
+                    restart_interval: int = 0) -> bytes:
+    """Baseline 4:2:0 encoder over (H, W, 3) YCbCr samples: luma
+    edge-padded to 16×16 MCUs; chroma downsampled by 2×2 FLOOR-MEAN
+    (the inverse contract of the decoder's replication — exact on
+    2×2-constant content), edge-padded to 8×8 per MCU. One shared
+    canonical DC/AC Huffman table pair (spec-legal), per-component
+    predictors, optional restart markers; quantizer = 1 everywhere so
+    flat-block spectra survive exactly."""
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("jpeg: 4:2:0 needs (H, W, 3) samples")
+    h, w, _ = px.shape
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    pad = np.pad(px, ((0, mcuy * 16 - h), (0, mcux * 16 - w), (0, 0)),
+                 mode="edge")
+    ypl = pad[:, :, 0]
+    # 2x2 floor-mean downsample of each chroma plane
+    def down(p):
+        s = (p[0::2, 0::2] + p[0::2, 1::2]
+             + p[1::2, 0::2] + p[1::2, 1::2])
+        return np.floor(s / 4.0)
+
+    cbpl = down(pad[:, :, 1])
+    crpl = down(pad[:, :, 2])
+
+    dc_syms = set()
+    ac_syms = {0x00}
+    preds = [0, 0, 0]
+    per_unit = []
+    n_mcu = 0
+
+    def emit(plane, y0, x0, ci):
+        blk = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
+        s = np.round(_BASIS @ blk @ _BASIS.T).astype(np.int32)
+        zz = s[_ZIG[:, 0], _ZIG[:, 1]]
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        dc_syms.add(_size_cat(diff))
+        acs = []
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                acs.append((0xF0, 0, 0))
+                ac_syms.add(0xF0)
+                run -= 16
+            sz = _size_cat(v)
+            acs.append(((run << 4) | sz, v, sz))
+            ac_syms.add((run << 4) | sz)
+            run = 0
+        per_unit.append((diff, acs, run > 0))
+
+    for by in range(mcuy):
+        for bx in range(mcux):
+            if restart_interval and n_mcu and \
+                    n_mcu % restart_interval == 0:
+                preds[:] = [0, 0, 0]
+            for sy in range(2):
+                for sx in range(2):
+                    emit(ypl, by * 16 + sy * 8, bx * 16 + sx * 8, 0)
+            emit(cbpl, by * 8, bx * 8, 1)
+            emit(crpl, by * 8, bx * 8, 2)
+            n_mcu += 1
+
+    dc_bits, dc_vals, dc_enc = _canonical_table(sorted(dc_syms))
+    ac_bits, ac_vals, ac_enc = _canonical_table(sorted(ac_syms))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) \
+            + payload
+
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, sos)
+
+    wtr = _BitWriter()
+    rst = 0
+    units_per_mcu = 6
+    for u, (diff, acs, eob) in enumerate(per_unit):
+        if restart_interval and u and \
+                u % (restart_interval * units_per_mcu) == 0:
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+        sz = _size_cat(diff)
+        ln, code = dc_enc[sz]
+        wtr.write(code, ln)
+        if sz:
+            wtr.write(_magnitude(diff, sz), sz)
+        for sym, v, vsz in acs:
+            ln, code = ac_enc[sym]
+            wtr.write(code, ln)
+            if vsz:
+                wtr.write(_magnitude(v, vsz), vsz)
+        if eob:
+            ln, code = ac_enc[0x00]
+            wtr.write(code, ln)
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

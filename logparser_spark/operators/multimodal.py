@@ -1136,34 +1136,39 @@ def synth_jpeg(df, id_col: str = "doc_id", out_col: str = "img",
                keep_cols: Optional[list] = None):
     """Deterministic PIXEL-BEARING JPEG synthesizer: per id a baseline
     JPEG with width = (id % 21) + 4, height = (id % 13) + 4 (partial
-    edge MCUs in both axes), GRAYSCALE for even ids and 3-component
-    4:4:4 INTERLEAVED for odd ids; sample (y, x, c) =
-    (id*31 + (y div 8)*17 + (x div 8)*5 + c*43) % 256 — constant per
-    8×8 block, so every component's DCT spectrum is DC-only and the
-    decode round-trips EXACTLY (q = 1), letting an oracle predict
-    every decoded-sample aggregate arithmetically while the engine
-    runs the full Huffman → dequant → IDCT path (with per-component
-    DC predictors on the color side). Every third id carries restart
-    markers (DRI = 2 MCUs) so RSTn handling is exercised at query
-    scale."""
+    edge MCUs in both axes), family id mod 3 — 0 GRAYSCALE, 1
+    3-component 4:4:4 INTERLEAVED, 2 4:2:0 CHROMA-SUBSAMPLED (the
+    real-crawl layout: four Y + Cb + Cr per MCU, floor-mean
+    downsample, replication upsample); sample (y, x, c) =
+    (id*31 + (y div 16)*17 + (x div 16)*5 + c*43) % 256 — constant per
+    16×16 tile, so every component's DCT spectrum is DC-only, the
+    chroma down/upsample is lossless, and the decode round-trips
+    EXACTLY (q = 1), letting an oracle predict every decoded-sample
+    aggregate arithmetically while the engine runs the full Huffman →
+    dequant → IDCT path (with per-component DC predictors). Every
+    second id carries restart markers (DRI = 2 MCUs) so RSTn handling
+    is exercised at query scale in every family."""
     import numpy as np
 
-    from logparser_spark.operators.jpegcodec import encode_jpeg
+    from logparser_spark.operators.jpegcodec import (
+        encode_jpeg,
+        encode_jpeg_420,
+    )
 
     def synth(i: int) -> bytes:
         w = (i % 21) + 4
         h = (i % 13) + 4
         y, x = np.mgrid[0:h, 0:w]
-        base = i * 31 + (y // 8) * 17 + (x // 8) * 5
-        if i % 2 == 0:
-            img = base % 256
-        else:
-            c = np.arange(3)[None, None, :]
-            img = (base[:, :, None] + c * 43) % 256
-        return encode_jpeg(
-            img.astype(np.uint8),
-            restart_interval=2 if i % 3 == 0 else 0,
-        )
+        base = i * 31 + (y // 16) * 17 + (x // 16) * 5
+        ri = 2 if i % 2 == 0 else 0
+        if i % 3 == 0:
+            return encode_jpeg((base % 256).astype(np.uint8),
+                               restart_interval=ri)
+        c = np.arange(3)[None, None, :]
+        img = ((base[:, :, None] + c * 43) % 256).astype(np.uint8)
+        if i % 3 == 1:
+            return encode_jpeg(img, restart_interval=ri)
+        return encode_jpeg_420(img, restart_interval=ri)
 
     return _synth_binary_stage(df, synth, out_col, id_col, keep_cols)
 

@@ -269,8 +269,8 @@ def test_decoder_rejects_subsampled_and_cmyk_scans():
     good = bytearray(encode_jpeg_gray(img))
     i = good.find(b"\xff\xc0")
     bad = bytearray(good)
-    bad[i + 11] = 0x22  # sampling-factor byte: 2x2 = 4:2:0
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    bad[i + 11] = 0x22  # 2x2 sampling on a 1-component stream
+    with pytest.raises(NotImplementedError, match="sampling layout"):
         decode_jpeg_gray(bytes(bad))
     bad = bytearray(good)
     bad[i + 9] = 4  # ncomp byte inside SOF0 (CMYK-style)
@@ -349,11 +349,95 @@ def test_synth_jpeg_decode_pixels_stage(spark):
     }
     assert len(got) == 64
     for did in range(64):
-        img = (_constant_block_image(did) if did % 2 == 0
-               else _constant_block_image_color(did))
+        w = (did % 21) + 4
+        h = (did % 13) + 4
+        y, x = np.mgrid[0:h, 0:w]
+        base = did * 31 + (y // 16) * 17 + (x // 16) * 5
+        if did % 3 == 0:
+            img = (base % 256).astype(np.uint8)
+        else:
+            c = np.arange(3)[None, None, :]
+            img = ((base[:, :, None] + c * 43) % 256).astype(np.uint8)
         r = got[did]
         assert r["format"] == "jpeg"
         assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
         assert r["n_px"] == img.size
         assert r["px_sum"] == int(img.astype(np.int64).sum())
         assert r["px_max"] == int(img.max())
+
+
+def _tile_constant_420(did: int) -> np.ndarray:
+    w = (did % 37) + 4
+    h = (did % 23) + 4
+    y, x = np.mgrid[0:h, 0:w]
+    c = np.arange(3)[None, None, :]
+    return ((did * 29 + (y // 16)[:, :, None] * 19
+             + (x // 16)[:, :, None] * 7 + c * 53) % 256).astype(
+        np.uint8
+    )
+
+
+def test_420_roundtrip_exact_on_tile_constant():
+    from logparser_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_420,
+    )
+
+    for did in [0, 1, 2, 5, 33, 100, 255]:
+        img = _tile_constant_420(did)
+        ri = 2 if did % 3 == 0 else 0
+        out = decode_jpeg(encode_jpeg_420(img, restart_interval=ri))
+        assert out.shape == img.shape
+        assert np.array_equal(out, img), did
+
+
+def test_420_general_content_luma_near_exact_chroma_smoothed():
+    from logparser_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_420,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(21, 19, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_420(img))
+    # luma is full resolution: quantizer-1 rounding error only
+    assert np.abs(out[:, :, 0].astype(int)
+                  - img[:, :, 0].astype(int)).max() <= 2
+    # chroma comes back 2x2-blocky: each 2x2 cell is constant
+    for ch in (1, 2):
+        p = out[:20, :18, ch]
+        assert (p[0::2, 0::2] == p[1::2, 0::2]).all()
+        assert (p[0::2, 0::2] == p[0::2, 1::2]).all()
+    # restart markers must not change decoded pixels
+    out_rst = decode_jpeg(encode_jpeg_420(img, restart_interval=3))
+    assert np.array_equal(out, out_rst)
+
+
+def test_420_chroma_upsample_geometry():
+    from logparser_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_420,
+    )
+
+    # two 16-tiles side by side with different chroma: the boundary
+    # must land exactly at x=16 after upsampling
+    img = np.zeros((16, 32, 3), dtype=np.uint8)
+    img[:, :16] = [100, 40, 200]
+    img[:, 16:] = [100, 180, 60]
+    out = decode_jpeg(encode_jpeg_420(img))
+    assert np.array_equal(out, img)
+
+
+def test_decoder_rejects_other_sampling_layouts():
+    from logparser_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_420,
+    )
+
+    img = _tile_constant_420(3)
+    good = bytearray(encode_jpeg_420(img))
+    i = bytes(good).find(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[i + 11] = 0x21  # 2x1 (4:2:2) luma sampling
+    with pytest.raises(NotImplementedError, match="sampling layout"):
+        decode_jpeg(bytes(bad))
