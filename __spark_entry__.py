@@ -1184,13 +1184,15 @@ def q_audio_samples(spark, sf_dir):
 
 def q_image_pixels_jpeg(spark, sf_dir):
     """REAL JPEG PIXEL decode: synthesize a baseline JPEG per document
-    (family id mod 3: grayscale / 4:4:4 interleaved / 4:2:0
+    (family id mod 4: grayscale / 4:4:4 interleaved / 4:2:0
     chroma-subsampled — the real-crawl layout with four Y + Cb + Cr
-    per MCU; dims and per-16×16-tile fill arithmetic in doc_id, every
-    second stream carrying restart markers), decode the bits back
-    through the full entropy path — stream-carried canonical Huffman
-    tables, per-component DC prediction, AC run/size, byte
-    unstuffing, RSTn, chroma replication-upsample — dequantize, 2-D
+    per MCU — / PROGRESSIVE SOF2 multi-scan; dims and per-16×16-tile
+    fill arithmetic in doc_id, every second stream carrying restart
+    markers), decode the bits back through the full entropy path —
+    stream-carried canonical Huffman tables, per-component DC
+    prediction (incl. the progressive point-transform + refinement
+    accumulation and EOBn runs), AC run/size, byte unstuffing, RSTn,
+    chroma replication-upsample — dequantize, 2-D
     IDCT, crop, and aggregate the decoded samples. The tile-constant
     content makes every component's DCT spectrum DC-only and the
     chroma resample lossless, so the round-trip is exact and the
@@ -2312,7 +2314,7 @@ def _dataprep_sql() -> dict[str, str]:
     sqls["image_pixels_jpeg"] = """
     WITH p AS (
       SELECT doc_id, (doc_id % 21) + 4 AS w, (doc_id % 13) + 4 AS h,
-        CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS nch
+        CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS nch
       FROM documents),
     b AS (
       SELECT p.doc_id, p.w, p.h, p.nch,

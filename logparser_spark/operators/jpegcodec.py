@@ -8,8 +8,13 @@ Scope: baseline sequential, 8-bit — grayscale, 3-component 4:4:4
 interleaved (per-component Huffman/quant/DC-predictors), and
 4:2:0 chroma-subsampled (2×2/1×1/1×1 — the dominant real-crawl
 layout; MCU = four Y blocks + Cb + Cr, chroma upsampled by 2×2
-replication as the documented contract). Progressive/arithmetic
-scans and other sampling layouts raise ``NotImplementedError``.
+replication as the documented contract) — plus PROGRESSIVE (SOF2)
+frames with spectral selection and successive approximation on DC
+(interleaved point-transformed DC scans + refinement bits,
+single-component EOBn-run-coded AC band scans; coefficients
+accumulate across scans, one IDCT at EOI). AC refinement scans
+(Ah>0, Ss>0), arithmetic coding and other sampling layouts raise
+``NotImplementedError``.
 Huffman tables are read FROM THE STREAM (as the spec requires —
 real-world JPEGs carry optimized tables), never assumed.
 
@@ -642,3 +647,419 @@ def encode_jpeg_420(pixels: np.ndarray,
     out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ── progressive (SOF2): spectral selection + DC successive
+#    approximation ─────────────────────────────────────────────────────
+
+
+def _prog_dc_scan(b, pos, st, scan_comps, ah, al, ri):
+    """Progressive DC scan over the interleaved MCU raster (all
+    sampling 1×1 here, so MCU = one block per scan component).
+    First pass (Ah=0): Huffman diffs shifted left by Al; refinement
+    (Ah>0): one appended bit per block."""
+    r = _BitReader(b, pos)
+    preds = {ci: 0 for ci, _, _ in scan_comps}
+    n_mcu = 0
+    mcux, mcuy = st["mcux"], st["mcuy"]
+    for by in range(mcuy):
+        for bx in range(mcux):
+            if ri and n_mcu and n_mcu % ri == 0:
+                p = r.align_to_marker()
+                if not (b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7):
+                    raise ValueError("jpeg: expected restart marker")
+                r = _BitReader(b, p + 2)
+                preds = {ci: 0 for ci, _, _ in scan_comps}
+            for ci, dc_t, _ in scan_comps:
+                coef = st["coef"][ci][by][bx]
+                if ah == 0:
+                    size = _decode_symbol(r, dc_t)
+                    preds[ci] += _extend(r.read_bits(size), size)
+                    coef[0] = preds[ci] << al
+                else:
+                    if r.read_bit():
+                        coef[0] |= 1 << al
+            n_mcu += 1
+
+
+def _prog_ac_first(b, pos, st, ci, ac_t, ss, se, al, ri):
+    """Progressive AC first scan (Ah=0): single-component block
+    raster, band Ss..Se, EOBn run codes, values shifted by Al."""
+    r = _BitReader(b, pos)
+    eobrun = 0
+    n_blk = 0
+    for by in range(st["mcuy"]):
+        for bx in range(st["mcux"]):
+            if ri and n_blk and n_blk % ri == 0:
+                p = r.align_to_marker()
+                if not (b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7):
+                    raise ValueError("jpeg: expected restart marker")
+                r = _BitReader(b, p + 2)
+                eobrun = 0
+            n_blk += 1
+            coef = st["coef"][ci][by][bx]
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _decode_symbol(r, ac_t)
+                rr, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if rr == 15:
+                        k += 16          # ZRL
+                        continue
+                    eobrun = (1 << rr) + r.read_bits(rr) - 1
+                    break
+                k += rr
+                if k > se:
+                    raise ValueError("jpeg: AC band overflow")
+                coef[k] = _extend(r.read_bits(s), s) << al
+                k += 1
+
+
+def decode_jpeg_progressive(b: bytes) -> np.ndarray:
+    """Progressive (SOF2) JPEG → uint8 sample array, same output
+    contract as :func:`decode_jpeg`. Supported scan scripts: spectral
+    selection (interleaved DC scans, single-component AC band scans
+    with EOBn run codes) plus SUCCESSIVE APPROXIMATION ON DC
+    (point-transformed first pass + refinement bits). AC refinement
+    scans (Ah>0 with Ss>0 — the correction-bit algorithm) and
+    subsampled progressive layouts raise ``NotImplementedError``;
+    1×1-sampled grayscale and 4:4:4 color are decoded fully.
+    Coefficients accumulate across scans and the IDCT runs once at
+    EOI — bit-identical to the baseline decode of the same spectrum,
+    which is what the differential tests assert."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: bad SOI")
+    qtables: Dict[int, np.ndarray] = {}
+    htables: Dict[Tuple[int, int], Dict] = {}
+    width = height = None
+    sof_comps: List[Tuple[int, int]] = []  # (comp_id, tq)
+    restart_interval = 0
+    st = None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("jpeg: lost marker sync")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i + 4:i + 2 + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit qtable not baseline")
+                zz = np.frombuffer(seg[j + 1:j + 65], dtype=np.uint8)
+                nat = np.zeros((8, 8), dtype=np.int32)
+                nat[_ZIG[:, 0], _ZIG[:, 1]] = zz
+                qtables[tq] = nat
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1:j + 17])
+                n = sum(bits)
+                htables[(tc, th)] = build_huffman(
+                    bits, list(seg[j + 17:j + 17 + n])
+                )
+                j += 17 + n
+        elif marker == 0xC2:  # SOF2 progressive
+            prec = seg[0]
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if prec != 8 or ncomp not in (1, 3):
+                raise NotImplementedError("jpeg: progressive scope")
+            sof_comps = []
+            for k in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * k:9 + 3 * k]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "jpeg: subsampled progressive unsupported"
+                    )
+                sof_comps.append((cid, tq))
+            mcux = (width + 7) // 8
+            mcuy = (height + 7) // 8
+            st = {
+                "mcux": mcux, "mcuy": mcuy,
+                "coef": {
+                    k: [[np.zeros(64, dtype=np.int32)
+                         for _ in range(mcux)] for _ in range(mcuy)]
+                    for k in range(ncomp)
+                },
+            }
+        elif marker == 0xC0:
+            raise ValueError("jpeg: baseline SOF in progressive entry")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:
+            if st is None:
+                raise ValueError("jpeg: SOS before SOF2")
+            ns = seg[0]
+            ids = [cid for cid, _ in sof_comps]
+            scan = []
+            for k in range(ns):
+                cs = seg[1 + 2 * k]
+                td, ta = seg[2 + 2 * k] >> 4, seg[2 + 2 * k] & 0xF
+                scan.append((ids.index(cs), td, ta))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            pos = i + 2 + seglen
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("jpeg: DC scan with Se != 0")
+                _prog_dc_scan(
+                    b, pos, st,
+                    [(ci, htables[(0, td)], None)
+                     for ci, td, _ in scan],
+                    ah, al, restart_interval,
+                )
+            else:
+                if ns != 1:
+                    raise ValueError("jpeg: interleaved AC scan")
+                if ah != 0:
+                    raise NotImplementedError(
+                        "jpeg: AC successive-approximation refinement"
+                        " (correction-bit scans) unsupported"
+                    )
+                ci, _, ta = scan[0]
+                _prog_ac_first(
+                    b, pos, st, ci, htables[(1, ta)], ss, se, al,
+                    restart_interval,
+                )
+            # skip to the next marker: scans end at the following
+            # 0xFF-non-stuffing byte; walk forward from pos
+            j = pos
+            while j + 1 < len(b):
+                if b[j] == 0xFF and b[j + 1] != 0x00 and not \
+                        (0xD0 <= b[j + 1] <= 0xD7):
+                    break
+                j += 1 if b[j] != 0xFF else 2
+            i = j
+            continue
+        i += 2 + seglen
+    if st is None or width is None:
+        raise ValueError("jpeg: no progressive frame")
+    nc = len(sof_comps)
+    out = np.zeros((st["mcuy"] * 8, st["mcux"] * 8, nc),
+                   dtype=np.float64)
+    for k, (_, tq) in enumerate(sof_comps):
+        q = qtables[tq]
+        for by in range(st["mcuy"]):
+            for bx in range(st["mcux"]):
+                zz = st["coef"][k][by][bx]
+                coeffs = np.zeros((8, 8), dtype=np.int32)
+                coeffs[_ZIG[:, 0], _ZIG[:, 1]] = zz
+                out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, k] = \
+                    idct_2d((coeffs * q).astype(np.float64)) + 128.0
+    px = np.clip(np.round(out), 0, 255).astype(np.uint8)[
+        :height, :width
+    ]
+    return px[:, :, 0] if nc == 1 else px
+
+
+def encode_jpeg_progressive(pixels: np.ndarray,
+                            restart_interval: int = 0) -> bytes:
+    """Progressive (SOF2) encoder over (H, W) grayscale or (H, W, 3)
+    4:4:4 samples, quantizer = 1. Scan script: (1) interleaved DC
+    first pass point-transformed to Al=1, (2) DC refinement scan
+    (Ah=1→Al=0, raw appended bits), (3) one full-band (Ss=1..Se=63,
+    Al=0) AC scan per component with EOBn run codes — every decoder
+    path this codec supports, over the same spectrum the baseline
+    encoder writes, so progressive and baseline decodes of one image
+    are bit-identical (the differential law the tests assert)."""
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3):
+        raise ValueError("jpeg: expected (H, W) or (H, W, 3) samples")
+    h, w, nc = px.shape
+    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    pad = np.pad(px, ((0, mcuy * 8 - h), (0, mcux * 8 - w), (0, 0)),
+                 mode="edge")
+    coef = {}
+    for ci in range(nc):
+        grid = []
+        for by in range(mcuy):
+            row = []
+            for bx in range(mcux):
+                blk = pad[by * 8:(by + 1) * 8,
+                          bx * 8:(bx + 1) * 8, ci] - 128.0
+                s = np.round(_BASIS @ blk @ _BASIS.T).astype(np.int32)
+                row.append(s[_ZIG[:, 0], _ZIG[:, 1]])
+            grid.append(row)
+        coef[ci] = grid
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) \
+            + payload
+
+    def sos(comps, ss, se, ah, al) -> bytes:
+        body = bytes([len(comps)]) + b"".join(
+            bytes([cid, tt]) for cid, tt in comps
+        ) + bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, nc) + b"".join(
+        bytes([ci + 1, 0x11, 0]) for ci in range(nc)
+    ))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    ri = restart_interval
+
+    # ── scan 1: interleaved DC first, Al = 1 ──
+    units = []
+    preds = [0] * nc
+    n_mcu = 0
+    dc_syms = set()
+    for by in range(mcuy):
+        for bx in range(mcux):
+            if ri and n_mcu and n_mcu % ri == 0:
+                preds = [0] * nc
+                units.append(("RST",))
+            for ci in range(nc):
+                v = int(coef[ci][by][bx][0]) >> 1  # arithmetic, Al=1
+                diff = v - preds[ci]
+                preds[ci] = v
+                dc_syms.add(_size_cat(diff))
+                units.append(("DC", diff))
+            n_mcu += 1
+    dc_bits, dc_vals, dc_enc = _canonical_table(sorted(dc_syms))
+    out += seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+    out += sos([(ci + 1, 0x00) for ci in range(nc)], 0, 0, 0, 1)
+    wtr = _BitWriter()
+    rst = 0
+    for u in units:
+        if u[0] == "RST":
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            continue
+        sz = _size_cat(u[1])
+        ln, code = dc_enc[sz]
+        wtr.write(code, ln)
+        if sz:
+            wtr.write(_magnitude(u[1], sz), sz)
+    wtr.flush()
+    out += wtr.out
+
+    # ── scan 2: DC refinement, Ah=1 → Al=0 (raw bits, no symbols) ──
+    out += sos([(ci + 1, 0x00) for ci in range(nc)], 0, 0, 1, 0)
+    wtr = _BitWriter()
+    rst = 0
+    n_mcu = 0
+    for by in range(mcuy):
+        for bx in range(mcux):
+            if ri and n_mcu and n_mcu % ri == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+            for ci in range(nc):
+                wtr.write(int(coef[ci][by][bx][0]) & 1, 1)
+            n_mcu += 1
+    wtr.flush()
+    out += wtr.out
+
+    # ── scans 3..: one full-band AC scan per component ──
+    for ci in range(nc):
+        events = []  # ("SYM", sym, value, size) / ("EOBN", n) / ("RST",)
+        ac_syms = set()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun > 0:
+                n = min(eobrun, 32767)
+                r = n.bit_length() - 1
+                events.append(("EOBN", r, n - (1 << r)))
+                ac_syms.add(r << 4)
+                eobrun -= n
+
+        n_blk = 0
+        for by in range(mcuy):
+            for bx in range(mcux):
+                if ri and n_blk and n_blk % ri == 0:
+                    flush_eob()
+                    events.append(("RST",))
+                n_blk += 1
+                zz = coef[ci][by][bx]
+                nz = [k for k in range(1, 64) if zz[k]]
+                if not nz:
+                    eobrun += 1
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, nz[-1] + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        events.append(("SYM", 0xF0, 0, 0))
+                        ac_syms.add(0xF0)
+                        run -= 16
+                    s = _size_cat(v)
+                    events.append(("SYM", (run << 4) | s, v, s))
+                    ac_syms.add((run << 4) | s)
+                    run = 0
+                if nz[-1] < 63:
+                    eobrun += 1
+        flush_eob()
+        ac_bits, ac_vals, ac_enc = _canonical_table(sorted(ac_syms))
+        out += seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+        out += sos([(ci + 1, 0x00)], 1, 63, 0, 0)
+        wtr = _BitWriter()
+        rst = 0
+        for ev in events:
+            if ev[0] == "RST":
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+            elif ev[0] == "EOBN":
+                _, r, extra = ev
+                ln, code = ac_enc[r << 4]
+                wtr.write(code, ln)
+                if r:
+                    wtr.write(extra, r)
+            else:
+                _, sym, v, s = ev
+                ln, code = ac_enc[sym]
+                wtr.write(code, ln)
+                if s:
+                    wtr.write(_magnitude(v, s), s)
+        wtr.flush()
+        out += wtr.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_auto(b: bytes) -> np.ndarray:
+    """Dispatch on the frame marker: SOF0 → baseline decoder, SOF2 →
+    progressive decoder (the two frame types a crawl actually
+    carries); other SOFn raise from the respective decoder."""
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            break
+        marker = b[i + 1]
+        if marker == 0xC2:
+            return decode_jpeg_progressive(b)
+        if marker == 0xC0:
+            return decode_jpeg(b)
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+        i += 2 + seglen
+    return decode_jpeg(b)  # let the baseline decoder raise precisely

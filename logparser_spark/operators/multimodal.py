@@ -1090,7 +1090,7 @@ def decode_image_pixels(df, binary_col: str = "img",
     Aggregates, not a per-pixel explode: output stays proportional to
     rows, the shape a 100 TB image-stats pass needs."""
     from logparser_spark.operators.gifcodec import decode_gif
-    from logparser_spark.operators.jpegcodec import decode_jpeg
+    from logparser_spark.operators.jpegcodec import decode_jpeg_auto
     from logparser_spark.operators.pngcodec import decode_png_pixels
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1100,7 +1100,7 @@ def decode_image_pixels(df, binary_col: str = "img",
                 b = bytes(buf) if buf is not None else b""
                 px = None
                 if b[:2] == b"\xff\xd8":
-                    fmt, px = "jpeg", decode_jpeg(b)
+                    fmt, px = "jpeg", decode_jpeg_auto(b)
                 elif b[:8] == b"\x89PNG\r\n\x1a\n":
                     fmt, (_, px) = "png", decode_png_pixels(b)
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
@@ -1136,10 +1136,12 @@ def synth_jpeg(df, id_col: str = "doc_id", out_col: str = "img",
                keep_cols: Optional[list] = None):
     """Deterministic PIXEL-BEARING JPEG synthesizer: per id a baseline
     JPEG with width = (id % 21) + 4, height = (id % 13) + 4 (partial
-    edge MCUs in both axes), family id mod 3 — 0 GRAYSCALE, 1
+    edge MCUs in both axes), family id mod 4 — 0 GRAYSCALE, 1
     3-component 4:4:4 INTERLEAVED, 2 4:2:0 CHROMA-SUBSAMPLED (the
     real-crawl layout: four Y + Cb + Cr per MCU, floor-mean
-    downsample, replication upsample); sample (y, x, c) =
+    downsample, replication upsample), 3 PROGRESSIVE (SOF2 multi-scan:
+    point-transformed DC first pass, DC refinement bits, per-component
+    EOBn-coded AC band scans); sample (y, x, c) =
     (id*31 + (y div 16)*17 + (x div 16)*5 + c*43) % 256 — constant per
     16×16 tile, so every component's DCT spectrum is DC-only, the
     chroma down/upsample is lossless, and the decode round-trips
@@ -1153,6 +1155,7 @@ def synth_jpeg(df, id_col: str = "doc_id", out_col: str = "img",
     from logparser_spark.operators.jpegcodec import (
         encode_jpeg,
         encode_jpeg_420,
+        encode_jpeg_progressive,
     )
 
     def synth(i: int) -> bytes:
@@ -1161,14 +1164,16 @@ def synth_jpeg(df, id_col: str = "doc_id", out_col: str = "img",
         y, x = np.mgrid[0:h, 0:w]
         base = i * 31 + (y // 16) * 17 + (x // 16) * 5
         ri = 2 if i % 2 == 0 else 0
-        if i % 3 == 0:
+        if i % 4 == 0:
             return encode_jpeg((base % 256).astype(np.uint8),
                                restart_interval=ri)
         c = np.arange(3)[None, None, :]
         img = ((base[:, :, None] + c * 43) % 256).astype(np.uint8)
-        if i % 3 == 1:
+        if i % 4 == 1:
             return encode_jpeg(img, restart_interval=ri)
-        return encode_jpeg_420(img, restart_interval=ri)
+        if i % 4 == 2:
+            return encode_jpeg_420(img, restart_interval=ri)
+        return encode_jpeg_progressive(img, restart_interval=ri)
 
     return _synth_binary_stage(df, synth, out_col, id_col, keep_cols)
 

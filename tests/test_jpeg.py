@@ -353,7 +353,7 @@ def test_synth_jpeg_decode_pixels_stage(spark):
         h = (did % 13) + 4
         y, x = np.mgrid[0:h, 0:w]
         base = did * 31 + (y // 16) * 17 + (x // 16) * 5
-        if did % 3 == 0:
+        if did % 4 == 0:
             img = (base % 256).astype(np.uint8)
         else:
             c = np.arange(3)[None, None, :]
@@ -441,3 +441,88 @@ def test_decoder_rejects_other_sampling_layouts():
     bad[i + 11] = 0x21  # 2x1 (4:2:2) luma sampling
     with pytest.raises(NotImplementedError, match="sampling layout"):
         decode_jpeg(bytes(bad))
+
+
+# ── progressive (SOF2) ───────────────────────────────────────────────
+
+
+def test_progressive_decode_equals_baseline_decode():
+    """The differential law: with quantizer 1 the progressive scan
+    script carries the exact same spectrum as the baseline scan, so
+    the two decodes must agree bit for bit on ANY content."""
+    from logparser_spark.operators.jpegcodec import (
+        decode_jpeg,
+        decode_jpeg_progressive,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(17)
+    for shape in [(8, 8), (16, 24), (13, 9), (21, 19, 3), (9, 33, 3)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img))
+        for ri in (0, 2):
+            prog = decode_jpeg_progressive(
+                encode_jpeg_progressive(img, restart_interval=ri)
+            )
+            assert np.array_equal(prog, base), (shape, ri)
+
+
+def test_progressive_auto_dispatch():
+    from logparser_spark.operators.jpegcodec import (
+        decode_jpeg_auto,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = _constant_block_image(7)
+    assert np.array_equal(decode_jpeg_auto(encode_jpeg(img)), img)
+    assert np.array_equal(
+        decode_jpeg_auto(encode_jpeg_progressive(img)), img
+    )
+
+
+def test_progressive_dc_point_transform_is_arithmetic_shift():
+    """Negative DC values: the Al=1 first pass floors toward -inf
+    (arithmetic shift) and the refinement bit restores the LSB —
+    exact recovery for every parity/sign combination."""
+    from logparser_spark.operators.jpegcodec import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive,
+    )
+
+    # values around 128 produce DC of both signs and parities
+    img = np.array([[10, 11], [245, 244]], dtype=np.uint8).repeat(
+        8, axis=0).repeat(8, axis=1)
+    out = decode_jpeg_progressive(encode_jpeg_progressive(img))
+    assert np.array_equal(out, img)
+
+
+def test_progressive_eobn_runs_across_blocks():
+    """A wide DC-only image makes every AC block empty: the whole AC
+    scan must collapse into EOBn run codes and still decode."""
+    from logparser_spark.operators.jpegcodec import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive,
+    )
+
+    y, x = np.mgrid[0:8, 0:264]  # 33 blocks -> EOBRUN 33 = 32 + 1
+    img = (((x // 8) * 7 + 30) % 256).astype(np.uint8)
+    b = encode_jpeg_progressive(img)
+    assert np.array_equal(decode_jpeg_progressive(b), img)
+
+
+def test_progressive_rejects_ac_refinement_and_subsampling():
+    from logparser_spark.operators.jpegcodec import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive,
+    )
+
+    img = _constant_block_image(5)
+    good = bytearray(encode_jpeg_progressive(img))
+    # patch the LAST SOS (the AC scan) to Ah=1 (refinement)
+    at = bytes(good).rfind(b"\xff\xda")
+    # SOS body: len(2) ns(1) comp pairs(2*ns) Ss Se AhAl
+    good[at + 4 + 1 + 2 + 2] = 0x10
+    with pytest.raises(NotImplementedError, match="refinement"):
+        decode_jpeg_progressive(bytes(good))
