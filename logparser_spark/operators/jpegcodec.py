@@ -12,13 +12,16 @@ replication as the documented contract) — plus PROGRESSIVE (SOF2)
 frames with spectral selection and successive approximation on DC
 (interleaved point-transformed DC scans + refinement bits,
 single-component EOBn-run-coded AC band scans; coefficients
-accumulate across scans, one IDCT at EOI). AC refinement scans
-(Ah>0, Ss>0), arithmetic coding and other sampling layouts raise
-``NotImplementedError``.
+accumulate across scans, one IDCT at EOI) INCLUDING AC refinement
+scans (the T.81 G.1.2.3 correction-bit algorithm: appended bits for
+every significant coefficient passed, eager ZRL skip regions, EOB
+runs carrying their blocks' corrections). Arithmetic coding and
+subsampled progressive layouts raise ``NotImplementedError``.
 Huffman tables are read FROM THE STREAM (as the spec requires —
 real-world JPEGs carry optimized tables), never assumed.
 
-The companion encoders (``encode_jpeg``, ``encode_jpeg_420``) emit
+The companion encoders (``encode_jpeg``, ``encode_jpeg_420``,
+``encode_jpeg_progressive``) emit
 spec-valid streams with their own canonical tables; constant blocks
 quantize to a DC-only spectrum whose IDCT is exact integer, which is
 what lets the oracle predict decoded pixels arithmetically while the
@@ -718,6 +721,66 @@ def _prog_ac_first(b, pos, st, ci, ac_t, ss, se, al, ri):
                 k += 1
 
 
+def _prog_ac_refine(b, pos, st, ci, ac_t, ss, se, al, ri):
+    """Progressive AC refinement scan (Ah = Al+1 → Al): the
+    correction-bit algorithm — newly-significant coefficients arrive
+    as ±1<<Al after a run of ZERO-HISTORY positions, every nonzero
+    coefficient passed over (and every one inside an EOB run) carries
+    one appended correction bit (T.81 G.1.2.3)."""
+    r = _BitReader(b, pos)
+    p1 = 1 << al
+    eobrun = 0
+    n_blk = 0
+
+    def correct(coef, k):
+        if r.read_bit() and (abs(int(coef[k])) & p1) == 0:
+            coef[k] += p1 if coef[k] > 0 else -p1
+
+    for by in range(st["mcuy"]):
+        for bx in range(st["mcux"]):
+            if ri and n_blk and n_blk % ri == 0:
+                p = r.align_to_marker()
+                if not (b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7):
+                    raise ValueError("jpeg: expected restart marker")
+                r = _BitReader(b, p + 2)
+                eobrun = 0
+            n_blk += 1
+            coef = st["coef"][ci][by][bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _decode_symbol(r, ac_t)
+                    run, s = sym >> 4, sym & 0xF
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "jpeg: refinement size != 1"
+                            )
+                        val = p1 if r.read_bit() else -p1
+                    else:
+                        if run != 15:
+                            eobrun = (1 << run) + r.read_bits(run)
+                            break
+                        val = 0  # ZRL: pass 16 zero-history slots
+                    while k <= se:
+                        if coef[k] != 0:
+                            correct(coef, k)
+                        else:
+                            run -= 1
+                            if run < 0:
+                                break
+                        k += 1
+                    if val and k <= se:
+                        coef[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if coef[k] != 0:
+                        correct(coef, k)
+                    k += 1
+                eobrun -= 1
+
+
 def decode_jpeg_progressive(b: bytes) -> np.ndarray:
     """Progressive (SOF2) JPEG → uint8 sample array, same output
     contract as :func:`decode_jpeg`. Supported scan scripts: spectral
@@ -822,16 +885,19 @@ def decode_jpeg_progressive(b: bytes) -> np.ndarray:
             else:
                 if ns != 1:
                     raise ValueError("jpeg: interleaved AC scan")
-                if ah != 0:
-                    raise NotImplementedError(
-                        "jpeg: AC successive-approximation refinement"
-                        " (correction-bit scans) unsupported"
-                    )
                 ci, _, ta = scan[0]
-                _prog_ac_first(
-                    b, pos, st, ci, htables[(1, ta)], ss, se, al,
-                    restart_interval,
-                )
+                if ah != 0:
+                    if ah != al + 1:
+                        raise ValueError("jpeg: Ah must be Al + 1")
+                    _prog_ac_refine(
+                        b, pos, st, ci, htables[(1, ta)], ss, se, al,
+                        restart_interval,
+                    )
+                else:
+                    _prog_ac_first(
+                        b, pos, st, ci, htables[(1, ta)], ss, se, al,
+                        restart_interval,
+                    )
             # skip to the next marker: scans end at the following
             # 0xFF-non-stuffing byte; walk forward from pos
             j = pos
@@ -864,15 +930,19 @@ def decode_jpeg_progressive(b: bytes) -> np.ndarray:
 
 
 def encode_jpeg_progressive(pixels: np.ndarray,
-                            restart_interval: int = 0) -> bytes:
+                            restart_interval: int = 0,
+                            ac_levels: int = 1) -> bytes:
     """Progressive (SOF2) encoder over (H, W) grayscale or (H, W, 3)
     4:4:4 samples, quantizer = 1. Scan script: (1) interleaved DC
     first pass point-transformed to Al=1, (2) DC refinement scan
-    (Ah=1→Al=0, raw appended bits), (3) one full-band (Ss=1..Se=63,
-    Al=0) AC scan per component with EOBn run codes — every decoder
-    path this codec supports, over the same spectrum the baseline
-    encoder writes, so progressive and baseline decodes of one image
-    are bit-identical (the differential law the tests assert)."""
+    (Ah=1→Al=0, raw appended bits), then per component either one
+    full-band Al=0 AC scan (``ac_levels=1``) or — ``ac_levels=2`` —
+    an Al=1 AC first scan followed by the Ah=1→Al=0 AC REFINEMENT
+    scan (correction bits, eager ZRL regions, EOB runs carrying their
+    blocks' corrections). Either script carries the exact spectrum
+    the baseline encoder writes, so progressive and baseline decodes
+    of one image are bit-identical (the differential law the tests
+    assert)."""
     px = np.asarray(pixels, dtype=np.float64)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -968,9 +1038,44 @@ def encode_jpeg_progressive(pixels: np.ndarray,
     wtr.flush()
     out += wtr.out
 
-    # ── scans 3..: one full-band AC scan per component ──
-    for ci in range(nc):
-        events = []  # ("SYM", sym, value, size) / ("EOBN", n) / ("RST",)
+    # ── AC scans per component ──
+    # events: ("SYM", sym, value_or_rawbits, size) — after every
+    # symbol the writer flushes the pending correction bits attached
+    # as the 5th element; ("EOBN", r, extra, pending) / ("RST",)
+
+    def write_events(events, ac_syms, ci_sos):
+        ac_bits, ac_vals, ac_enc = _canonical_table(sorted(ac_syms))
+        nonlocal out
+        out += seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+        out += ci_sos
+        wtr = _BitWriter()
+        rst = 0
+        for ev in events:
+            if ev[0] == "RST":
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+            elif ev[0] == "EOBN":
+                _, r, extra, pend = ev
+                ln, code = ac_enc[r << 4]
+                wtr.write(code, ln)
+                if r:
+                    wtr.write(extra, r)
+                for bit in pend:
+                    wtr.write(bit, 1)
+            else:
+                _, sym, v, s, pend = ev
+                ln, code = ac_enc[sym]
+                wtr.write(code, ln)
+                if s:
+                    wtr.write(v, s)
+                for bit in pend:
+                    wtr.write(bit, 1)
+        wtr.flush()
+        out += wtr.out
+
+    def ac_first_scan(ci, al):
+        events = []
         ac_syms = set()
         eobrun = 0
 
@@ -979,7 +1084,7 @@ def encode_jpeg_progressive(pixels: np.ndarray,
             while eobrun > 0:
                 n = min(eobrun, 32767)
                 r = n.bit_length() - 1
-                events.append(("EOBN", r, n - (1 << r)))
+                events.append(("EOBN", r, n - (1 << r), []))
                 ac_syms.add(r << 4)
                 eobrun -= n
 
@@ -991,52 +1096,114 @@ def encode_jpeg_progressive(pixels: np.ndarray,
                     events.append(("RST",))
                 n_blk += 1
                 zz = coef[ci][by][bx]
-                nz = [k for k in range(1, 64) if zz[k]]
+                tv = [
+                    (1 if zz[k] > 0 else -1) * (abs(int(zz[k])) >> al)
+                    for k in range(64)
+                ]
+                nz = [k for k in range(1, 64) if tv[k]]
                 if not nz:
                     eobrun += 1
                     continue
                 flush_eob()
                 run = 0
                 for k in range(1, nz[-1] + 1):
-                    v = int(zz[k])
+                    v = tv[k]
                     if v == 0:
                         run += 1
                         continue
                     while run > 15:
-                        events.append(("SYM", 0xF0, 0, 0))
+                        events.append(("SYM", 0xF0, 0, 0, []))
                         ac_syms.add(0xF0)
                         run -= 16
                     s = _size_cat(v)
-                    events.append(("SYM", (run << 4) | s, v, s))
+                    events.append(
+                        ("SYM", (run << 4) | s, _magnitude(v, s), s, [])
+                    )
                     ac_syms.add((run << 4) | s)
                     run = 0
                 if nz[-1] < 63:
                     eobrun += 1
         flush_eob()
-        ac_bits, ac_vals, ac_enc = _canonical_table(sorted(ac_syms))
-        out += seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
-        out += sos([(ci + 1, 0x00)], 1, 63, 0, 0)
-        wtr = _BitWriter()
-        rst = 0
-        for ev in events:
-            if ev[0] == "RST":
-                wtr.flush()
-                wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
-                rst += 1
-            elif ev[0] == "EOBN":
-                _, r, extra = ev
-                ln, code = ac_enc[r << 4]
-                wtr.write(code, ln)
-                if r:
-                    wtr.write(extra, r)
-            else:
-                _, sym, v, s = ev
-                ln, code = ac_enc[sym]
-                wtr.write(code, ln)
-                if s:
-                    wtr.write(_magnitude(v, s), s)
-        wtr.flush()
-        out += wtr.out
+        write_events(events, ac_syms, sos([(ci + 1, 0x00)], 1, 63,
+                                          0, al))
+
+    def ac_refine_scan(ci, al):
+        """Ah = Al+1 → Al correction-bit scan (T.81 G.1.2.3):
+        newly-significant coefficients (magnitude >> Al == 1) arrive
+        as (zero-history-run, 1) symbols + sign; every
+        already-significant coefficient passed contributes one
+        appended correction bit; EOB runs carry their blocks'
+        correction bits after the EOBn symbol."""
+        events = []
+        ac_syms = set()
+        eobrun = 0
+        pending = []
+
+        def flush_eob():
+            nonlocal eobrun, pending
+            while eobrun > 0:
+                n = min(eobrun, 32767)
+                r = n.bit_length() - 1
+                events.append(("EOBN", r, n - (1 << r), pending))
+                ac_syms.add(r << 4)
+                pending = []
+                eobrun -= n
+
+        n_blk = 0
+        for by in range(mcuy):
+            for bx in range(mcux):
+                if ri and n_blk and n_blk % ri == 0:
+                    flush_eob()
+                    assert not pending
+                    events.append(("RST",))
+                n_blk += 1
+                zz = coef[ci][by][bx]
+                mag = [abs(int(zz[k])) for k in range(64)]
+                newly = [k for k in range(1, 64) if (mag[k] >> al) == 1]
+                eobpos = newly[-1] if newly else 0
+                if newly:
+                    flush_eob()
+                run = 0
+                for k in range(1, 64):
+                    t = mag[k] >> al
+                    if t == 0:
+                        if k < eobpos:
+                            run += 1
+                            if run == 16:
+                                # eager ZRL: its correction bits are
+                                # exactly the ones inside its own
+                                # 16-slot skip region
+                                events.append(
+                                    ("SYM", 0xF0, 0, 0, pending)
+                                )
+                                ac_syms.add(0xF0)
+                                pending = []
+                                run = 0
+                        continue
+                    if t > 1:
+                        pending.append((mag[k] >> al) & 1)
+                        continue
+                    # newly significant: k <= eobpos by construction
+                    sign = 1 if zz[k] > 0 else 0
+                    events.append(
+                        ("SYM", (run << 4) | 1, sign, 1, pending)
+                    )
+                    ac_syms.add((run << 4) | 1)
+                    pending = []
+                    run = 0
+                if not newly or eobpos < 63:
+                    eobrun += 1
+        flush_eob()
+        assert not pending
+        write_events(events, ac_syms, sos([(ci + 1, 0x00)], 1, 63,
+                                          al + 1, al))
+
+    for ci in range(nc):
+        if ac_levels == 1:
+            ac_first_scan(ci, 0)
+        else:
+            ac_first_scan(ci, 1)
+            ac_refine_scan(ci, 0)
 
     out += b"\xff\xd9"
     return bytes(out)

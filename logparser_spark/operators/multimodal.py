@@ -1141,7 +1141,8 @@ def synth_jpeg(df, id_col: str = "doc_id", out_col: str = "img",
     real-crawl layout: four Y + Cb + Cr per MCU, floor-mean
     downsample, replication upsample), 3 PROGRESSIVE (SOF2 multi-scan:
     point-transformed DC first pass, DC refinement bits, per-component
-    EOBn-coded AC band scans); sample (y, x, c) =
+    EOBn-coded AC band scans at two successive-approximation levels,
+    correction-bit refinement included); sample (y, x, c) =
     (id*31 + (y div 16)*17 + (x div 16)*5 + c*43) % 256 — constant per
     16×16 tile, so every component's DCT spectrum is DC-only, the
     chroma down/upsample is lossless, and the decode round-trips
@@ -1173,7 +1174,8 @@ def synth_jpeg(df, id_col: str = "doc_id", out_col: str = "img",
             return encode_jpeg(img, restart_interval=ri)
         if i % 4 == 2:
             return encode_jpeg_420(img, restart_interval=ri)
-        return encode_jpeg_progressive(img, restart_interval=ri)
+        return encode_jpeg_progressive(img, restart_interval=ri,
+                                       ac_levels=2)
 
     return _synth_binary_stage(df, synth, out_col, id_col, keep_cols)
 

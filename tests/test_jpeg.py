@@ -512,7 +512,35 @@ def test_progressive_eobn_runs_across_blocks():
     assert np.array_equal(decode_jpeg_progressive(b), img)
 
 
-def test_progressive_rejects_ac_refinement_and_subsampling():
+def test_progressive_ac_refinement_differential():
+    """Full successive approximation on AC: Al=1 first scan + the
+    correction-bit refinement scan must reproduce the baseline decode
+    bit for bit on dense, sparse and gradient content."""
+    from logparser_spark.operators.jpegcodec import (
+        decode_jpeg,
+        decode_jpeg_progressive,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(31)
+    imgs = [rng.randint(0, 256, size=s).astype(np.uint8)
+            for s in [(16, 24), (13, 9), (21, 19, 3)]]
+    flat = np.full((24, 40), 128, dtype=np.uint8)
+    flat[5, 7] = 255
+    flat[20, 33] = 0  # isolated spikes: long ZRL runs + corrections
+    gy, gx = np.mgrid[0:24, 0:40]
+    imgs += [flat, np.clip(128 + gy // 3 - gx // 4, 0,
+                           255).astype(np.uint8)]
+    for img in imgs:
+        base = decode_jpeg(encode_jpeg(img))
+        for ri in (0, 3):
+            prog = decode_jpeg_progressive(encode_jpeg_progressive(
+                img, restart_interval=ri, ac_levels=2))
+            assert np.array_equal(prog, base)
+
+
+def test_progressive_rejects_bad_ah_and_subsampling():
     from logparser_spark.operators.jpegcodec import (
         decode_jpeg_progressive,
         encode_jpeg_progressive,
@@ -520,9 +548,9 @@ def test_progressive_rejects_ac_refinement_and_subsampling():
 
     img = _constant_block_image(5)
     good = bytearray(encode_jpeg_progressive(img))
-    # patch the LAST SOS (the AC scan) to Ah=1 (refinement)
+    # patch the LAST SOS (the AC scan, Ah=0 Al=0) to Ah=2 (Al+1 != Ah)
     at = bytes(good).rfind(b"\xff\xda")
     # SOS body: len(2) ns(1) comp pairs(2*ns) Ss Se AhAl
-    good[at + 4 + 1 + 2 + 2] = 0x10
-    with pytest.raises(NotImplementedError, match="refinement"):
+    good[at + 4 + 1 + 2 + 2] = 0x20
+    with pytest.raises(ValueError, match="Ah must be"):
         decode_jpeg_progressive(bytes(good))
