@@ -812,6 +812,27 @@ def q_fuzzy_key_pairs(spark, sf_dir):
     return fuzzy_key_pairs(words.union(tails).distinct(), "k")
 
 
+def q_politeness_order(spark, sf_dir):
+    """Crawl-frontier politeness scheduling: deterministic URLs over
+    37 hosts (derived from doc_id), per-host fetch rounds, and the
+    global fetch rank built two-level (per-slot row_number + broadcast
+    slot offsets — never a single-partition frontier sort). The oracle
+    states the same ordering with a plain global window, so the
+    two-level construction must agree rank-for-rank."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import weburl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return weburl.politeness_order(urls)
+
+
 def q_unigram_score(spark, sf_dir):
     """Corpus-unigram LM quality scoring (CCNet-style): build the
     unigram table from the corpus itself, then score each document by
@@ -1987,6 +2008,25 @@ def _dataprep_sql() -> dict[str, str]:
     FROM u, (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
       s(step, event_type)"""
 
+    sqls["politeness_order"] = """
+    WITH u AS (
+      SELECT 'https://site' || (doc_id % 37)::VARCHAR
+        || '.example.com/p/' || doc_id::VARCHAR AS url
+      FROM documents),
+    h AS (
+      SELECT url,
+        regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host
+      FROM u),
+    s AS (
+      SELECT url, host,
+        (row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+          ::BIGINT AS slot
+      FROM h)
+    SELECT url, host, slot,
+      row_number() OVER (ORDER BY slot, md5(host), url)::BIGINT
+        AS position
+    FROM s"""
+
     sqls["sample_fixed_n"] = """
     SELECT doc_id, text FROM documents
     ORDER BY md5('salt42|' || doc_id::VARCHAR), doc_id LIMIT 25"""
@@ -3086,6 +3126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spike_hours": q_spike_hours,
         "sample_fixed_n": q_sample_fixed_n,
         "fuzzy_key_pairs": q_fuzzy_key_pairs,
+        "politeness_order": q_politeness_order,
         "tfidf_top": q_tfidf_top,
         "normalize_text": q_normalize_text,
         "outlink_degrees": q_outlink_degrees,

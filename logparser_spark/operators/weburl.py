@@ -435,3 +435,54 @@ def cdx_lookup_pruned(spark, path: str, prefix: str, prefix_len: int = 10,
         .select("rank", "surt_key", id_col)
         .orderBy("rank")
     )
+
+
+def politeness_order(df, url_col: str = "url"):
+    """Crawl-frontier POLITENESS ordering: assign every URL a fetch
+    position such that same-host URLs are maximally spaced — the
+    classic frontier scheduler (one fetch slot per host per round).
+    ``slot`` = the URL's 0-based round within its host (row_number
+    per host, URL-ordered); ``position`` = the global 1-based fetch
+    rank by (slot, md5(host), url) — all of round 0 first, hosts
+    shuffled within a round by the hash so no host monopolizes a
+    window even in lexicographic url sets.
+
+    Output: ``(url, host, slot, position)``.
+
+    Scale shape: the per-host slot window partitions by host (bounded
+    by the busiest host, the same key every crawl component shards
+    on); the GLOBAL rank is two-level — per-slot row_number (bounded
+    partitions) plus broadcast slot-count prefix offsets — the
+    ``with_global_line_id`` construction, never a single-partition
+    sort of the frontier."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    host = F.regexp_extract(
+        F.col(url_col), "^[a-z][a-z0-9+.-]*://([^/]+)", 1
+    )
+    base = df.select(F.col(url_col).alias("url"), host.alias("host"))
+    slot = (
+        F.row_number().over(Window.partitionBy("host").orderBy("url"))
+        - 1
+    ).cast("long")
+    d1 = base.select("url", "host", slot.alias("slot"),
+                     F.md5("host").alias("__hh"))
+    counts = d1.groupBy("slot").agg(F.count("*").alias("__n"))
+    off = counts.select(
+        "slot",
+        (F.sum("__n").over(
+            Window.orderBy("slot")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ) - F.col("__n")).alias("__off"),
+    )
+    within = F.row_number().over(
+        Window.partitionBy("slot").orderBy("__hh", "url")
+    )
+    return (
+        d1.join(F.broadcast(off), "slot")
+        .select(
+            "url", "host", "slot",
+            (F.col("__off") + within).cast("long").alias("position"),
+        )
+    )

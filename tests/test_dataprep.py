@@ -1732,3 +1732,47 @@ class TestFuzzyAndSample:
         assert s3 != s1  # a different salt draws a different sample
         # n > rows: returns everything
         assert corpus.sample_fixed_n(docs, 5000).count() == 1000
+
+
+class TestPolitenessOrder:
+    def test_rounds_and_spacing(self, spark):
+        from pyspark.sql import functions as F
+
+        from logparser_spark.operators import weburl
+
+        # 4 hosts x 6 urls, balanced
+        rows = [(f"https://h{i % 4}.test/p/{i}",) for i in range(24)]
+        df = spark.createDataFrame(rows, ["url"])
+        out = weburl.politeness_order(df).collect()
+        assert sorted(r["position"] for r in out) == list(range(1, 25))
+        by_host = {}
+        for r in out:
+            by_host.setdefault(r["host"], []).append(
+                (r["slot"], r["position"])
+            )
+        for host, sp in by_host.items():
+            sp.sort()
+            # positions increase with slot, spaced exactly n_hosts
+            # apart in the balanced case
+            assert [p - sp[0][1] for _, p in sp] == \
+                [4 * k for k in range(6)], host
+        # every round holds each host exactly once
+        rounds = {}
+        for r in out:
+            rounds.setdefault(r["slot"], []).append(r["host"])
+        for slot, hosts in rounds.items():
+            assert len(hosts) == len(set(hosts)) == 4, slot
+
+    def test_unbalanced_hosts_trail_off(self, spark):
+        from logparser_spark.operators import weburl
+
+        rows = [("https://big.test/a",), ("https://big.test/b",),
+                ("https://big.test/c",), ("https://small.test/x",)]
+        df = spark.createDataFrame(rows, ["url"])
+        out = {r["url"]: (r["slot"], r["position"])
+               for r in weburl.politeness_order(df).collect()}
+        # round 0: both hosts; rounds 1-2: big.test alone at the tail
+        assert {out["https://big.test/a"][0],
+                out["https://small.test/x"][0]} == {0}
+        assert out["https://big.test/b"] == (1, 3)
+        assert out["https://big.test/c"] == (2, 4)
