@@ -48,6 +48,7 @@ from typing import Sequence
 
 _TAG = "__asof_is_left"
 _STRUCT = "__asof_left_row"
+_RVALS = "__asof_right_row"
 
 
 def asof_join(
@@ -77,19 +78,27 @@ def asof_join(
         ]
     matched_ts = f"asof_{right_ts}"
 
-    # Common union schema: key, ts, tag, packed left row, right values.
-    # Packing the left row into one struct keeps the union schema fixed
-    # regardless of the left projection and avoids column-name clashes.
+    # Common union schema: key, ts, tag, packed left row, packed right
+    # row. BOTH sides are packed into one struct each: the left struct
+    # keeps the union schema fixed regardless of the left projection; the
+    # right struct carries (matched_ts, *value_cols) as a single value so
+    # the running ``last(ignorenulls=True)`` below sees one NON-NULL cell
+    # per right row even when individual value columns are NULL — a
+    # per-column last() would let a NULL value field inherit from an
+    # OLDER right row while asof_ts reported the newer one, diverging
+    # from DuckDB/pandas ASOF semantics.
+    rval_struct = F.struct(
+        F.col(right_ts).alias(matched_ts),
+        *[F.col(c) for c in value_cols],
+    )
+    rv_dtype = right.select(rval_struct.alias("x")).schema["x"].dataType
+
     lhs = left.select(
         F.col(on),
         F.col(left_ts).alias("__asof_ts"),
         F.lit(1).alias(_TAG),
         F.struct(*[F.col(c) for c in left.columns]).alias(_STRUCT),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(matched_ts),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(c)
-            for c in value_cols
-        ],
+        F.lit(None).cast(rv_dtype).alias(_RVALS),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tb_{c}")
           for c in tiebreak_cols],
     )
@@ -98,8 +107,7 @@ def asof_join(
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias(_TAG),
         F.lit(None).cast(lhs.schema[_STRUCT].dataType).alias(_STRUCT),
-        F.col(right_ts).alias(matched_ts),
-        *[F.col(c) for c in value_cols],
+        rval_struct.alias(_RVALS),
         *[F.col(c).alias(f"__tb_{c}") for c in tiebreak_cols],
     )
 
@@ -108,15 +116,15 @@ def asof_join(
         .orderBy("__asof_ts", _TAG, *[f"__tb_{c}" for c in tiebreak_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [matched_ts] + list(value_cols)
     merged = lhs.unionByName(rhs).select(
         F.col(on),
         F.col(_TAG),
         F.col(_STRUCT),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last(_RVALS, ignorenulls=True).over(w).alias(_RVALS),
     )
+    carried = [matched_ts] + list(value_cols)
     out = merged.where(F.col(_TAG) == 1).select(
         *[F.col(f"{_STRUCT}.{c}").alias(c) for c in left.columns],
-        *[F.col(c) for c in carried],
+        *[F.col(f"{_RVALS}.{c}").alias(c) for c in carried],
     )
     return out

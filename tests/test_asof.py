@@ -84,6 +84,25 @@ def test_duplicate_right_ts_tiebreak(spark):
     assert out.collect()[0]["val"] == "second"
 
 
+def test_null_right_value_not_inherited(spark):
+    """A right row whose value column is genuinely NULL must still win
+    the as-of match — its NULL must NOT be papered over by an older
+    right row's non-NULL value (the per-column last() bug)."""
+    left = spark.createDataFrame(
+        [("a", 10, "e1"), ("a", 25, "e2")],
+        "key string, ts long, event string",
+    )
+    right = spark.createDataFrame(
+        [("a", 5, "old", 1), ("a", 20, None, None)],
+        "key string, ts long, val string, num int",
+    )
+    got = {r["event"]: (r["val"], r["num"], r["asof_ts"])
+           for r in asof_join(left, right, on="key").collect()}
+    # e1 matches r@5; e2 matches r@20 whose values are NULL — asof_ts
+    # must say 20 AND the values must be NULL, not ("old", 1).
+    assert got == {"e1": ("old", 1, 5), "e2": (None, None, 20)}
+
+
 def test_matches_pandas_merge_asof(spark):
     """Differential check against pandas.merge_asof on a generated
     corpus (97 left x 23 right per key, 3 keys, colliding timestamps)."""
