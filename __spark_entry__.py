@@ -2015,12 +2015,13 @@ def _dataprep_sql() -> dict[str, str]:
       FROM documents),
     h AS (
       SELECT url,
-        regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host
+        lower(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1)) AS host
       FROM u),
     s AS (
       SELECT url, host,
-        (row_number() OVER (PARTITION BY host ORDER BY url) - 1)
-          ::BIGINT AS slot
+        (row_number() OVER (PARTITION BY host ORDER BY md5(url), url)
+          - 1)::BIGINT AS slot
       FROM h)
     SELECT url, host, slot,
       row_number() OVER (ORDER BY slot, md5(host), url)::BIGINT

@@ -89,6 +89,10 @@ def term_search(index, terms: list, k: int = 10,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # Dedupe the query list first: the AND arity is matched against
+    # countDistinct('term'), so a duplicated query term would make
+    # the equality unsatisfiable and silently return zero results.
+    terms = list(dict.fromkeys(terms))
     n = len(terms)
     hits = (
         index.where(F.col("term").isin(list(terms)))

@@ -30,7 +30,10 @@ def quantiles_exact(df, value_col: str, q_ppm: Sequence[int],
     buckets with bucket 0 — shift negative domains before calling).
 
     Output: one row per requested quantile, ``(q_ppm, value)``;
-    an empty input yields null values (n = 0).
+    an empty input yields null values (n = 0). NULL (or
+    non-castable) values are EXCLUDED from the population — both the
+    histogram and N skip them, so ranks stay aligned (SQL
+    quantile_disc semantics).
 
     Shuffles: the value histogram (map-side combine collapses to
     distinct-value cardinality), the per-bucket totals (bucket
@@ -40,9 +43,12 @@ def quantiles_exact(df, value_col: str, q_ppm: Sequence[int],
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    counts = (
+    vals = (
         df.select(F.col(value_col).cast("long").alias("val"))
-        .groupBy("val")
+        .where(F.col("val").isNotNull())
+    )
+    counts = (
+        vals.groupBy("val")
         .agg(F.count("*").cast("long").alias("c"))
         .withColumn("bucket", F.expr(f"val div {int(bucket_width)}"))
     )
@@ -62,7 +68,7 @@ def quantiles_exact(df, value_col: str, q_ppm: Sequence[int],
         counts.join(F.broadcast(boff), "bucket")
         .select("val", (F.col("boff") + within).alias("cum"))
     )
-    n = df.count()
+    n = vals.count()
     spark = df.sparkSession
     if n == 0:
         return spark.createDataFrame(

@@ -319,7 +319,8 @@ def surt_key(canonical_url_col, host_col):
 
 
 def build_cdx(pages, url_col: str = "url", id_col: str = "doc_id",
-              prefix_len: int = 10):
+              prefix_len: int = 10, bucket_cap: int = 1_000_000,
+              ext_len: int = 16):
     """CDX-style globally ranked capture index (the web-archive lookup
     structure): canonicalize every URL, derive its SURT key, and
     assign each capture its ordinal in the GLOBAL SURT sort order —
@@ -343,6 +344,19 @@ def build_cdx(pages, url_col: str = "url", id_col: str = "doc_id",
     prefix = whole host). Rows whose URL does not canonicalize
     (NULL) are excluded — they belong to a reject sink.
 
+    Hot-key guard: a mega-host (SURT keys start with the reversed
+    host, so one host = one prefix bucket) would otherwise collapse
+    into ONE window partition sorted by one task. Any bucket whose
+    count exceeds ``bucket_cap`` is SUB-SPLIT by extending its prefix
+    ``ext_len`` more characters — order-preserving, because a bucket
+    either extends wholesale or not at all (the condition depends only
+    on the bucket's count), so mixed-length bucket ids never share a
+    10-char prefix and still sort lexicographically with the rank
+    order. A bucket that stays oversized after extension (keys
+    identical past ``prefix_len + ext_len`` chars) degrades to one
+    big partition — correct, just unsplit; size ``ext_len`` past the
+    hottest host's shared path prefix.
+
     Output: ``(rank, surt_key, doc_id)``, rank 1-based and dense over
     the kept rows, bit-equal to ``row_number() OVER (ORDER BY
     surt_key, doc_id)``.
@@ -358,11 +372,19 @@ def build_cdx(pages, url_col: str = "url", id_col: str = "doc_id",
             surt_key(F.col("canonical_url"), F.col("host"))
             .alias("surt_key"),
         )
-        .withColumn("__b", F.substring("surt_key", 1, prefix_len))
+        .withColumn("__b0", F.substring("surt_key", 1, prefix_len))
     )
+    b0tot = base.groupBy("__b0").agg(F.count(F.lit(1)).alias("__bn"))
+    split = base.join(F.broadcast(b0tot), "__b0").withColumn(
+        "__b",
+        F.when(
+            F.col("__bn") > int(bucket_cap),
+            F.substring("surt_key", 1, prefix_len + ext_len),
+        ).otherwise(F.col("__b0")),
+    ).drop("__b0", "__bn")
     w_in = Window.partitionBy("__b").orderBy("surt_key", id_col)
-    local = base.withColumn("__r", F.row_number().over(w_in))
-    btot = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__bn"))
+    local = split.withColumn("__r", F.row_number().over(w_in))
+    btot = split.groupBy("__b").agg(F.count(F.lit(1)).alias("__bn"))
     w_b = Window.orderBy("__b").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -441,48 +463,99 @@ def politeness_order(df, url_col: str = "url"):
     """Crawl-frontier POLITENESS ordering: assign every URL a fetch
     position such that same-host URLs are maximally spaced — the
     classic frontier scheduler (one fetch slot per host per round).
-    ``slot`` = the URL's 0-based round within its host (row_number
-    per host, URL-ordered); ``position`` = the global 1-based fetch
-    rank by (slot, md5(host), url) — all of round 0 first, hosts
-    shuffled within a round by the hash so no host monopolizes a
-    window even in lexicographic url sets.
+    ``slot`` = the URL's 0-based round within its host, ordered by
+    (md5(url), url) — the hash order doubles as the salting key, see
+    below; ``position`` = the global 1-based fetch rank by
+    (slot, md5(host), url) — all of round 0 first, hosts shuffled
+    within a round by the hash so no host monopolizes a window even
+    in lexicographic url sets.
 
     Output: ``(url, host, slot, position)``.
 
-    Scale shape: the per-host slot window partitions by host (bounded
-    by the busiest host, the same key every crawl component shards
-    on); the GLOBAL rank is two-level — per-slot row_number (bounded
-    partitions) plus broadcast slot-count prefix offsets — the
-    ``with_global_line_id`` construction, never a single-partition
-    sort of the frontier."""
+    Scale shape — NO unbounded window partitions anywhere. Both ranks
+    are two-level prefix sums (the ``with_global_line_id``
+    construction), and both bucket an ordering key by ITS OWN PREFIX,
+    which is simultaneously order-preserving (lexicographic order is
+    prefix-consistent) and balanced (the key is a hash, so bucket
+    sizes are binomial, never a mega-host):
+
+    * slot: within-host order key is md5(url); bucket = its first 2
+      hex chars → 256 even sub-buckets per host; row_number per
+      (host, bucket) + per-host bucket-offset window (≤256 rows per
+      partition).
+    * position: within-slot order key is md5(host); bucket = its
+      first 2 hex chars; row_number per (slot, bucket) + per-slot
+      bucket offsets (≤256 rows) + the global slot-offset window
+      (one row per round — bounded by the busiest host's URL count,
+      the frontier's intrinsic round count)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    host = F.regexp_extract(
-        F.col(url_col), "^[a-z][a-z0-9+.-]*://([^/]+)", 1
+    # Case-insensitive scheme + lowercased host, matching
+    # canonicalize_url — an uppercase-scheme URL (HTTP://…) must NOT
+    # collapse into host '' and be scheduled as one giant pseudo-host.
+    host = F.lower(F.regexp_extract(
+        F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1
+    ))
+    base = df.select(
+        F.col(url_col).alias("url"), host.alias("host"),
+        F.md5(F.col(url_col)).alias("__uh"),
+    ).withColumn("__ub", F.substring("__uh", 1, 2))
+
+    # slot = two-level rank within host, ordered by (md5(url), url).
+    hb_counts = base.groupBy("host", "__ub").agg(
+        F.count("*").alias("__n")
     )
-    base = df.select(F.col(url_col).alias("url"), host.alias("host"))
-    slot = (
-        F.row_number().over(Window.partitionBy("host").orderBy("url"))
-        - 1
-    ).cast("long")
-    d1 = base.select("url", "host", slot.alias("slot"),
-                     F.md5("host").alias("__hh"))
-    counts = d1.groupBy("slot").agg(F.count("*").alias("__n"))
-    off = counts.select(
-        "slot",
+    hb_off = hb_counts.select(
+        "host", "__ub",
         (F.sum("__n").over(
-            Window.orderBy("slot")
+            Window.partitionBy("host").orderBy("__ub")
             .rowsBetween(Window.unboundedPreceding, 0)
-        ) - F.col("__n")).alias("__off"),
+        ) - F.col("__n")).alias("__hoff"),
     )
-    within = F.row_number().over(
-        Window.partitionBy("slot").orderBy("__hh", "url")
+    within_h = F.row_number().over(
+        Window.partitionBy("host", "__ub").orderBy("__uh", "url")
+    )
+    d1 = (
+        base.join(hb_off, ["host", "__ub"])
+        .select(
+            "url", "host",
+            (F.col("__hoff") + within_h - 1).cast("long").alias("slot"),
+            F.md5("host").alias("__hh"),
+        )
+        .withColumn("__hb", F.substring("__hh", 1, 2))
+    )
+
+    # position = two-level rank by (slot, md5(host), url): per-(slot,
+    # host-hash-bucket) row_number + per-slot bucket offsets + global
+    # slot offsets.
+    sb_counts = d1.groupBy("slot", "__hb").agg(F.count("*").alias("__n"))
+    slot_off = (
+        sb_counts.groupBy("slot").agg(F.sum("__n").alias("__sn"))
+        .select(
+            "slot",
+            (F.sum("__sn").over(
+                Window.orderBy("slot")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ) - F.col("__sn")).alias("__soff"),
+        )
+    )
+    sb_off = sb_counts.select(
+        "slot", "__hb",
+        (F.sum("__n").over(
+            Window.partitionBy("slot").orderBy("__hb")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ) - F.col("__n")).alias("__boff"),
+    )
+    within_g = F.row_number().over(
+        Window.partitionBy("slot", "__hb").orderBy("__hh", "url")
     )
     return (
-        d1.join(F.broadcast(off), "slot")
+        d1.join(sb_off, ["slot", "__hb"])
+        .join(F.broadcast(slot_off), "slot")
         .select(
             "url", "host", "slot",
-            (F.col("__off") + within).cast("long").alias("position"),
+            (F.col("__soff") + F.col("__boff") + within_g)
+            .cast("long").alias("position"),
         )
     )

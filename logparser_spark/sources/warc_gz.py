@@ -67,9 +67,17 @@ def iter_gz_members(buf: bytes):
     failed mid-stream (CRC mismatch, truncation, garbage) — its
     ``data`` is whatever decompressed before the fault. After a fault
     the walk resyncs at the next RFC-1952 header prefix; between-member
-    garbage is skipped the same way (one resync, no row)."""
+    garbage is skipped the same way (one resync, no row).
+
+    Feeds zlib fixed-size memoryview slices instead of the whole
+    remaining tail per member — slicing ``buf[pos:]`` would copy
+    O(file_size) bytes PER MEMBER (and again via ``unused_data``),
+    quadratic on the 1 GiB many-member segments this module targets.
+    With chunking, per-member overcopy is bounded by one chunk."""
     pos = 0
     n = len(buf)
+    mv = memoryview(buf)
+    chunk = 1 << 20
     while pos < n:
         if not buf.startswith(_GZ_MAGIC, pos):
             nxt = buf.find(_GZ_MAGIC, pos + 1)
@@ -78,20 +86,32 @@ def iter_gz_members(buf: bytes):
             pos = nxt
             continue
         d = zlib.decompressobj(wbits=31)
-        try:
-            data = d.decompress(buf[pos:]) + d.flush()
-        except zlib.error:
+        parts = []
+        fed = pos
+        fault = False
+        while fed < n and not d.eof:
+            end = min(fed + chunk, n)
+            try:
+                parts.append(d.decompress(mv[fed:end]))
+            except zlib.error:
+                fault = True
+                break
+            fed = end
+        if fault:
             yield b"", pos, 0, False
             nxt = buf.find(_GZ_MAGIC, pos + 1)
             if nxt == -1:
                 return
             pos = nxt
             continue
+        data = b"".join(parts) + d.flush()
         if not d.eof:
             # truncated final member
             yield data, pos, n - pos, False
             return
-        length = (n - pos) - len(d.unused_data)
+        # unused_data holds only the tail of the LAST chunk fed (the
+        # loop stops at eof), so this subtraction touches ≤1 chunk.
+        length = (fed - pos) - len(d.unused_data)
         yield data, pos, length, True
         pos += length
 

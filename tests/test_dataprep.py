@@ -745,6 +745,56 @@ def test_surt_key_and_cdx_rank(spark):
     assert cdx == naive and len(cdx) == 6
 
 
+def test_cdx_mega_host_bucket_split(spark):
+    """A planted mega-host (one host holding nearly all captures —
+    SURT prefixes collapse it into one bucket) must (a) still rank
+    bit-equal to the naive global window and (b) be SUB-SPLIT past
+    ``bucket_cap`` so no window partition holds the whole host."""
+    import re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import weburl
+
+    urls = [(i, f"http://mega.test/p{i:04d}") for i in range(40)]
+    urls += [(100 + i, f"http://tiny{i}.org/x") for i in range(3)]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+
+    cdx_df = weburl.build_cdx(df, prefix_len=3, bucket_cap=4, ext_len=12)
+    canon = weburl.canonicalize_url(df)
+    keyed = canon.where(F.col("canonical_url").isNotNull()).select(
+        "doc_id",
+        weburl.surt_key(F.col("canonical_url"), F.col("host"))
+        .alias("surt_key"),
+    )
+    naive = {
+        (r["surt_key"], r["doc_id"]): r["rank"]
+        for r in keyed.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("surt_key", "doc_id"))
+            .cast("long"),
+        ).collect()
+    }
+    got = {(r["surt_key"], r["doc_id"]): r["rank"]
+           for r in cdx_df.collect()}
+    assert got == naive and len(got) == 43
+
+    # the extended split rule (same rule the operator applies) bounds
+    # every window partition: mega.test's keys differ within
+    # prefix_len + ext_len = 15 chars ("tes,mega)/p0000"…), so the
+    # extended buckets are singletons here — never one 40-row sort
+    mega_keys = [k for (k, _d) in got if k.startswith("tes,mega)")]
+    ext_buckets = {k[:15] for k in mega_keys}
+    assert len(ext_buckets) == len(mega_keys)
+
+    # and the physical plan's row-level rank window partitions by the
+    # split bucket column, not the raw prefix
+    plan = cdx_df._jdf.queryExecution().executedPlan().toString()
+    rn = re.search(r"Window \[row_number\(\)[^\n]*", plan)
+    assert rn and "__b" in rn.group(0)
+
+
 def test_cdx_lookup_and_partition_pruning(spark, tmp_path):
     """cdx_lookup carries GLOBAL ranks through the prefix filter (and
     the trailing-comma form excludes sibling hosts); the partitioned
@@ -1764,15 +1814,62 @@ class TestPolitenessOrder:
             assert len(hosts) == len(set(hosts)) == 4, slot
 
     def test_unbalanced_hosts_trail_off(self, spark):
+        import hashlib
+
         from logparser_spark.operators import weburl
 
-        rows = [("https://big.test/a",), ("https://big.test/b",),
-                ("https://big.test/c",), ("https://small.test/x",)]
+        big_urls = ["https://big.test/a", "https://big.test/b",
+                    "https://big.test/c"]
+        rows = [(u,) for u in big_urls] + [("https://small.test/x",)]
         df = spark.createDataFrame(rows, ["url"])
         out = {r["url"]: (r["slot"], r["position"])
                for r in weburl.politeness_order(df).collect()}
+        # slot order within a host is (md5(url), url)
+        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+        big_sorted = sorted(big_urls, key=lambda u: (md5(u), u))
         # round 0: both hosts; rounds 1-2: big.test alone at the tail
-        assert {out["https://big.test/a"][0],
+        assert {out[big_sorted[0]][0],
                 out["https://small.test/x"][0]} == {0}
-        assert out["https://big.test/b"] == (1, 3)
-        assert out["https://big.test/c"] == (2, 4)
+        assert out[big_sorted[1]] == (1, 3)
+        assert out[big_sorted[2]] == (2, 4)
+
+    def test_mixed_case_scheme_keeps_host(self, spark):
+        from logparser_spark.operators import weburl
+
+        rows = [("HTTP://Big.test/a",), ("https://big.test/b",),
+                ("hTtPs://OTHER.test/x",)]
+        df = spark.createDataFrame(rows, ["url"])
+        out = weburl.politeness_order(df).collect()
+        hosts = {r["url"]: r["host"] for r in out}
+        assert hosts["HTTP://Big.test/a"] == "big.test"
+        assert hosts["hTtPs://OTHER.test/x"] == "other.test"
+        # the two big.test urls occupy rounds 0 and 1, never one
+        # pseudo-host '' bucket
+        big_slots = sorted(r["slot"] for r in out
+                           if r["host"] == "big.test")
+        assert big_slots == [0, 1]
+
+    def test_no_unsalted_per_host_window(self, spark):
+        """The plan must never sort one whole host (or one whole slot)
+        of ROW-LEVEL data in a single window partition: every
+        row_number window (row_number only appears in the row-level
+        ranks; the offset windows over the ≤256-row bucket aggregates
+        use sum) must carry a hash-prefix salt bucket in its
+        partition keys."""
+        import re
+
+        from logparser_spark.operators import weburl
+
+        rows = [(f"https://h{i % 4}.test/p/{i}",) for i in range(24)]
+        df = spark.createDataFrame(rows, ["url"])
+        plan = weburl.politeness_order(df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        rn_windows = [
+            m.group(0)
+            for m in re.finditer(
+                r"Window \[row_number\(\)[^\]]*\], \[[^\]]*\]", plan
+            )
+        ]
+        assert rn_windows, plan  # the ranks must still be windows
+        for w in rn_windows:
+            assert "__ub" in w or "__hb" in w, w
