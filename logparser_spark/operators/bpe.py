@@ -113,8 +113,9 @@ def word_freq_table(docs, text_col: str = "text"):
     )
 
 
-def bpe_train(docs, n_merges: int = 8,
-              text_col: str = "text") -> List[Tuple[str, str, int]]:
+def bpe_train(docs, n_merges: int = 8, text_col: str = "text",
+              checkpoint_every: int = 16,
+              on_round=None) -> List[Tuple[str, str, int]]:
     """Learn ``n_merges`` merge rules; returns
     ``[(left, right, pair_count), ...]`` in training order.
 
@@ -123,7 +124,27 @@ def bpe_train(docs, n_merges: int = 8,
     the corpus argmax (ties → lexicographically smallest pair), and
     fold the winner back into the word table with one ``replace``.
     The working table stays (distinct words × freq); the per-round
-    ``collect`` is exactly one row."""
+    ``collect`` is exactly one row.
+
+    Lineage contract: each round wraps the word table in one more
+    ``replace`` projection, so an unbounded loop would hand Catalyst a
+    plan ``n_merges`` projections deep — at a realistic vocabulary
+    (10k–32k merges) per-round ANALYSIS cost grows superlinearly and
+    dominates the job. Every ``checkpoint_every`` rounds the working
+    table is therefore materialized with an eager ``localCheckpoint``
+    (executor-local blocks — the table is the distinct-word freq
+    table, orders of magnitude below the corpus, so the materialized
+    copy is small; on a shared cluster where executor loss mid-train
+    matters, set a checkpoint dir and swap in reliable
+    ``checkpoint()``), truncating the plan to ≤ ``checkpoint_every``
+    projections regardless of ``n_merges``. The checkpoint changes
+    wall-clock shape only, never results.
+
+    ``on_round(round_idx, seconds)``, if given, is called after every
+    merge round with its wall time (instrumentation hook — the
+    flat-per-round-time pytest uses it)."""
+    import time
+
     from pyspark.sql import functions as F
 
     words = word_freq_table(docs, text_col).select(
@@ -134,7 +155,8 @@ def bpe_train(docs, n_merges: int = 8,
 
     merges: List[Tuple[str, str, int]] = []
     work = words
-    for _ in range(n_merges):
+    for _round in range(n_merges):
+        _t0 = time.monotonic()
         toks = F.filter(F.split(F.col("s"), " "),
                         lambda t: F.length(t) > 0)
         pairs = work.select(
@@ -174,6 +196,10 @@ def bpe_train(docs, n_merges: int = 8,
             ).alias("s"),
             "freq",
         )
+        if checkpoint_every and (_round + 1) % checkpoint_every == 0:
+            work = work.localCheckpoint(eager=True)
+        if on_round is not None:
+            on_round(_round, time.monotonic() - _t0)
     words.unpersist()
     return merges
 
