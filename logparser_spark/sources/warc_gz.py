@@ -218,3 +218,119 @@ def warc_gz_member_index(files, binary_col: str = "warc_gz",
         f"{file_col} long, member_no int, offset long, length long, "
         "ok boolean",
     )
+
+
+def list_warc_gz_files(spark, path, pattern: str = "*.warc.gz"):
+    """Directory/glob listing as a DataFrame: ``(file_id, path,
+    file_length)`` for every matching on-disk (or object-store —
+    ``binaryFile`` speaks every Hadoop filesystem: s3a://, gs://,
+    hdfs://) segment file. ``file_id`` is ``xxhash64(path)`` — a
+    deterministic, shuffle-free 64-bit id (collision odds at a
+    100k-file crawl listing ≈ 3e-10; the ``path`` column stays
+    attached for exact joins). Metadata-only: the read schema prunes
+    ``content``, so listing never fetches file bytes."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select(
+            F.xxhash64("path").alias("file_id"),
+            F.col("path"),
+            F.col("length").alias("file_length"),
+        )
+    )
+
+
+def read_warc_gz_files(spark, path, pattern: str = "*.warc.gz"):
+    """REAL-FILE ingest: read ``.warc.gz`` segments from disk/object
+    store via ``spark.read.format("binaryFile")`` and parse them with
+    the same member walker as the blob path — one typed row per WARC
+    record (``WARC_SCHEMA`` + ``path``).
+
+    Scale shape: ``binaryFile`` makes one partition per file (a
+    member-compressed segment can't be byte-range-split without the
+    member index — for ranged parallelism within one huge segment,
+    build ``warc_gz_member_index`` once and use
+    ``fetch_gz_members_ranged``); file-level parallelism is the
+    natural CC layout (segments ~1 GiB, thousands per crawl). The
+    parse is the identical map-only ``mapInPandas`` stage as
+    ``parse_warc_gz`` — no shuffle anywhere."""
+    from pyspark.sql import functions as F
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+        .select(
+            F.col("path"),
+            F.xxhash64("path").alias("file_id"),
+            F.col("content").alias("warc_gz"),
+        )
+    )
+    recs = parse_warc_gz(files.select("file_id", "warc_gz"))
+    paths = files.select("file_id", "path")
+    return recs.join(F.broadcast(paths), "file_id")
+
+
+def fetch_gz_members_ranged(index, path_col: str = "path",
+                            offset_col: str = "offset",
+                            length_col: str = "length"):
+    """CDX random-access contract, disk edition: given member-index
+    rows ``(path, offset, length, ...)`` (from
+    ``warc_gz_member_index`` joined to the file listing, or straight
+    from a CDX table), fetch EXACTLY those byte ranges — seek + read,
+    never a whole-segment scan — gunzip each member standalone, and
+    parse its record. This is the shape of an object-store ranged GET
+    (local files here; the seek/read is the same contract).
+
+    Output: the index row's ``(path, offset, length)`` plus the
+    parsed ``WARC_SCHEMA`` record fields (``file_id``/``rec_no``
+    omitted — identity is (path, offset)). A range that fails to
+    gunzip or parse yields ``valid=false`` with NULL fields.
+
+    Scale shape: map-only over index rows; each task touches only its
+    own ranges, so a top-k CDX lookup reads k·(member length) bytes
+    total regardless of segment sizes."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, off, ln in zip(
+                pdf[path_col], pdf[offset_col], pdf[length_col]
+            ):
+                local = str(p)
+                if local.startswith("file:"):
+                    # file:/x, file:///x → /x
+                    local = local[5:]
+                    while local.startswith("//"):
+                        local = local[1:]
+                rec = None
+                try:
+                    with open(local, "rb") as f:
+                        f.seek(int(off))
+                        raw = f.read(int(ln))
+                    data = zlib.decompressobj(wbits=31).decompress(raw)
+                    parsed = list(_parse_warc_buffer(data))
+                    if parsed:
+                        rec = parsed[0]
+                except (OSError, zlib.error):
+                    rec = None
+                if rec is None:
+                    rec = (None, None, None, None, None, None, False)
+                rows.append((str(p), int(off), int(ln)) + rec)
+            yield pd.DataFrame(
+                rows,
+                columns=[path_col, offset_col, length_col, "warc_type",
+                         "target_uri", "record_id", "content_length",
+                         "http_status", "payload", "valid"],
+            )
+
+    return index.select(path_col, offset_col, length_col).mapInPandas(
+        fn,
+        f"{path_col} string, {offset_col} long, {length_col} long, "
+        "warc_type string, target_uri string, record_id string, "
+        "content_length long, http_status int, payload string, "
+        "valid boolean",
+    )

@@ -118,3 +118,91 @@ def test_spark_gz_round_trip(spark):
             assert m["offset"] == pos
             pos += m["length"]
         assert pos == len(blobs[fid])
+
+
+def test_read_warc_gz_files_from_disk_matches_blob_path(spark, tmp_path):
+    """VERDICT r03 item 7: the binaryFile ingest must parse on-disk
+    .warc.gz segments to exactly the records the synth blob path
+    yields (file identity aside — disk uses xxhash64(path))."""
+    from logparser_spark.sources.warc_gz import (
+        list_warc_gz_files,
+        read_warc_gz_files,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(24)], "doc_id long, text string"
+    )
+    files = synth_warc_gz_files(docs, per_file=6)
+    for r in files.collect():
+        (tmp_path / f"seg-{r['file_id']:05d}.warc.gz").write_bytes(
+            bytes(r["warc_gz"])
+        )
+    (tmp_path / "ignore.txt").write_text("not a segment")
+
+    got = read_warc_gz_files(spark, str(tmp_path)).collect()
+    want = parse_warc_gz(files).collect()
+
+    def key(r):
+        return (r["rec_no"], r["warc_type"], r["target_uri"],
+                r["record_id"], r["content_length"], r["http_status"],
+                r["payload"], r["valid"])
+
+    assert sorted(key(r) for r in got) == sorted(key(r) for r in want)
+    # path column real + glob filter excluded the .txt
+    assert all(r["path"].endswith(".warc.gz") for r in got)
+    assert len({r["path"] for r in got}) == 4
+
+    listing = list_warc_gz_files(spark, str(tmp_path)).collect()
+    assert len(listing) == 4
+    assert {r["file_id"] for r in got} == {r["file_id"] for r in listing}
+    assert all(r["file_length"] > 0 for r in listing)
+
+
+def test_fetch_gz_members_ranged_from_disk(spark, tmp_path):
+    """CDX ranged-read contract on real files: member-index rows
+    joined to the listing fetch ONLY their byte ranges and decode to
+    the same records as the full-file walk."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.sources.warc_gz import (
+        fetch_gz_members_ranged,
+        list_warc_gz_files,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"payload {i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    files = synth_warc_gz_files(docs, per_file=4)
+    for r in files.collect():
+        (tmp_path / f"s{r['file_id']}.warc.gz").write_bytes(
+            bytes(r["warc_gz"])
+        )
+
+    listing = list_warc_gz_files(spark, str(tmp_path)).withColumn(
+        "blob_fid",
+        F.regexp_extract("path", r"s(\d+)\.warc\.gz$", 1).cast("long"),
+    )
+    idx = warc_gz_member_index(files).withColumnRenamed(
+        "file_id", "blob_fid"
+    )
+    ranged = idx.join(listing, "blob_fid").select(
+        "blob_fid", "member_no", "path", "offset", "length"
+    )
+    got = fetch_gz_members_ranged(ranged).collect()
+    assert len(got) == 12
+    full = {r["target_uri"]: r for r in parse_warc_gz(files).collect()}
+    assert len(full) == 12
+    for r in got:
+        w = full[r["target_uri"]]
+        assert (r["payload"], r["valid"], r["http_status"]) == (
+            w["payload"], w["valid"], w["http_status"]
+        )
+
+    # a bogus range must yield valid=false, not an exception
+    bogus = spark.createDataFrame(
+        [(str(tmp_path / "s0.warc.gz"), 3, 10)],
+        "path string, offset long, length long",
+    )
+    br = fetch_gz_members_ranged(bogus).collect()
+    assert len(br) == 1 and br[0]["valid"] is False
