@@ -599,7 +599,8 @@ def _render_baseline_md(state: dict) -> None:
                 f, state[k]["results"], state[k].get("eff_history")
             )
         if state.get("executors"):
-            _render_executor_section(f, state["executors"])
+            _render_executor_section(f, state["executors"],
+                                     state.get("exec_attempt_log"))
         last = state.get("executors_instr")
         if last and last is not state.get("executors") and (
             last.get("host_stream_eff") is not None
@@ -807,6 +808,18 @@ def run_scaling_executors(exec_cpus: int = 8, n_exec: int = 4,
         effs[mid] if len(effs) % 2 else (effs[mid - 1] + effs[mid]) / 2, 3
     )
     best["control_gated"] = bool(clean)
+    # every attempt's triple survives into state — the round headline
+    # is the MEDIAN over control-clean attempts, not this keep-best
+    best["all_attempts"] = [
+        {
+            "eff": round(r["efficiency"], 3),
+            "host_eff": round(r.get("host_control_eff") or 0, 3),
+            "stream_eff": (round(r["host_stream_eff"], 3)
+                           if r.get("host_stream_eff") is not None
+                           else None),
+        }
+        for r in attempts
+    ]
     return best
 
 
@@ -937,6 +950,17 @@ def write_executor_report(r: dict) -> None:
     if prev is None or r["efficiency"] > prev.get("efficiency", -1):
         state["executors"] = r
     state["executors"]["eff_history"] = hist
+    # append EVERY attempt (clean or not) to the round-long log; the
+    # honest headline is median-over-clean-attempts, computed at render
+    log = list(state.get("exec_attempt_log", []))
+    log.extend(r.get("all_attempts")
+               or [{"eff": round(r["efficiency"], 3),
+                    "host_eff": round(r.get("host_control_eff") or 0, 3),
+                    "stream_eff": (round(r["host_stream_eff"], 3)
+                                   if r.get("host_stream_eff") is not None
+                                   else None)}])
+    state["exec_attempt_log"] = log
+    state["executors"].pop("all_attempts", None)
     # ALSO keep the best fully-instrumented attempt: the keep-best
     # record may predate the dual-control instrumentation, and the
     # attribution evidence (host CPU + streaming controls measured in
@@ -949,11 +973,47 @@ def write_executor_report(r: dict) -> None:
     _render_baseline_md(state)
 
 
-def _render_executor_section(f, r: dict) -> None:
+def _render_executor_section(f, r: dict, attempt_log=None) -> None:
     if True:
         f.write(
             "\n## Executor-model scaling "
             "(1 vs 4 independent JVMs — the closer cluster proxy)\n\n"
+        )
+        # HEADLINE: the median over control-clean attempts across the
+        # whole round (VERDICT r03 item 5 — the keep-best draw below is
+        # selection-biased by construction; the median over attempts
+        # whose independent same-window host control scaled cleanly is
+        # the honest central estimate).
+        if attempt_log:
+            clean = [a["eff"] for a in attempt_log
+                     if a.get("host_eff", 0) >= 0.75]
+            effs = sorted(clean)
+            if effs:
+                mid = len(effs) // 2
+                med = (effs[mid] if len(effs) % 2
+                       else round((effs[mid - 1] + effs[mid]) / 2, 3))
+                f.write(
+                    f"**HEADLINE — median efficiency over control-clean "
+                    f"attempts this round: {med}** "
+                    f"({len(effs)} clean of {len(attempt_log)} total "
+                    f"attempts; clean = same-window pure-CPU host "
+                    f"control ≥ 0.75; all attempts: "
+                    f"{[a['eff'] for a in attempt_log]}, their host "
+                    f"controls: {[a['host_eff'] for a in attempt_log]}). "
+                    f"The keep-best table below shows the single best "
+                    f"clean draw — read it as the optimistic bound, the "
+                    f"median as the central estimate.\n\n"
+                )
+            else:
+                f.write(
+                    f"**HEADLINE: no control-clean attempt this round "
+                    f"yet** ({len(attempt_log)} attempts, all with host "
+                    f"control < 0.75 — every window was degraded; "
+                    f"attempt effs {[a['eff'] for a in attempt_log]}). "
+                    f"The keep-best record below is from a prior round's "
+                    f"clean window.\n\n"
+                )
+        f.write(
             "A 1000-executor cluster is many independent JVMs, not one "
             "giant local[N]: a single local JVM shares one DAG scheduler, "
             "one Arrow allocator and one daemon across all cores, which "
