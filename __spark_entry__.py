@@ -812,6 +812,35 @@ def q_fuzzy_key_pairs(spark, sf_dir):
     return fuzzy_key_pairs(words.union(tails).distinct(), "k")
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints over the documents table:
+    k=5 grams of the case/punct-normalized text, w=4 windows,
+    min-hash per window with the paper's rightmost tie-break. The
+    oracle restates gram explosion, the packed (hash, 10^9−pos)
+    selection key, the window-frame min, and the full-window filter
+    in SQL, so the selection rule matches pair-for-pair."""
+    from logparser_spark.operators.winnow import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, k=5, w=4)
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """MOSS match table on the winnowed fingerprints: fingerprints in
+    more than max_df=8 documents are dropped (boilerplate guard, which
+    also caps every self-join bucket), then document pairs sharing ≥ 3
+    surviving fingerprints report their shared count."""
+    from logparser_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_overlap(
+        winnow_fingerprints(docs, k=5, w=4), max_df=8, min_shared=3
+    )
+
+
 def q_politeness_order(spark, sf_dir):
     """Crawl-frontier politeness scheduling: deterministic URLs over
     37 hosts (derived from doc_id), per-host fetch rounds, and the
@@ -2100,6 +2129,54 @@ def _dataprep_sql() -> dict[str, str]:
         AS value
     FROM q, n"""
 
+    # shared fingerprint CTE for both winnowing oracles: k=5, w=4,
+    # packed (hash-hex, 10^9 - pos) selection key, window-frame min,
+    # full-window filter with the short-doc single-window exception
+    _winnow_fps = """
+    WITH n AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+      FROM documents),
+    g AS (
+      SELECT doc_id, norm, (length(norm) - 4)::INT AS gmax FROM n),
+    grams AS (
+      SELECT g.doc_id, g.gmax, CAST(t.p AS INT) AS pos,
+             substr(md5(substr(g.norm, CAST(t.p AS INT), 5)), 1, 15)
+             || lpad(CAST(1000000000 - t.p AS VARCHAR), 10, '0') AS sel
+      FROM g, unnest(range(1, g.gmax + 1)) t(p)
+      WHERE g.gmax >= 1),
+    w AS (
+      SELECT doc_id, pos, gmax,
+             min(sel) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS fp
+      FROM grams),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             substr(fp, 1, 15) AS fingerprint,
+             (1000000000
+              - CAST(substr(fp, 16, 10) AS BIGINT))::BIGINT AS pos
+      FROM w
+      WHERE pos <= greatest(gmax - 3, 1))
+    """
+
+    sqls["winnow_fingerprints"] = _winnow_fps + """
+    SELECT doc_id, fingerprint, pos FROM fps"""
+
+    sqls["winnow_overlap"] = _winnow_fps + """,
+    dfp AS (SELECT DISTINCT doc_id, fingerprint FROM fps),
+    keep AS (
+      SELECT fingerprint FROM dfp
+      GROUP BY fingerprint HAVING count(*) <= 8),
+    k AS (SELECT dfp.doc_id, dfp.fingerprint
+          FROM dfp JOIN keep USING (fingerprint))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*)::BIGINT AS n_shared
+    FROM k a JOIN k b USING (fingerprint)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3"""
+
     sqls["fix_mojibake"] = """
     SELECT doc_id,
       (CASE doc_id % 4
@@ -3068,6 +3145,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # else (green in CORRECTNESS_r03) follows in its original grouping.
 # Rotate per round so every query re-earns a recent driver row.
 _DRIVER_HEAD: list[str] = [
+    # -- new round-4 queries (highest priority: new code) --
+    "winnow_fingerprints",
+    "winnow_overlap",
     # -- never driver-checked (round-3 additions past the r03 window) --
     "cdx_index",
     "cdx_lookup",
@@ -3222,6 +3302,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "domain_mix": q_domain_mix,
         "paragraph_dedup": q_paragraph_dedup,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_overlap": q_winnow_overlap,
         "duplicate_spans": q_duplicate_spans,
         "strip_duplicate_spans": q_strip_duplicate_spans,
         "bpe_tokens": q_bpe_tokens,
