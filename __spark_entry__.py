@@ -812,6 +812,18 @@ def q_fuzzy_key_pairs(spark, sf_dir):
     return fuzzy_key_pairs(words.union(tails).distinct(), "k")
 
 
+def q_gopher_quality(spark, sf_dir):
+    """The Gopher quality-filter battery (Rae et al. 2021 Table A1)
+    over the documents table, every ratio an integer ppm and every
+    rule verdict a boolean — the oracle restates all seven rules in
+    SQL, so thresholds, floor divisions, NULL-word edge cases and the
+    final conjunction are all checked bit-for-bit."""
+    from logparser_spark.operators.textstats import gopher_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_quality(docs)
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) fingerprints over the documents table:
     k=5 grams of the case/punct-normalized text, w=4 windows,
@@ -2129,6 +2141,74 @@ def _dataprep_sql() -> dict[str, str]:
         AS value
     FROM q, n"""
 
+    sqls["gopher_quality"] = """
+    WITH w AS (
+      SELECT doc_id, text,
+        list_filter(regexp_split_to_array(text, '\\s+'),
+                    x -> len(x) > 0) AS words,
+        list_filter(string_split(text, chr(10)),
+                    x -> len(trim(x)) > 0) AS lines
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        len(words)::BIGINT AS n_words,
+        len(lines)::BIGINT AS n_lines,
+        coalesce(list_sum(list_transform(words, x -> len(x))),
+                 0)::BIGINT AS swl,
+        (len(text) - len(replace(text, '#', '')))::BIGINT
+          + ((len(text) - len(replace(text, '...', ''))) // 3)::BIGINT
+          AS nsym,
+        len(list_filter(lines,
+            x -> regexp_matches(trim(x), '^[•\\-*]')))::BIGINT AS nbul,
+        len(list_filter(lines,
+            x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))::BIGINT
+          AS nell,
+        len(list_filter(words,
+            x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS nalpha,
+        len(list_intersect(
+            list_distinct(list_transform(words, x -> lower(x))),
+            ['the','be','to','of','and','that','have','with']
+        ))::BIGINT AS n_stop_distinct
+      FROM w),
+    p AS (
+      SELECT doc_id, n_words, n_stop_distinct,
+        CASE WHEN n_words > 0
+             THEN (swl * 1000000) // n_words END::BIGINT
+          AS mean_word_len_ppm,
+        CASE WHEN n_words > 0
+             THEN (nsym * 1000000) // n_words END::BIGINT
+          AS symbol_ratio_ppm,
+        CASE WHEN n_lines > 0
+             THEN (nbul * 1000000) // n_lines END::BIGINT
+          AS bullet_line_ppm,
+        CASE WHEN n_lines > 0
+             THEN (nell * 1000000) // n_lines END::BIGINT
+          AS ellipsis_line_ppm,
+        CASE WHEN n_words > 0
+             THEN (nalpha * 1000000) // n_words END::BIGINT
+          AS alpha_word_ppm
+      FROM m)
+    SELECT doc_id, n_words, mean_word_len_ppm, symbol_ratio_ppm,
+      bullet_line_ppm, ellipsis_line_ppm, alpha_word_ppm,
+      n_stop_distinct,
+      coalesce(n_words BETWEEN 50 AND 100000, FALSE) AS r1,
+      coalesce(mean_word_len_ppm BETWEEN 3000000 AND 10000000,
+               FALSE) AS r2,
+      coalesce(symbol_ratio_ppm <= 100000, FALSE) AS r3,
+      coalesce(bullet_line_ppm <= 900000, TRUE) AS r4,
+      coalesce(ellipsis_line_ppm <= 300000, TRUE) AS r5,
+      coalesce(alpha_word_ppm >= 800000, FALSE) AS r6,
+      n_stop_distinct >= 2 AS r7,
+      (coalesce(n_words BETWEEN 50 AND 100000, FALSE)
+       AND coalesce(mean_word_len_ppm BETWEEN 3000000 AND 10000000,
+                    FALSE)
+       AND coalesce(symbol_ratio_ppm <= 100000, FALSE)
+       AND coalesce(bullet_line_ppm <= 900000, TRUE)
+       AND coalesce(ellipsis_line_ppm <= 300000, TRUE)
+       AND coalesce(alpha_word_ppm >= 800000, FALSE)
+       AND n_stop_distinct >= 2) AS passes
+    FROM p"""
+
     # shared fingerprint CTE for both winnowing oracles: k=5, w=4,
     # packed (hash-hex, 10^9 - pos) selection key, window-frame min,
     # full-window filter with the short-doc single-window exception
@@ -3148,6 +3228,7 @@ _DRIVER_HEAD: list[str] = [
     # -- new round-4 queries (highest priority: new code) --
     "winnow_fingerprints",
     "winnow_overlap",
+    "gopher_quality",
     # -- never driver-checked (round-3 additions past the r03 window) --
     "cdx_index",
     "cdx_lookup",
@@ -3252,6 +3333,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_ann": q_cosine_topk_ann,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
+        "gopher_quality": q_gopher_quality,
         "token_stats": q_token_stats,
         "repetition_stats": q_repetition_stats,
         "filter_verdict": q_filter_verdict,

@@ -737,3 +737,126 @@ def synth_mojibake(df, id_col: str = "doc_id", out_col: str = "text2",
         for f in df.select(*keep).schema.fields
     ) + f", {out_col} string"
     return df.select(*keep).mapInPandas(fn, schema)
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+
+
+def gopher_quality(df, text_col: str = "text", id_col: str = "doc_id"):
+    """The Gopher document-quality rule set (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training
+    Gopher", Table A1 — the filter battery most open LLM corpora
+    reuse), computed integer-exactly so a SQL oracle can re-derive
+    every metric AND every verdict bit-for-bit:
+
+    1. word count in [50, 100 000]
+    2. mean word length in [3, 10] chars
+    3. symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1
+    4. ≤ 90 % of lines start with a bullet ('•', '-', '*')
+    5. ≤ 30 % of lines end with an ellipsis ('...' or '…')
+    6. ≥ 80 % of words contain ≥ 1 alphabetic character
+    7. ≥ 2 DISTINCT Gopher stop words present
+       (the/be/to/of/and/that/have/with)
+
+    Ratios are parts-per-million integers (numerator * 10^6 div
+    denominator — floor division, every engine agrees); a doc with
+    zero words fails rules 1/2/3/6 by definition (ppm columns NULL).
+
+    Output: ``(doc_id, n_words, mean_word_len_ppm, symbol_ratio_ppm,
+    bullet_line_ppm, ellipsis_line_ppm, alpha_word_ppm,
+    n_stop_distinct, r1..r7 booleans, passes)``.
+
+    Scale shape: single map-only projection, pure Catalyst codegen —
+    no shuffle, no UDF, no explode; the per-sink quality gate this
+    feeds (``filter_verdict`` chain) stays one scan at any corpus
+    size."""
+    from pyspark.sql import functions as F
+
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0
+    )
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda t: F.length(F.trim(t)) > 0,
+    )
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    sum_word_len = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t),
+    )
+    n_hash = (
+        F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    ).cast("long")
+    n_ellipsis_runs = (
+        (F.length(text_col)
+         - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit(""))))
+        / 3
+    ).cast("long")
+    n_bullet = F.size(F.filter(
+        lines,
+        lambda t: F.trim(t).rlike("^[•\\-*]"),
+    )).cast("long")
+    n_ell_end = F.size(F.filter(
+        lines,
+        lambda t: F.trim(t).rlike("(\\.\\.\\.|…)$"),
+    )).cast("long")
+    n_alpha = F.size(F.filter(
+        words, lambda t: t.rlike("[A-Za-z]")
+    )).cast("long")
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+    )).cast("long")
+
+    d = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("__n_lines"),
+        sum_word_len.alias("__swl"),
+        (n_hash + n_ellipsis_runs).alias("__nsym"),
+        n_bullet.alias("__nbul"),
+        n_ell_end.alias("__nell"),
+        n_alpha.alias("__nalpha"),
+        n_stop.alias("n_stop_distinct"),
+    ).select(
+        id_col,
+        "n_words",
+        F.when(F.col("n_words") > 0,
+               F.expr("(__swl * 1000000) div n_words"))
+        .cast("long").alias("mean_word_len_ppm"),
+        F.when(F.col("n_words") > 0,
+               F.expr("(__nsym * 1000000) div n_words"))
+        .cast("long").alias("symbol_ratio_ppm"),
+        F.when(F.col("__n_lines") > 0,
+               F.expr("(__nbul * 1000000) div __n_lines"))
+        .cast("long").alias("bullet_line_ppm"),
+        F.when(F.col("__n_lines") > 0,
+               F.expr("(__nell * 1000000) div __n_lines"))
+        .cast("long").alias("ellipsis_line_ppm"),
+        F.when(F.col("n_words") > 0,
+               F.expr("(__nalpha * 1000000) div n_words"))
+        .cast("long").alias("alpha_word_ppm"),
+        "n_stop_distinct",
+    )
+    r1 = F.col("n_words").between(50, 100_000)
+    r2 = F.col("mean_word_len_ppm").between(3_000_000, 10_000_000)
+    r3 = F.col("symbol_ratio_ppm") <= 100_000
+    r4 = F.coalesce(F.col("bullet_line_ppm") <= 900_000, F.lit(True))
+    r5 = F.coalesce(F.col("ellipsis_line_ppm") <= 300_000, F.lit(True))
+    r6 = F.col("alpha_word_ppm") >= 800_000
+    r7 = F.col("n_stop_distinct") >= 2
+    flags = [
+        F.coalesce(r, F.lit(False)).alias(f"r{i}")
+        for i, r in enumerate([r1, r2, r3, r4, r5, r6, r7], start=1)
+    ]
+    out = d.select(id_col, "n_words", "mean_word_len_ppm",
+                   "symbol_ratio_ppm", "bullet_line_ppm",
+                   "ellipsis_line_ppm", "alpha_word_ppm",
+                   "n_stop_distinct", *flags)
+    passes = F.col("r1")
+    for i in range(2, 8):
+        passes = passes & F.col(f"r{i}")
+    return out.withColumn("passes", passes)

@@ -1873,3 +1873,83 @@ class TestPolitenessOrder:
         assert rn_windows, plan  # the ranks must still be windows
         for w in rn_windows:
             assert "__ub" in w or "__hb" in w, w
+
+
+def test_gopher_quality_rules(spark):
+    """Every Gopher rule (Rae et al. 2021 Table A1) against an
+    INDEPENDENT python reference on an adversarial corpus: bullets,
+    ellipsis line-ends, '#' symbol floods, non-alpha word floods,
+    long words, empty docs, and a clean passing doc."""
+    import re
+
+    from logparser_spark.operators.textstats import (
+        GOPHER_STOPWORDS,
+        gopher_quality,
+    )
+
+    texts = [
+        " ".join(["the quick brown fox and that dog have fun here"] * 6),
+        "short text only",
+        " ".join(["#tag"] * 60),
+        "\n".join(["- bullet line"] * 10),
+        "\n".join(["* starred"] * 9 + ["plain line"]),
+        "\n".join(["ends with dots..."] * 3 + ["clean line"] * 7),
+        " ".join(["12345"] * 60),
+        "",
+        "   \n  \n ",
+        " ".join(["abcdefghijklmnop"] * 60),
+        "with. the, and... that # be of to have",
+        " ".join(["…"] * 55) + "\nline…",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+
+    def ref(text):
+        words = [w for w in re.split(r"\s+", text) if w]
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        nw, nl = len(words), len(lines)
+        swl = sum(len(w) for w in words)
+        nsym = text.count("#") + (
+            len(text) - len(text.replace("...", ""))
+        ) // 3
+        nbul = sum(bool(re.match(r"^[•\-*]", ln.strip()))
+                   for ln in lines)
+        nell = sum(bool(re.search(r"(\.\.\.|…)$", ln.strip()))
+                   for ln in lines)
+        nalpha = sum(bool(re.search("[A-Za-z]", w)) for w in words)
+        nstop = len({w.lower() for w in words} & set(GOPHER_STOPWORDS))
+        p = lambda a, b: (a * 1_000_000) // b if b > 0 else None  # noqa: E731
+        m = dict(
+            n_words=nw,
+            mean_word_len_ppm=p(swl, nw),
+            symbol_ratio_ppm=p(nsym, nw),
+            bullet_line_ppm=p(nbul, nl),
+            ellipsis_line_ppm=p(nell, nl),
+            alpha_word_ppm=p(nalpha, nw),
+            n_stop_distinct=nstop,
+        )
+        r = dict(
+            r1=50 <= nw <= 100_000,
+            r2=(m["mean_word_len_ppm"] is not None
+                and 3_000_000 <= m["mean_word_len_ppm"] <= 10_000_000),
+            r3=(m["symbol_ratio_ppm"] is not None
+                and m["symbol_ratio_ppm"] <= 100_000),
+            r4=(m["bullet_line_ppm"] is None
+                or m["bullet_line_ppm"] <= 900_000),
+            r5=(m["ellipsis_line_ppm"] is None
+                or m["ellipsis_line_ppm"] <= 300_000),
+            r6=(m["alpha_word_ppm"] is not None
+                and m["alpha_word_ppm"] >= 800_000),
+            r7=nstop >= 2,
+        )
+        r["passes"] = all(r.values())
+        return {**m, **r}
+
+    for i, t in enumerate(texts):
+        want = ref(t)
+        have = {k: got[i][k] for k in want}
+        assert have == want, (i, t, have, want)
+    assert got[0]["passes"] is True
+    assert sum(r["passes"] for r in got.values()) == 1
