@@ -812,6 +812,21 @@ def q_fuzzy_key_pairs(spark, sf_dir):
     return fuzzy_key_pairs(words.union(tails).distinct(), "k")
 
 
+def q_anchor_text_stats(spark, sf_dir):
+    """Anchor-text corpus per destination host (the CC anchor-text
+    signal) over the shared arithmetic outlink pages: the anchors are
+    'a'..'d' by link kind, so the oracle rebuilds (dst_host, anchor)
+    arithmetically — zero regex — and re-derives totals, distincts,
+    and the deterministic top text independently of the extractor."""
+    from logparser_spark.operators.weburl import (
+        anchor_text_stats,
+        extract_anchors,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return anchor_text_stats(extract_anchors(_outlink_pages(docs)))
+
+
 def q_gopher_quality(spark, sf_dir):
     """The Gopher quality-filter battery (Rae et al. 2021 Table A1)
     over the documents table, every ratio an integer ppm and every
@@ -2141,6 +2156,31 @@ def _dataprep_sql() -> dict[str, str]:
         AS value
     FROM q, n"""
 
+    sqls["anchor_text_stats"] = """
+    WITH e AS (
+      SELECT 'site' || ((doc_id * 7) % 50) || '.com' AS dst_host,
+             'a' AS anchor FROM documents
+      UNION ALL
+      SELECT 'site' || ((doc_id * 3 + 1) % 50) || '.org', 'b'
+      FROM documents
+      UNION ALL
+      SELECT 'cdn' || (doc_id % 4) || '.example.net', 'c'
+      FROM documents
+      UNION ALL
+      SELECT 'site' || (doc_id % 50) || '.com', 'd' FROM documents),
+    c AS (SELECT dst_host, anchor, count(*)::BIGINT AS n
+          FROM e GROUP BY 1, 2),
+    r AS (SELECT dst_host, anchor, n,
+                 row_number() OVER (PARTITION BY dst_host
+                                    ORDER BY n DESC, anchor) AS rk
+          FROM c),
+    agg AS (SELECT dst_host, sum(n)::BIGINT AS n_anchors,
+                   count(*)::BIGINT AS n_unique_texts
+            FROM c GROUP BY 1)
+    SELECT agg.dst_host, agg.n_anchors, agg.n_unique_texts,
+           r.anchor AS top_anchor, r.n::BIGINT AS top_n
+    FROM agg JOIN r ON agg.dst_host = r.dst_host AND r.rk = 1"""
+
     sqls["gopher_quality"] = """
     WITH w AS (
       SELECT doc_id, text,
@@ -3229,6 +3269,7 @@ _DRIVER_HEAD: list[str] = [
     "winnow_fingerprints",
     "winnow_overlap",
     "gopher_quality",
+    "anchor_text_stats",
     # -- never driver-checked (round-3 additions past the r03 window) --
     "cdx_index",
     "cdx_lookup",
@@ -3370,6 +3411,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top": q_tfidf_top,
         "normalize_text": q_normalize_text,
         "outlink_degrees": q_outlink_degrees,
+        "anchor_text_stats": q_anchor_text_stats,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "wet_records": q_wet_records,

@@ -188,7 +188,23 @@ def extract_outlinks(pages, html_col: str = "html",
             F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RX), F.lit(1))
         ).alias("href"),
     )
-    h = F.col("href")
+    return (
+        links.withColumn(
+            "dst_host", _dst_host_expr(F.col("href"), F.col("src_host"))
+        )
+        .where(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
+        .withColumn("is_internal", F.col("dst_host") == F.col("src_host"))
+    )
+
+
+def _dst_host_expr(h, src_host):
+    """href → destination host (the shared classification rule of
+    :func:`extract_outlinks`, reused verbatim by
+    :func:`extract_anchors`): absolute/protocol-relative hosts are
+    lowercased with userinfo and port stripped, root-relative links
+    resolve to the page's own host, everything else is NULL."""
+    from pyspark.sql import functions as F
+
     abs_auth = F.regexp_extract(h, r"^(?i:https?)://([^/?#]*)", 1)
     rel_auth = F.regexp_extract(h, r"^//([^/?#]+)", 1)
 
@@ -197,16 +213,101 @@ def extract_outlinks(pages, html_col: str = "html",
             F.regexp_replace(F.lower(auth), r"^[^@]*@", ""), r":\d+$", ""
         )
 
-    dst = (
+    return (
         F.when(abs_auth != "", _host(abs_auth))
         .when(rel_auth != "", _host(rel_auth))
-        .when(h.startswith("/") & ~h.startswith("//"), F.col("src_host"))
+        .when(h.startswith("/") & ~h.startswith("//"), src_host)
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+# one whole <a …>…</a> element; (?s) so anchors spanning lines match
+_ANCHOR_ELEM_RX = r'(?s)<a\b[^>]*href="[^"]*"[^>]*>.*?</a>'
+
+
+def extract_anchors(pages, html_col: str = "html",
+                    src_host_col: str = "host", id_col: str = "doc_id"):
+    """Anchor-text extraction — the signal Common Crawl ships as its
+    anchor-text corpus and search/ranking pipelines train on: for
+    every resolvable link, the VISIBLE text of the ``<a>`` element,
+    cleaned (inner tags stripped, the five named HTML entities
+    unescaped, whitespace collapsed and trimmed).
+
+    Destination-host resolution is byte-identical to
+    :func:`extract_outlinks` (shared ``_dst_host_expr``); links that
+    don't resolve (mailto/javascript/#fragment/path-relative) are
+    dropped.
+
+    Output: ``(id_col, src_host, dst_host, anchor)`` — one row per
+    resolved anchor, ``anchor`` possibly empty (image links).
+
+    Scale shape: pure Catalyst, map-only — one ``regexp_extract_all``
+    + explode + per-row regexes; no UDF, no shuffle. The downstream
+    aggregate (:func:`anchor_text_stats`) owns the shuffle."""
+    from pyspark.sql import functions as F
+
+    elems = pages.select(
+        F.col(id_col),
+        F.col(src_host_col).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(_ANCHOR_ELEM_RX), F.lit(0)
+            )
+        ).alias("__a"),
+    )
+    a = F.col("__a")
+    href = F.regexp_extract(a, r'href="([^"]*)"', 1)
+    inner = F.regexp_extract(a, r"(?s)^<a\b[^>]*>(.*)</a>$", 1)
+    text = F.trim(F.regexp_replace(F.regexp_replace(
+        _unescape_entities(F.regexp_replace(inner, r"(?s)<[^>]*>", " ")),
+        r"\s+", " "), r"^\s+|\s+$", ""))
     return (
-        links.withColumn("dst_host", dst)
+        elems.select(
+            id_col,
+            "src_host",
+            _dst_host_expr(href, F.col("src_host")).alias("dst_host"),
+            text.alias("anchor"),
+        )
         .where(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
-        .withColumn("is_internal", F.col("dst_host") == F.col("src_host"))
+    )
+
+
+def _unescape_entities(col):
+    """The five named HTML entities + numeric decimal refs are out of
+    scope here (multimodal.extract_text handles the full rule set);
+    anchors only need the named five."""
+    from pyspark.sql import functions as F
+
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")):
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def anchor_text_stats(anchors):
+    """Per-destination-host anchor-text profile: total inbound
+    anchors, distinct texts, and the most frequent text (ties → the
+    lexicographically smallest, so the result is deterministic).
+
+    Output: ``(dst_host, n_anchors, n_unique_texts, top_anchor,
+    top_n)``.
+
+    Scale shape: two aggregates — (dst_host, anchor) partial counts,
+    then one per-host fold where the top text is a ``min(struct(-n,
+    anchor))`` (an aggregate with map-side combine, NOT a per-host
+    row_number window — a mega-host's million distinct anchor texts
+    fold in parallel instead of sorting in one task)."""
+    from pyspark.sql import functions as F
+
+    counts = anchors.groupBy("dst_host", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    top = F.min(F.struct((-F.col("n")).alias("neg_n"), "anchor"))
+    return counts.groupBy("dst_host").agg(
+        F.sum("n").cast("long").alias("n_anchors"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_texts"),
+        top.getField("anchor").alias("top_anchor"),
+        (-top.getField("neg_n")).cast("long").alias("top_n"),
     )
 
 

@@ -1953,3 +1953,66 @@ def test_gopher_quality_rules(spark):
         assert have == want, (i, t, have, want)
     assert got[0]["passes"] is True
     assert sum(r["passes"] for r in got.values()) == 1
+
+
+def test_extract_anchors_and_stats(spark):
+    """Anchor text extraction: visible text cleaned (inner tags
+    stripped, five entities unescaped, whitespace collapsed), empty
+    image-link anchors kept, dst classification identical to
+    extract_outlinks, junk schemes dropped; stats fold the top text
+    with the lexicographic tie-break via min(struct(-n, anchor)) —
+    never a per-host rank window."""
+    from logparser_spark.operators.weburl import (
+        anchor_text_stats,
+        extract_anchors,
+        extract_outlinks,
+    )
+
+    pages = spark.createDataFrame([
+        (1, "me.com",
+         '<a href="https://X.com:80/a">Hello <b>World</b></a>'
+         '<a class="x" href="//y.net/z">A &amp; B &lt;ok&gt;</a>'
+         '<a href="/local">  spaced\n  text </a>'
+         '<a href="mailto:a@b.c">drop me</a>'
+         '<a href="#top">also dropped</a>'
+         '<a href="https://x.com/b"><img src="i.png"/></a>'),
+        (2, "me.com", '<a href="https://x.com/c">Hello <b>World</b></a>'
+                      '<a href="https://x.com/d">aardvark</a>'),
+    ], "doc_id long, host string, html string")
+
+    got = sorted(
+        (r["doc_id"], r["dst_host"], r["anchor"])
+        for r in extract_anchors(pages).collect()
+    )
+    assert got == [
+        (1, "me.com", "spaced text"),
+        (1, "x.com", ""),
+        (1, "x.com", "Hello World"),
+        (1, "y.net", "A & B <ok>"),
+        (2, "x.com", "Hello World"),
+        (2, "x.com", "aardvark"),
+    ]
+    # dst classification parity with extract_outlinks (same hrefs)
+    ol = sorted(
+        (r["doc_id"], r["dst_host"])
+        for r in extract_outlinks(
+            pages.withColumnRenamed("host", "host")
+        ).collect()
+    )
+    assert ol == sorted((d, h) for d, h, _a in got)
+
+    stats = {
+        r["dst_host"]: (r["n_anchors"], r["n_unique_texts"],
+                        r["top_anchor"], r["top_n"])
+        for r in anchor_text_stats(extract_anchors(pages)).collect()
+    }
+    # x.com: 'Hello World' x2 beats '' and 'aardvark'
+    assert stats["x.com"] == (4, 3, "Hello World", 2)
+    assert stats["me.com"] == (1, 1, "spaced text", 1)
+    # tie case: two distinct texts with n=1 -> lexicographic smallest
+    tie = anchor_text_stats(extract_anchors(spark.createDataFrame(
+        [(3, "h.com", '<a href="https://t.io/1">zeta</a>'
+                      '<a href="https://t.io/2">alpha</a>')],
+        "doc_id long, host string, html string",
+    ))).collect()
+    assert (tie[0]["top_anchor"], tie[0]["top_n"]) == ("alpha", 1)
