@@ -812,6 +812,47 @@ def q_fuzzy_key_pairs(spark, sf_dir):
     return fuzzy_key_pairs(words.union(tails).distinct(), "k")
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap-protocol parsing over arithmetic XML: every 10th doc is
+    a <sitemapindex> (two child pointers, lastmod on the first), the
+    rest are <urlset> leaves with three <url> entries — escaped-&amp;
+    query on entry 2, lastmod only on entry 0, priority (ppk) on
+    entries 0 and 2, entry 1 loc-less and therefore DROPPED with its
+    seq gap kept. The oracle rebuilds every row arithmetically."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.weburl import parse_sitemaps
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    site = F.concat(F.lit("https://site"), (i % 50).cast("string"),
+                    F.lit(".com"))
+    idx_xml = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex><sitemap><loc>'),
+        site, F.lit("/sitemap1.xml</loc><lastmod>2024-01-"),
+        F.lpad(((i % 27) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod></sitemap><sitemap><loc>"),
+        site, F.lit("/sitemap2.xml</loc></sitemap></sitemapindex>"),
+    )
+    urlset_xml = F.concat(
+        F.lit("<urlset><url><loc> "), site, F.lit("/p/"),
+        i.cast("string"),
+        F.lit(" </loc><lastmod>2023-12-0"),
+        ((i % 9) + 1).cast("string"),
+        F.lit("</lastmod><priority>0."),
+        (i % 10).cast("string"),
+        F.lit("</priority></url><url><priority>0.5</priority></url>"
+              "<url><loc>"),
+        site, F.lit("/q?a=1&amp;b="), (i % 7).cast("string"),
+        F.lit("</loc><priority>1.0</priority></url></urlset>"),
+    )
+    sitemaps = docs.select(
+        F.col("doc_id").alias("sitemap_id"),
+        F.when(i % 10 == 0, idx_xml).otherwise(urlset_xml).alias("xml"),
+    )
+    return parse_sitemaps(sitemaps)
+
+
 def q_anchor_text_stats(spark, sf_dir):
     """Anchor-text corpus per destination host (the CC anchor-text
     signal) over the shared arithmetic outlink pages: the anchors are
@@ -2156,6 +2197,31 @@ def _dataprep_sql() -> dict[str, str]:
         AS value
     FROM q, n"""
 
+    sqls["sitemap_urls"] = """
+    WITH s AS (
+      SELECT doc_id,
+             'https://site' || (doc_id % 50) || '.com' AS site
+      FROM documents)
+    SELECT doc_id AS sitemap_id, TRUE AS is_index, 0::BIGINT AS seq,
+           site || '/sitemap1.xml' AS loc,
+           '2024-01-' || lpad(CAST((doc_id % 27) + 1 AS VARCHAR),
+                              2, '0') AS lastmod,
+           NULL::BIGINT AS priority_ppk
+    FROM s WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id, TRUE, 1::BIGINT, site || '/sitemap2.xml',
+           NULL, NULL::BIGINT
+    FROM s WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id, FALSE, 0::BIGINT, site || '/p/' || doc_id,
+           '2023-12-0' || ((doc_id % 9) + 1),
+           ((doc_id % 10) * 100)::BIGINT
+    FROM s WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT doc_id, FALSE, 2::BIGINT,
+           site || '/q?a=1&b=' || (doc_id % 7), NULL, 1000::BIGINT
+    FROM s WHERE doc_id % 10 <> 0"""
+
     sqls["anchor_text_stats"] = """
     WITH e AS (
       SELECT 'site' || ((doc_id * 7) % 50) || '.com' AS dst_host,
@@ -3270,6 +3336,7 @@ _DRIVER_HEAD: list[str] = [
     "winnow_overlap",
     "gopher_quality",
     "anchor_text_stats",
+    "sitemap_urls",
     # -- never driver-checked (round-3 additions past the r03 window) --
     "cdx_index",
     "cdx_lookup",
@@ -3412,6 +3479,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "outlink_degrees": q_outlink_degrees,
         "anchor_text_stats": q_anchor_text_stats,
+        "sitemap_urls": q_sitemap_urls,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "wet_records": q_wet_records,

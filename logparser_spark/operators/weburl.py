@@ -660,3 +660,66 @@ def politeness_order(df, url_col: str = "url"):
             .cast("long").alias("position"),
         )
     )
+
+
+# one <url>…</url> or <sitemap>…</sitemap> entry block
+_SITEMAP_ENTRY_RX = r"(?s)<(?:url|sitemap)>.*?</(?:url|sitemap)>"
+
+
+def parse_sitemaps(sitemaps, xml_col: str = "xml",
+                   id_col: str = "sitemap_id"):
+    """Sitemap-protocol parser (sitemaps.org 0.9, the discovery
+    channel robots.txt points crawlers at): handles both document
+    kinds — ``<urlset>`` leaves (one row per ``<url>`` entry with
+    ``loc`` / optional ``lastmod`` / optional ``priority``) and
+    ``<sitemapindex>`` nodes (one row per child ``<sitemap>``
+    pointer, ``is_index=true``, lastmod kept, priority NULL — the
+    index element has none). ``loc`` values are XML-unescaped
+    (``&amp;`` etc — the spec REQUIRES escaping ampersands in URLs).
+    Entries missing ``<loc>`` are dropped (spec: required element).
+
+    Output: ``(sitemap_id, is_index, seq, loc, lastmod, priority)``
+    — ``seq`` the 0-based ordinal of the entry BLOCK within its
+    document (a dropped loc-less block keeps its ordinal, so seq can
+    have gaps — positions stay stable for diffing two fetches),
+    ``priority`` in parts-per-thousand (integer — '0.5' → 500) so
+    cross-engine comparison is exact.
+
+    Scale shape: pure Catalyst, map-only — one ``regexp_extract_all``
+    + ``posexplode`` + per-entry regexes; a 50k-URL sitemap (the spec
+    max) is one row in, 50k out, no shuffle anywhere."""
+    from pyspark.sql import functions as F
+
+    entries = sitemaps.select(
+        F.col(id_col),
+        F.col(xml_col).rlike(r"(?s)<sitemapindex[\s>]")
+        .alias("is_index"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(xml_col), F.lit(_SITEMAP_ENTRY_RX), F.lit(0)
+            )
+        ).alias("seq", "__e"),
+    )
+    e = F.col("__e")
+    loc_raw = F.regexp_extract(e, r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    loc = loc_raw
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    lastmod = F.regexp_extract(
+        e, r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
+    )
+    prio = F.regexp_extract(
+        e, r"(?s)<priority>\s*([0-9.]+)\s*</priority>", 1
+    )
+    return entries.select(
+        id_col,
+        "is_index",
+        F.col("seq").cast("long"),
+        loc.alias("loc"),
+        F.when(lastmod != "", lastmod).alias("lastmod"),
+        F.when(
+            ~F.col("is_index") & (prio != ""),
+            F.round(prio.cast("double") * 1000).cast("long"),
+        ).alias("priority_ppk"),
+    ).where(F.col("loc") != "")

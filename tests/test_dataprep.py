@@ -2016,3 +2016,42 @@ def test_extract_anchors_and_stats(spark):
         "doc_id long, host string, html string",
     ))).collect()
     assert (tie[0]["top_anchor"], tie[0]["top_n"]) == ("alpha", 1)
+
+
+def test_parse_sitemaps(spark):
+    """Sitemap protocol: urlset vs sitemapindex kinds, loc
+    XML-unescape, optional lastmod/priority, ppk conversion, loc-less
+    blocks dropped with their seq gap kept."""
+    from logparser_spark.operators.weburl import parse_sitemaps
+
+    urlset = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://a.com/?x=1&amp;y=2</loc>"
+        "<lastmod>2024-01-02</lastmod><priority>0.7</priority></url>"
+        "<url><loc> https://a.com/plain </loc></url>"
+        "<url><priority>0.9</priority></url>"
+        "<url><loc>https://a.com/&apos;z&apos;</loc>"
+        "<priority>1.0</priority></url></urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>"
+        "<lastmod>2024-02-03</lastmod></sitemap>"
+        "<sitemap><loc>https://a.com/s2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index)], "sitemap_id long, xml string"
+    )
+    got = sorted(
+        (r["sitemap_id"], r["is_index"], r["seq"], r["loc"],
+         r["lastmod"], r["priority_ppk"])
+        for r in parse_sitemaps(df).collect()
+    )
+    assert got == [
+        (1, False, 0, "https://a.com/?x=1&y=2", "2024-01-02", 700),
+        (1, False, 1, "https://a.com/plain", None, None),
+        (1, False, 3, "https://a.com/'z'", None, 1000),
+        (2, True, 0, "https://a.com/s1.xml", "2024-02-03", None),
+        (2, True, 1, "https://a.com/s2.xml", None, None),
+    ]
