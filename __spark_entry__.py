@@ -812,6 +812,55 @@ def q_fuzzy_key_pairs(spark, sf_dir):
     return fuzzy_key_pairs(words.union(tails).distinct(), "k")
 
 
+def _boiler_pages(docs):
+    """Shared synth for the boilerplate queries: a nav block (linky),
+    a lead-augmented paragraph whose stopword density VARIES with the
+    doc's own text (so both good and low_stop verdicts occur), a
+    short teaser, and a linky footer; plus script/style elements that
+    must vanish wholesale."""
+    from pyspark.sql import functions as F
+
+    html = F.concat(
+        F.lit('<html><head><style>.x{color:red}</style>'
+              '<script>var the_thing = "of the and to in";</script>'
+              '</head><body>'
+              '<div class="nav"><a href="/">Home</a> '
+              '<a href="/about">About us</a> '
+              '<a href="/c">Contact</a></div>'
+              '<p>the data is on a table and it is in the row for it '),
+        F.col("text"),
+        F.lit('</p><p>Read more...</p>'
+              '<div class="footer">Copyright 2024 '
+              '<a href="/tos">Terms</a> <a href="/p">privacy</a>'
+              '</div></body></html>'),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def q_boilerplate_blocks(spark, sf_dir):
+    """jusText-style block classification over the synth pages. The
+    oracle is ANALYTIC: the three boilerplate blocks are restated as
+    constants (their text never varies), and the paragraph's
+    word/stopword counts are recomputed in SQL from the raw document
+    text — the block splitter, tag stripper, and density rules are
+    checked without rerunning any of their regexes."""
+    from logparser_spark.operators.boilerplate import boilerplate_blocks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return boilerplate_blocks(_boiler_pages(docs))
+
+
+def q_main_content(spark, sf_dir):
+    """Main-content reassembly: only 'good' paragraph blocks survive,
+    so a document appears iff its lead-augmented paragraph clears the
+    30% stopword-density bar — the oracle recomputes that predicate
+    per doc and rebuilds the kept content string."""
+    from logparser_spark.operators.boilerplate import main_content
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return main_content(_boiler_pages(docs))
+
+
 def q_sitemap_urls(spark, sf_dir):
     """Sitemap-protocol parsing over arithmetic XML: every 10th doc is
     a <sitemapindex> (two child pointers, lastmod on the first), the
@@ -2197,6 +2246,59 @@ def _dataprep_sql() -> dict[str, str]:
         AS value
     FROM q, n"""
 
+    # analytic paragraph metrics for the boilerplate oracles: the
+    # lead-augmented paragraph is the only block whose verdict varies
+    _boiler_para = """
+    WITH p AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          'the data is on a table and it is in the row for it '
+            || text, '\\s+', ' ', 'g')) AS para
+      FROM documents),
+    pw AS (
+      SELECT doc_id, para,
+        list_filter(string_split(para, ' '), x -> len(x) > 0) AS words
+      FROM p),
+    pm AS (
+      SELECT doc_id, para,
+        len(words)::BIGINT AS n_words,
+        len(list_filter(words, x -> list_contains(
+          ['the','a','an','and','or','of','to','in','on','is','it',
+           'that','this','with','as','for','was','are','be','by'],
+          lower(x))))::BIGINT AS ns
+      FROM pw),
+    para_row AS (
+      SELECT doc_id, para, n_words,
+        0::BIGINT AS link_density_ppm,
+        ((ns * 1000000) // n_words)::BIGINT AS stopword_density_ppm
+      FROM pm)
+    """
+
+    sqls["boilerplate_blocks"] = _boiler_para + """
+    SELECT doc_id, 1::BIGINT AS seq, 'Home About us Contact' AS text,
+      4::BIGINT AS n_words, 904761::BIGINT AS link_density_ppm,
+      0::BIGINT AS stopword_density_ppm, 'linky' AS verdict
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 3::BIGINT, para, n_words, link_density_ppm,
+      stopword_density_ppm,
+      CASE WHEN stopword_density_ppm >= 300000 THEN 'good'
+           ELSE 'low_stop' END
+    FROM para_row
+    UNION ALL
+    SELECT doc_id, 5::BIGINT, 'Read more...', 2::BIGINT, 0::BIGINT,
+      0::BIGINT, 'short'
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 7::BIGINT, 'Copyright 2024 Terms privacy',
+      4::BIGINT, 428571::BIGINT, 0::BIGINT, 'linky'
+    FROM documents"""
+
+    sqls["main_content"] = _boiler_para + """
+    SELECT doc_id, para AS content, 1::BIGINT AS n_good_blocks
+    FROM para_row
+    WHERE stopword_density_ppm >= 300000"""
+
     sqls["sitemap_urls"] = """
     WITH s AS (
       SELECT doc_id,
@@ -3337,6 +3439,8 @@ _DRIVER_HEAD: list[str] = [
     "gopher_quality",
     "anchor_text_stats",
     "sitemap_urls",
+    "boilerplate_blocks",
+    "main_content",
     # -- never driver-checked (round-3 additions past the r03 window) --
     "cdx_index",
     "cdx_lookup",
@@ -3457,6 +3561,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixels_gif": q_image_pixels_gif,
         "image_pixels_bmp": q_image_pixels_bmp,
         "extract_text": q_extract_text,
+        "boilerplate_blocks": q_boilerplate_blocks,
+        "main_content": q_main_content,
         "canonical_urls": q_canonical_urls,
         "cdx_index": q_cdx_index,
         "cdx_lookup": q_cdx_lookup,

@@ -2055,3 +2055,54 @@ def test_parse_sitemaps(spark):
         (2, True, 0, "https://a.com/s1.xml", "2024-02-03", None),
         (2, True, 1, "https://a.com/s2.xml", None, None),
     ]
+
+
+def test_boilerplate_blocks_and_main_content(spark):
+    """jusText-lite rules: script/style removed wholesale, the four
+    verdict tiers (linky / good / short / low_stop), density ppm
+    math, block order preserved in the reassembled content, and
+    no-good-block pages yielding no row."""
+    from logparser_spark.operators.boilerplate import (
+        boilerplate_blocks,
+        main_content,
+    )
+
+    good_p = ("This is the first real paragraph of the page and it is "
+              "full of the usual function words that a normal English "
+              "sentence carries with it.")
+    good_p2 = ("Here is a second content paragraph and it also has "
+               "plenty of the common words that are needed for it to "
+               "pass the bar.")
+    html = (
+        '<html><head><style>.x{color:red}</style>'
+        '<script>var s = "of the and to in";</script></head><body>'
+        '<div class="nav"><a href="/">Home</a> '
+        '<a href="/about">About us</a> <a href="/c">Contact</a></div>'
+        f"<p>{good_p}</p>"
+        "<p>Read more...</p>"
+        "<div>word soup lacking stop tokens entirely just nouns "
+        "verbs objects widgets gadgets sprockets flanges</div>"
+        f"<p>{good_p2}</p>"
+        '<div class="footer">Copyright 2024 <a href="/tos">Terms</a> '
+        '<a href="/p">privacy</a></div></body></html>'
+    )
+    linky_only = ('<html><body><div><a href="/a">one link</a> '
+                  '<a href="/b">two links</a></div></body></html>')
+    df = spark.createDataFrame(
+        [(1, html), (2, linky_only)], "doc_id long, html string"
+    )
+    blocks = sorted(
+        ((r["doc_id"], r["seq"]), (r["verdict"], r["n_words"]))
+        for r in boilerplate_blocks(df).collect()
+    )
+    verdicts = [v for (_d, _s), (v, _n) in blocks]
+    assert verdicts == ["linky", "good", "short", "low_stop", "good",
+                        "linky", "linky"]
+    # script/style text never leaks into any block
+    texts = [r["text"] for r in boilerplate_blocks(df).collect()]
+    assert not any("color:red" in t or "var s" in t for t in texts)
+
+    mc = {r["doc_id"]: r for r in main_content(df).collect()}
+    assert set(mc) == {1}
+    assert mc[1]["n_good_blocks"] == 2
+    assert mc[1]["content"] == f"{good_p}\n{good_p2}"
