@@ -837,6 +837,49 @@ def _boiler_pages(docs):
     return docs.select("doc_id", html.alias("html"))
 
 
+def q_parse_date_spec(spark, sf_dir):
+    """The DATE field type end-to-end (engine extension — the
+    reference README promises DATE 'incoming' but never shipped it):
+    lines '<date> <n> INFO :m<n>' with the date components arithmetic
+    in doc_id, so roughly a third of rows carry CALENDAR-INVALID dates
+    (day 29-31 in short months, plus Feb 29 across leap and non-leap
+    years) and must come back malformed. The oracle never parses: it
+    rebuilds y/m/d arithmetically, restates the Gregorian validity
+    rule in SQL, and predicts both the typed DATE value and the
+    well_formed bit."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.functions.formats import compile_format
+    from logparser_spark.operators.parse import parse_lines_arrow
+
+    _prep(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    lines = docs.select(
+        "doc_id",
+        F.concat(
+            F.lpad((1899 + (i % 203)).cast("string"), 4, "0"),
+            F.lit("-"),
+            F.lpad(((i % 12) + 1).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad(((i % 31) + 1).cast("string"), 2, "0"),
+            F.lit(" "), i.cast("string"), F.lit(" INFO :m"),
+            i.cast("string"),
+        ).alias("raw_line"),
+    )
+    spec = compile_format(
+        "{DATE:Day} {INT:Num} {STR:Level} :{STR:Msg}", name="datefmt"
+    )
+    parsed = parse_lines_arrow(lines, spec)
+    return parsed.select(
+        "doc_id",
+        F.col("parsed.Day").alias("day"),
+        F.col("parsed.Num").alias("num"),
+        F.col("parsed.Msg").alias("msg"),
+        F.col("parsed.well_formed").alias("well_formed"),
+    )
+
+
 def q_boilerplate_blocks(spark, sf_dir):
     """jusText-style block classification over the synth pages. The
     oracle is ANALYTIC: the three boilerplate blocks are restated as
@@ -2246,6 +2289,30 @@ def _dataprep_sql() -> dict[str, str]:
         AS value
     FROM q, n"""
 
+    sqls["parse_date_spec"] = """
+    WITH c AS (
+      SELECT doc_id,
+        1899 + (doc_id % 203) AS y,
+        (doc_id % 12) + 1 AS m,
+        (doc_id % 31) + 1 AS d
+      FROM documents),
+    v AS (
+      SELECT doc_id, y, m, d,
+        d <= (CASE m
+                WHEN 2 THEN 28 + CASE WHEN (y % 4 = 0)
+                  AND ((y % 100 <> 0) OR (y % 400 = 0))
+                  THEN 1 ELSE 0 END
+                WHEN 4 THEN 30 WHEN 6 THEN 30
+                WHEN 9 THEN 30 WHEN 11 THEN 30
+                ELSE 31 END) AS ok
+      FROM c)
+    SELECT doc_id,
+      CASE WHEN ok THEN make_date(y, m, d) END AS day,
+      CASE WHEN ok THEN doc_id END::BIGINT AS num,
+      CASE WHEN ok THEN 'm' || doc_id END AS msg,
+      ok AS well_formed
+    FROM v"""
+
     # analytic paragraph metrics for the boilerplate oracles: the
     # lead-augmented paragraph is the only block whose verdict varies
     _boiler_para = """
@@ -3441,6 +3508,7 @@ _DRIVER_HEAD: list[str] = [
     "sitemap_urls",
     "boilerplate_blocks",
     "main_content",
+    "parse_date_spec",
     # -- never driver-checked (round-3 additions past the r03 window) --
     "cdx_index",
     "cdx_lookup",
@@ -3624,6 +3692,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crlf_identity": q_crlf_identity,
         "parse_nchar_spec": q_parse_nchar_spec,
         "parse_nchar_utf8": q_parse_nchar_utf8,
+        "parse_date_spec": q_parse_date_spec,
         "route_raw_contains": q_route_raw_contains,
         "route_ew_rows": q_route_ew_rows,
         "route_nor_rows": q_route_nor_rows,

@@ -42,6 +42,16 @@ class FieldType(Enum):
     CHR = "CHR"
     STR = "STR"
     WS = "WS"
+    # Engine extension: the reference README promises "`DATE` support
+    # incoming" (/root/reference/README.md:57) but never shipped it
+    # (its 3-char tag grammar can't even lex a 4-char tag). Semantics
+    # pinned HERE since no reference behavior exists: `{DATE:Name}`
+    # matches exactly `YYYY-MM-DD` (10 chars, zero-padded), then
+    # calendar-validates with datetime.date's rules (years 1-9999,
+    # Gregorian leap); shape or calendar failure => malformed line
+    # (like a CHR mismatch); value type is a real DATE column
+    # (DateType / pa.date32), not an INT in disguise.
+    DATE = "DATE"
 
 
 class StrStop(Enum):
@@ -144,6 +154,11 @@ class FormatSpec:
             g = f"g{i}"
             if f.ftype == FieldType.INT:
                 frags.append(f"(?P<{g}>[0-9]++)")
+            elif f.ftype == FieldType.DATE:
+                # fixed shape; CALENDAR validity is checked post-match
+                # by the tier (invalid => the row is walker-resolved,
+                # and the walker rejects it)
+                frags.append(f"(?P<{g}>[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}})")
             elif f.ftype == FieldType.DBL:
                 # Require a leading digit/dot (walker may succeed without
                 # consuming; those rows must take the fallback), forbid a
@@ -257,6 +272,8 @@ class FormatSpec:
             f = flds[i]
             if f.ftype == FieldType.INT:
                 return (None, DIGITS)
+            if f.ftype == FieldType.DATE:
+                return (None, DIGITS | {"-"})
             if f.ftype == FieldType.WS:
                 return (None, WS_SET)
             if f.ftype == FieldType.CHR:
@@ -310,6 +327,9 @@ class FormatSpec:
                     continue
                 if g.ftype == FieldType.INT:
                     return disjoint(cf, DIGITS)
+                if g.ftype == FieldType.DATE:
+                    # mandatory fixed-shape token starting with a digit
+                    return disjoint(cf, DIGITS)
                 if g.ftype == FieldType.CHR:
                     return disjoint(cf, {g.target})
                 if g.ftype == FieldType.STR:
@@ -339,6 +359,10 @@ class FormatSpec:
             gname = f"g{i}"
             if f.ftype == FieldType.INT:
                 frags.append(f"(?P<{gname}>[0-9]+)")
+            elif f.ftype == FieldType.DATE:
+                frags.append(
+                    f"(?P<{gname}>[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}})"
+                )
             elif f.ftype == FieldType.CHR:
                 t = re.escape(f.target)
                 rep = f"{t}*" if f.repeat else ""
@@ -402,6 +426,7 @@ class FormatSpec:
             FieldType.DBL: T.DoubleType(),
             FieldType.CHR: T.StringType(),
             FieldType.STR: T.StringType(),
+            FieldType.DATE: T.DateType(),
         }
         cols = self.column_names()
         fields = [
@@ -438,6 +463,25 @@ def compile_format(fmt_str: str, name: str = "default") -> FormatSpec:
 
         idx += 1
         c = ch(idx)
+
+        # Engine-extension tag (see FieldType.DATE): a 4-char tag the
+        # reference grammar cannot lex. Handled before the 3-char path
+        # so `{DATE:...}` never falls into the reference's literal
+        # fall-through quirk; specs without it compile bit-identically.
+        if fmt_str[idx:idx + 4] == "DATE" and ch(idx + 4) == ":":
+            name_begin = idx + 5
+            name_end = name_begin
+            while ch(name_end) not in ("\0", "}"):
+                name_end += 1
+            if ch(name_end) != "}":
+                raise ValueError(f"unterminated DATE tag in {fmt_str!r}")
+            spec.fields.append(
+                FieldSpec(FieldType.DATE,
+                          name=fmt_str[name_begin:name_end])
+            )
+            idx = name_end + 1
+            continue
+
         field_name = ""
         stsp: Optional[StrStop] = None
         str_n_char = 0

@@ -60,6 +60,9 @@ _ATOF_RE = re.compile(
 )
 _ATOL_RE = re.compile(r"[ \t\n\v\f\r]*([+-]?)([0-9]*)")
 _DIGITS = set("0123456789")
+# DATE field (engine extension, see formats.FieldType.DATE): exact
+# ISO shape, calendar-validated via datetime.date (years 1-9999)
+_DATE_RE = re.compile(r"[0-9]{4}-[0-9]{2}-[0-9]{2}")
 
 # INT overflow contract (applies to EVERY parse tier): C ``atol`` is
 # ``strtol(s, NULL, 10)`` which SATURATES at LONG_MIN/LONG_MAX on
@@ -143,6 +146,19 @@ def parse_line(line: str, spec: FormatSpec) -> tuple[list, bool]:
                 if line[cursor] == ".":
                     dot_ok = False
                 cursor += 1
+        elif f.ftype == FieldType.DATE:
+            seg = line[cursor:cursor + 10]
+            if len(seg) < 10 or not _DATE_RE.fullmatch(seg):
+                return [None] * len(values), False
+            import datetime
+
+            try:
+                values[out_idx[i]] = datetime.date(
+                    int(seg[0:4]), int(seg[5:7]), int(seg[8:10])
+                )
+            except ValueError:  # calendar-invalid (incl. year 0)
+                return [None] * len(values), False
+            cursor += 10
         elif f.ftype == FieldType.CHR:
             if line[cursor] == f.target:
                 values[out_idx[i]] = f.target
@@ -334,6 +350,10 @@ def eval_filter(node, line: OracleLine, spec: FormatSpec) -> Optional[bool]:
             r = _CMP_OPS[cmp](val, int(node.value))
         elif f.ftype == FieldType.DBL:
             r = _CMP_OPS[cmp](val, float(node.value))
+        elif f.ftype == FieldType.DATE:
+            import datetime
+
+            r = _CMP_OPS[cmp](val, datetime.date.fromisoformat(node.value))
         elif f.ftype == FieldType.CHR:
             r = _CMP_OPS[cmp](val, node.value[0] if node.value else "\0")
         else:

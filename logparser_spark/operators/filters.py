@@ -248,6 +248,17 @@ def parse_filter(
             value_str = str(int(value_str))
         elif ft == FieldType.DBL:
             value_str = f"{float(value_str):.6f}"  # std::to_string(double)
+        elif ft == FieldType.DATE:
+            # engine extension: canonicalize to ISO (rejects malformed
+            # comparison values at filter-compile time, like stol does);
+            # substring verbs are meaningless on a typed date
+            import datetime
+
+            if cmp in ("CT", "BW", "EW"):
+                raise ValueError(
+                    f"{cmp} not supported on DATE field {field_name}"
+                )
+            value_str = datetime.date.fromisoformat(value_str).isoformat()
         elif ft == FieldType.CHR:
             value_str = value_str[:1]
         elif ft == FieldType.STR and ci:
@@ -318,6 +329,10 @@ def to_column(
             v = F.lit(int(node.value))
         elif f.ftype == FieldType.DBL:
             v = F.lit(float(node.value))
+        elif f.ftype == FieldType.DATE:
+            import datetime
+
+            v = F.lit(datetime.date.fromisoformat(node.value))
         elif f.ftype == FieldType.CHR:
             v = F.lit(node.value[0] if node.value else "")
         else:

@@ -96,6 +96,65 @@ def _fast_plan(spec: FormatSpec):
     return rx, suffix
 
 
+def _date_arrays_from_captures(child, row_valid):
+    """DATE captures (pa string array, shape-valid 'YYYY-MM-DD' on
+    rows where ``row_valid``) → ``(date32 array, calendar_invalid bool
+    array)``. ``row_valid`` must be the regex-match validity — an
+    ``extract_regex`` struct's children do NOT carry its null bitmap
+    (non-matches surface as ``''``). The shape is regex-guaranteed on
+    valid rows; only CALENDAR validity (datetime.date rules,
+    ``functions.dates``) is decided here — invalid rows become
+    undecided and the walker (which rejects them) settles the line."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.dates import days_from_civil, is_valid_date
+
+    present = pc.fill_null(
+        pc.and_(row_valid, pc.is_valid(child)), False
+    ).to_numpy(zero_copy_only=False)
+    zero = pa.scalar("0000-01-01", pa.string())
+    filled = pc.if_else(pa.array(present), child, zero)
+    y = pc.cast(pc.utf8_slice_codeunits(filled, 0, 4), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    m = pc.cast(pc.utf8_slice_codeunits(filled, 5, 7), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    d = pc.cast(pc.utf8_slice_codeunits(filled, 8, 10), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    ok = is_valid_date(y, m, d) & present
+    days = np.where(ok, days_from_civil(y, m, d), 0).astype(np.int32)
+    date_arr = pa.array(days, type=pa.date32(), mask=~ok)
+    invalid = pa.array(present & ~ok)
+    return date_arr, invalid
+
+
+def _dates_from_str_series(s: pd.Series):
+    """pandas-tier DATE conversion: object Series of shape-valid
+    'YYYY-MM-DD'/None → (object Series of datetime.date/None,
+    calendar-invalid ndarray). Per-row datetime.date is acceptable
+    here — the pandas tiers are the non-hot path; the Arrow kernel
+    uses the vectorized civil-date math."""
+    import datetime
+
+    import numpy as np
+
+    vals = []
+    invalid = np.zeros(len(s), dtype=bool)
+    for j, x in enumerate(s.tolist()):
+        if not isinstance(x, str):
+            vals.append(None)
+            continue
+        try:
+            vals.append(datetime.date(
+                int(x[0:4]), int(x[5:7]), int(x[8:10])
+            ))
+        except ValueError:
+            vals.append(None)
+            invalid[j] = True
+    return pd.Series(vals, index=s.index, dtype="object"), invalid
+
+
 def _batch_parse_fast(lines: pd.Series, spec: FormatSpec, fast_rx: str,
                       unset_suffix: list):
     """Tier-1: pyarrow extract_regex. Returns (result_df, well, decided)
@@ -124,6 +183,13 @@ def _batch_parse_fast(lines: pd.Series, spec: FormatSpec, fast_rx: str,
         child = pc.if_else(valid, st.field(f"g{i}"), pa.scalar(None, pa.string()))
         if f.ftype == FieldType.INT:
             data[cols[k]] = child.cast(pa.int64()).to_pandas().astype("Int64")
+        elif f.ftype == FieldType.DATE:
+            dates, invalid = _dates_from_str_series(child.to_pandas())
+            data[cols[k]] = dates
+            # calendar-invalid rows are undecided (the exact tiers'
+            # walker rejects them => malformed); the merged result row
+            # is fully overwritten there
+            valid_np = valid_np & ~invalid
         else:
             s = child.to_pandas()
             data[cols[k]] = s
@@ -209,12 +275,20 @@ def _batch_parse_nested(lines: pd.Series, spec: FormatSpec,
         fallback |= s.map(
             lambda x: isinstance(x, str) and not x.isascii()
         ).astype(bool)
+    date_cols: dict[int, pd.Series] = {}
     for k, (i, f) in enumerate(out_fields):
         if f.ftype == FieldType.INT:
             # int64 saturation contract: >18-digit captures go to the
             # oracle walker (pd.to_numeric would lossily float them)
             g = extracted[f"g{i}"]
             fallback |= (g.str.len() > 18).fillna(False)
+            continue
+        if f.ftype == FieldType.DATE:
+            # calendar-invalid captures: walker decides (and rejects)
+            g = extracted[f"g{i}"]
+            dates, invalid = _dates_from_str_series(g)
+            date_cols[k] = dates
+            fallback |= pd.Series(invalid, index=g.index)
             continue
         if f.ftype != FieldType.DBL:
             continue
@@ -242,6 +316,8 @@ def _batch_parse_nested(lines: pd.Series, spec: FormatSpec,
             data[cols[k]] = pd.to_numeric(g, errors="coerce").astype("Int64")
         elif f.ftype == FieldType.DBL:
             data[cols[k]] = pd.to_numeric(g, errors="coerce").astype("float64")
+        elif f.ftype == FieldType.DATE:
+            data[cols[k]] = date_cols[k]
         else:  # CHR / STR as strings; CHR capture is the target char
             data[cols[k]] = g.where(g.notna(), None)
     result = pd.DataFrame(data, index=s.index)
@@ -510,6 +586,14 @@ def _batch_parse_arrow(arr, spec: FormatSpec, rx: str, unset_suffix: list,
         children = {}
         for k, (i, f) in enumerate(out_fields):
             children[k] = st.field(f"g{i}")
+            if f.ftype == FieldType.DATE:
+                # shape matched; calendar validity decided vectorized —
+                # invalid rows go undecided (walker rejects them)
+                date_arr, cal_invalid = _date_arrays_from_captures(
+                    children[k], valid
+                )
+                children[k] = date_arr
+                valid = pc.and_(valid, pc.invert(cal_invalid))
 
     # Trailing zero-width captures: '' means the walker's cursor was at
     # EOL -> field is UNSET (None), not empty (line_parser.cpp:65).
@@ -545,6 +629,10 @@ def _batch_parse_arrow(arr, spec: FormatSpec, rx: str, unset_suffix: list,
             # alignment checks rejected (they carry split-side values)
             base = pc.if_else(
                 valid, children[k], pa.scalar(None, children[k].type)
+            )
+        elif f.ftype == FieldType.DATE:
+            base = pc.if_else(
+                valid, children[k], pa.scalar(None, pa.date32())
             )
         else:
             base = pc.if_else(
@@ -701,7 +789,8 @@ def render_parsed(df, spec: FormatSpec, parsed_col: str = "parsed",
     from pyspark.sql import functions as F
 
     groups: dict = {FieldType.INT: [], FieldType.DBL: [],
-                    FieldType.CHR: [], FieldType.STR: []}
+                    FieldType.CHR: [], FieldType.STR: [],
+                    FieldType.DATE: []}
     cols = spec.column_names()
     for k, (i, f) in enumerate(spec.output_fields()):
         groups[f.ftype].append(F.col(f"{parsed_col}.{cols[k]}"))
@@ -713,14 +802,24 @@ def render_parsed(df, spec: FormatSpec, parsed_col: str = "parsed",
             sep, *[F.coalesce(c.cast("string"), F.lit("")) for c in cs]
         )
 
-    rendered = F.concat(
+    parts = [
         F.lit("ParsedLine: ints("), plain(groups[FieldType.INT]),
         F.lit("); dbls("), plain(groups[FieldType.DBL]),
         F.lit("); chrs("), plain(groups[FieldType.CHR]),
         F.lit('); strs("'), plain(groups[FieldType.STR], '", "'),
         F.lit('")'),
-    )
-    return df.withColumn(out_col, rendered)
+    ]
+    # DATE is an engine extension (no reference render exists): append
+    # a dates(...) section ONLY when the spec has DATE fields, so the
+    # reference specs' byte-parity render is untouched
+    if groups[FieldType.DATE]:
+        parts += [
+            F.lit("; dates("),
+            plain([F.date_format(c, "yyyy-MM-dd")
+                   for c in groups[FieldType.DATE]]),
+            F.lit(")"),
+        ]
+    return df.withColumn(out_col, F.concat(*parts))
 
 
 def parsed_to_json(df, spec: FormatSpec, parsed_col: str = "parsed",
@@ -870,6 +969,7 @@ def _arrow_types(spec: FormatSpec):
         FieldType.DBL: pa.float64(),
         FieldType.CHR: pa.string(),
         FieldType.STR: pa.string(),
+        FieldType.DATE: pa.date32(),
     }
     return [m[f.ftype] for _, f in spec.output_fields()]
 
@@ -929,6 +1029,34 @@ def parse_lines_hybrid(
         # row to the walker residual — the JVM cast("long") would
         # silently NULL an overflowing capture with well_formed=true.
         matched = matched & ~F.col(line_col).rlike("[0-9]{19}")
+    if any(f.ftype == FieldType.DATE for _, f in out_fields):
+        # DATE calendar contract: any shape-valid but calendar-invalid
+        # date (incl. year 0000, which Java's proleptic ISO chronology
+        # would accept but datetime.date rejects) routes the row to the
+        # walker residual, which declares it malformed. Same validity
+        # rules as functions.dates.is_valid_date, as Catalyst exprs.
+        def _date_invalid(s):
+            y = F.substring(s, 1, 4).cast("int")
+            m = F.substring(s, 6, 2).cast("int")
+            d = F.substring(s, 9, 2).cast("int")
+            leap = (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))
+            base = F.element_at(
+                F.array(*[F.lit(x) for x in
+                          (31, 28, 31, 30, 31, 30,
+                           31, 31, 30, 31, 30, 31)]), m
+            )
+            dim = base + F.when((m == 2) & leap, 1).otherwise(0)
+            return F.when(
+                (y < 1) | (m < 1) | (m > 12), F.lit(True)
+            ).otherwise((d < 1) | (d > dim))
+
+        matched = matched & ~F.exists(
+            F.regexp_extract_all(
+                F.col(line_col),
+                F.lit(r"([0-9]{4}-[0-9]{2}-[0-9]{2})"), F.lit(1),
+            ),
+            _date_invalid,
+        )
     residual_col = "__residual"
     packed_col = "__packed"
     with_res = df.withColumn(
@@ -967,6 +1095,10 @@ def parse_lines_hybrid(
             g = g.cast("long")
         elif f.ftype == FieldType.DBL:
             g = g.cast("double")
+        elif f.ftype == FieldType.DATE:
+            # calendar-invalid rows were routed to the residual above,
+            # so this conversion never nulls a matched row
+            g = F.to_date(g, "yyyy-MM-dd")
         jvm_fields.append(g.alias(cols[k]))
     jvm_struct = F.struct(*jvm_fields, F.lit(True).alias("well_formed"))
 

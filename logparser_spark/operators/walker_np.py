@@ -177,6 +177,8 @@ def batch_walk_arrow(lines: pa.Array, spec: FormatSpec,
     str_stop: dict[int, np.ndarray] = {}
     str_valid: dict[int, np.ndarray] = {}
     chr_valid: dict[int, np.ndarray] = {}
+    date_days: dict[int, np.ndarray] = {}
+    date_valid: dict[int, np.ndarray] = {}
 
     safe_hi = max(len(buf) - 1, 0)
 
@@ -228,6 +230,45 @@ def batch_walk_arrow(lines: pa.Array, spec: FormatSpec,
             # cursor advances only over digits AT the original position
             adv = _run_end(stops_for("digit", _DIGITS), c[okm], e[okm])
             cur[keep] = adv[~fail_zero]
+        elif f.ftype == FieldType.DATE:
+            # exact 10-byte ISO shape at the cursor, fully vectorized:
+            # digits at relative offsets 0-3,5,6,8,9; '-' at 4 and 7;
+            # then calendar validity via the shared civil-date math
+            from ..functions.dates import days_from_civil, is_valid_date
+
+            fits = c + 10 <= e
+            ok = fits.copy()
+            for off in (0, 1, 2, 3, 5, 6, 8, 9):
+                b = buf[np.minimum(c + off, safe_hi)]
+                ok &= (b >= 0x30) & (b <= 0x39)
+            for off in (4, 7):
+                b = buf[np.minimum(c + off, safe_hi)]
+                ok &= b == 0x2D
+            ok &= fits
+
+            def num(lo, hi):
+                v = np.zeros(len(c), dtype=np.int64)
+                for off in range(lo, hi):
+                    v = v * 10 + (
+                        buf[np.minimum(c + off, safe_hi)].astype(np.int64)
+                        - 48
+                    )
+                return v
+
+            y, mo, dd = num(0, 4), num(5, 7), num(8, 10)
+            ok &= is_valid_date(y, mo, dd)
+            failed[rows[~ok]] = True
+            keep = rows[ok]
+            k = out_idx[i]
+            if k not in date_days:
+                date_days[k] = np.zeros(n_rows, dtype=np.int64)
+                date_valid[k] = np.zeros(n_rows, dtype=bool)
+            if len(keep):
+                date_days[k][keep] = days_from_civil(
+                    y[ok], mo[ok], dd[ok]
+                )
+                date_valid[k][keep] = True
+                cur[keep] += 10
         elif f.ftype == FieldType.CHR:
             t = ord(f.target) if f.target else 0
             at = buf[np.minimum(c, safe_hi)]
@@ -349,6 +390,22 @@ def batch_walk_arrow(lines: pa.Array, spec: FormatSpec,
                         valid[r] = True
                 outs.append(pa.array(fvals, type=pa.float64(),
                                      mask=~valid))
+        elif f.ftype == FieldType.DATE:
+            from ..functions.dates import days_from_civil as _dfc
+
+            days = date_days.get(k)
+            valid = date_valid.get(k)
+            if days is None:
+                days = np.zeros(n_rows, dtype=np.int64)
+                valid = np.zeros(n_rows, dtype=bool)
+            valid = valid & landed
+            dvals = days.astype(np.int32)
+            for r in bail_rows:
+                ov = oracle_vals[r][k]
+                if ov is not None:  # datetime.date from the oracle
+                    dvals[r] = _dfc(ov.year, ov.month, ov.day)
+                    valid[r] = True
+            outs.append(pa.array(dvals, type=pa.date32(), mask=~valid))
         elif f.ftype == FieldType.CHR:
             import pyarrow.compute as pc
 

@@ -30,6 +30,9 @@ from logparser_spark.sources.corpus import GOLDEN_LINES
 
 FUZZ_SPECS = [
     DEFAULT_FORMAT,
+    "{DATE:D} {STR:Rest}",
+    "{DATE:A}T{STR:B}",
+    "{INT:N} {DATE:D} {STR:S}",
     "[{INT:Ts}] {STR:Lvl} {STR:Rest}",
     "{INT:A}x{STR:B}",
     "{INT:A} {INT:B} {INT:C}",
@@ -57,6 +60,17 @@ def _flat_values(spec, pattern, line):
             vals.append(None)
         elif f.ftype == FieldType.INT:
             vals.append(int(g))
+        elif f.ftype == FieldType.DATE:
+            # kernel contract: calendar-invalid captures are UNDECIDED
+            # (walker-resolved), so the flat path proves nothing there
+            import datetime
+
+            try:
+                vals.append(datetime.date(
+                    int(g[0:4]), int(g[5:7]), int(g[8:10])
+                ))
+            except ValueError:
+                return None
         else:
             vals.append(g)
     _, unset_suffix = _fast_plan(spec)
@@ -98,6 +112,18 @@ def test_fast_regex_agrees_on_fuzzed_lines(fmt):
     for _ in range(3000):
         line = "".join(rng.choice(ALPHABET) for _ in range(rng.randint(0, 30)))
         matched += _assert_agrees(spec, pattern, line)
+    # date-shaped adversarial inputs (calendar edges, bad separators)
+    if any(f.ftype == FieldType.DATE for f in spec.fields):
+        for _ in range(3000):
+            y = rng.choice(["2024", "2023", "1900", "2000", "0000",
+                            "0001", "9999", str(rng.randint(0, 9999)).zfill(4)])
+            m = str(rng.randint(0, 19)).zfill(2)
+            d = str(rng.randint(0, 39)).zfill(2)
+            sep = rng.choice(["-", "-", "-", "/", ""])
+            tail = "".join(rng.choice(ALPHABET) for _ in range(rng.randint(0, 12)))
+            matched += _assert_agrees(
+                spec, pattern, f"{y}{sep}{m}{sep}{d}{tail}"
+            )
     # mutations of golden corpus lines (near-matching adversarial inputs)
     for _ in range(3000):
         base = list(rng.choice(GOLDEN_LINES))

@@ -35,7 +35,8 @@ class TestFormatCompile:
     def test_default_format_field_counts(self):
         # 2 INT, 0 DBL, 3 CHR (':', '.', ':'), 3 STR, 4 WS (test_helpers.hpp:45)
         c = SPEC.counts()
-        assert c == {"INT": 2, "DBL": 0, "CHR": 3, "STR": 3, "WS": 4}
+        assert c == {"INT": 2, "DBL": 0, "CHR": 3, "STR": 3, "WS": 4,
+                     "DATE": 0}
 
     def test_default_format_field_kinds(self):
         kinds = [f.ftype for f in SPEC.fields]

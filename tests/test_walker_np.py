@@ -37,6 +37,8 @@ SPECS = [
     "[{INT:T}] {STR:L} {STR:R}",
     "{STR:A} {STR:B}",
     "{INT:A}x{STR:B}",
+    "{DATE:D} {STR:Rest}",
+    "{INT:N} {DATE:D}",
 ]
 
 
@@ -59,6 +61,17 @@ def _fuzz_lines(seed=11, n=2000):
     for _ in range(500):
         out.append("".join(rng.choice(alph)
                            for _ in range(rng.randint(0, 30))))
+    # date-shaped lines: calendar edges, bad months/days, year 0000,
+    # wrong separators, truncation
+    for _ in range(800):
+        y = rng.choice(["2024", "2023", "1900", "2000", "0000", "9999",
+                        str(rng.randint(0, 9999)).zfill(4)])
+        m = str(rng.randint(0, 19)).zfill(2)
+        d = str(rng.randint(0, 39)).zfill(2)
+        sep = rng.choice(["-", "-", "-", "/", ""])
+        tail = "".join(rng.choice(alph) for _ in range(rng.randint(0, 10)))
+        out.append(f"{y}{sep}{m}{sep}{d}{tail}")
+        out.append(f"7 {y}-{m}-{d}")
     return out
 
 
