@@ -853,9 +853,27 @@ def q_parse_date_spec(spark, sf_dir):
     from logparser_spark.operators.parse import parse_lines_arrow
 
     _prep(spark)
+    spec = compile_format(
+        "{DATE:Day} {INT:Num} {STR:Level} :{STR:Msg}", name="datefmt"
+    )
+    parsed = parse_lines_arrow(_date_lines(spark, sf_dir), spec)
+    return parsed.select(
+        "doc_id",
+        F.col("parsed.Day").alias("day"),
+        F.col("parsed.Num").alias("num"),
+        F.col("parsed.Msg").alias("msg"),
+        F.col("parsed.well_formed").alias("well_formed"),
+    )
+
+
+def _date_lines(spark, sf_dir):
+    """Shared synth for the DATE queries: '<date> <n> INFO :m<n>' with
+    y/m/d arithmetic in doc_id (~1/3 calendar-invalid)."""
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     i = F.col("doc_id")
-    lines = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(
             F.lpad((1899 + (i % 203)).cast("string"), 4, "0"),
@@ -867,16 +885,87 @@ def q_parse_date_spec(spark, sf_dir):
             i.cast("string"),
         ).alias("raw_line"),
     )
+
+
+def q_route_date_rows(spark, sf_dir):
+    """Typed DATE filtering end-to-end: route the date-spec lines
+    through a composed filter '(Day GE 1950-06-15) AND (Day ST
+    2050-03-01)' — the comparisons run on a real DateType column, so
+    calendar order (not string order) decides; malformed lines are
+    rejected by the acceptance rule. The oracle restates the same
+    range over arithmetically rebuilt dates."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.functions.formats import compile_format
+    from logparser_spark.operators.filters import (
+        CombinedFilter,
+        accept_expr,
+        parse_filter,
+        to_column,
+    )
+    from logparser_spark.operators.parse import parse_lines_arrow
+
+    _prep(spark)
     spec = compile_format(
         "{DATE:Day} {INT:Num} {STR:Level} :{STR:Msg}", name="datefmt"
     )
-    parsed = parse_lines_arrow(lines, spec)
-    return parsed.select(
+    flt = CombinedFilter(
+        left=parse_filter("Day GE 1950-06-15", spec),
+        right=parse_filter("Day ST 2050-03-01", spec),
+        op="AND",
+    )
+    parsed = parse_lines_arrow(_date_lines(spark, sf_dir), spec)
+    return parsed.where(
+        accept_expr(to_column(flt, spec), accept_bad_format=False)
+    ).select(
         "doc_id",
         F.col("parsed.Day").alias("day"),
         F.col("parsed.Num").alias("num"),
-        F.col("parsed.Msg").alias("msg"),
-        F.col("parsed.well_formed").alias("well_formed"),
+    )
+
+
+def q_dedup_doc_lines(spark, sf_dir):
+    """Intra-document repeated-line dedup: each doc becomes six lines
+    A,B,A,C,B,A built from arithmetic tokens; dedup must keep the
+    first occurrence of each and reassemble A,B,C in order. The
+    oracle rebuilds the output arithmetically."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.corpus import dedup_lines_within_doc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    a = F.concat(F.lit("alpha "), (i % 13).cast("string"))
+    b = F.concat(F.lit("beta "), (i % 7).cast("string"))
+    c = F.concat(F.lit("gamma "), (i % 5).cast("string"))
+    text = F.concat_ws("\n", a, b, a, c, b, a)
+    return dedup_lines_within_doc(
+        docs.select("doc_id", text.alias("text"))
+    )
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap: directives from robots.txt (RFC 9309 §2.3): synth
+    robots files carrying two directives in different casings plus
+    rule lines and comments that must not match; oracle arithmetic."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.weburl import robots_sitemaps
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("site"), (i % 50).cast("string"),
+                    F.lit(".com"))
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"
+              "# Sitemap: https://commented.out/x.xml\n"
+              "Sitemap: https://"),
+        host, F.lit("/sitemap.xml\nAllow: /public\nSITEMAP:   https://"),
+        host, F.lit("/sitemap-news.xml\n"),
+    )
+    return robots_sitemaps(
+        docs.select(host.alias("host"), txt.alias("robots_txt"))
+            .distinct()
     )
 
 
@@ -2289,6 +2378,46 @@ def _dataprep_sql() -> dict[str, str]:
         AS value
     FROM q, n"""
 
+    sqls["route_date_rows"] = """
+    WITH c AS (
+      SELECT doc_id,
+        1899 + (doc_id % 203) AS y,
+        (doc_id % 12) + 1 AS m,
+        (doc_id % 31) + 1 AS d
+      FROM documents),
+    v AS (
+      SELECT doc_id, y, m, d,
+        d <= (CASE m
+                WHEN 2 THEN 28 + CASE WHEN (y % 4 = 0)
+                  AND ((y % 100 <> 0) OR (y % 400 = 0))
+                  THEN 1 ELSE 0 END
+                WHEN 4 THEN 30 WHEN 6 THEN 30
+                WHEN 9 THEN 30 WHEN 11 THEN 30
+                ELSE 31 END) AS ok
+      FROM c)
+    SELECT doc_id, make_date(y, m, d) AS day, doc_id::BIGINT AS num
+    FROM v
+    WHERE ok AND make_date(y, m, d) >= DATE '1950-06-15'
+      AND make_date(y, m, d) < DATE '2050-03-01'"""
+
+    sqls["dedup_doc_lines"] = """
+    SELECT doc_id,
+      'alpha ' || (doc_id % 13) || chr(10) ||
+      'beta ' || (doc_id % 7) || chr(10) ||
+      'gamma ' || (doc_id % 5) AS text_dedup,
+      6::BIGINT AS n_lines_in,
+      3::BIGINT AS n_lines_out
+    FROM documents"""
+
+    sqls["robots_sitemaps"] = """
+    WITH h AS (
+      SELECT DISTINCT 'site' || (doc_id % 50) || '.com' AS host
+      FROM documents)
+    SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap_url
+    FROM h
+    UNION ALL
+    SELECT host, 'https://' || host || '/sitemap-news.xml' FROM h"""
+
     sqls["parse_date_spec"] = """
     WITH c AS (
       SELECT doc_id,
@@ -3509,6 +3638,9 @@ _DRIVER_HEAD: list[str] = [
     "boilerplate_blocks",
     "main_content",
     "parse_date_spec",
+    "route_date_rows",
+    "dedup_doc_lines",
+    "robots_sitemaps",
     # -- never driver-checked (round-3 additions past the r03 window) --
     "cdx_index",
     "cdx_lookup",
@@ -3693,6 +3825,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_nchar_spec": q_parse_nchar_spec,
         "parse_nchar_utf8": q_parse_nchar_utf8,
         "parse_date_spec": q_parse_date_spec,
+        "route_date_rows": q_route_date_rows,
+        "dedup_doc_lines": q_dedup_doc_lines,
+        "robots_sitemaps": q_robots_sitemaps,
         "route_raw_contains": q_route_raw_contains,
         "route_ew_rows": q_route_ew_rows,
         "route_nor_rows": q_route_nor_rows,

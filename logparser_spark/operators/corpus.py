@@ -559,3 +559,46 @@ def sample_fixed_n(docs, n: int, id_col: str = "doc_id",
         .limit(n)
         .drop("__h")
     )
+
+
+def dedup_lines_within_doc(docs, text_col: str = "text",
+                           id_col: str = "doc_id", sep: str = "\n"):
+    """INTRA-document repeated-line dedup — the cleaning step (CCNet /
+    RefinedWeb style) that strips navigation chrome and boilerplate
+    lines repeated WITHIN one page before corpus-wide dedup sees them:
+    keep each distinct line's FIRST occurrence, preserve original
+    order, rejoin.
+
+    Output: ``(doc_id, text_dedup, n_lines_in, n_lines_out)`` —
+    empty-after-strip lines count and dedup like any other line (the
+    first blank survives, later blanks drop).
+
+    Scale shape: one posexplode + one (doc_id, line) groupBy with
+    map-side combine (duplicates collapse before the shuffle) + one
+    per-doc fold whose state is the distinct lines of ONE document —
+    bounded by page size. Order restoration is an ``array_sort`` over
+    collected (first_pos, line) structs, not a window."""
+    from pyspark.sql import functions as F
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("__pos", "__line"),
+    )
+    firsts = lines.groupBy(id_col, "__line").agg(
+        F.min("__pos").alias("__pos"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return firsts.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("__pos", "__line")
+                )),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.sum("__n").cast("long").alias("n_lines_in"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_out"),
+    )

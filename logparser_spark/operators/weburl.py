@@ -723,3 +723,25 @@ def parse_sitemaps(sitemaps, xml_col: str = "xml",
             F.round(prio.cast("double") * 1000).cast("long"),
         ).alias("priority_ppk"),
     ).where(F.col("loc") != "")
+
+
+def robots_sitemaps(robots, host_col: str = "host",
+                    txt_col: str = "robots_txt"):
+    """``Sitemap:`` directives from robots.txt (RFC 9309 §2.3 allows
+    them anywhere in the file, outside any User-agent group;
+    case-insensitive key, absolute URL value) — the discovery link
+    between the robots gate (:func:`parse_robots`) and the sitemap
+    parser (:func:`parse_sitemaps`).
+
+    Output: ``(host, sitemap_url)``, one row per directive, duplicates
+    preserved (a fetch scheduler dedups on the URL key). Map-only."""
+    from pyspark.sql import functions as F
+
+    line = F.explode(F.split(F.col(txt_col), "\r?\n")).alias("line")
+    rx = r"(?i)^\s*sitemap\s*:\s*(\S+)"
+    url = F.regexp_extract("line", rx, 1)
+    return (
+        robots.select(F.col(host_col), line)
+        .select(host_col, url.alias("sitemap_url"))
+        .where(F.col("sitemap_url") != "")
+    )

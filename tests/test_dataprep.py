@@ -2106,3 +2106,38 @@ def test_boilerplate_blocks_and_main_content(spark):
     assert set(mc) == {1}
     assert mc[1]["n_good_blocks"] == 2
     assert mc[1]["content"] == f"{good_p}\n{good_p2}"
+
+
+def test_dedup_lines_within_doc(spark):
+    """Intra-doc line dedup: first occurrence kept, order preserved,
+    blank lines dedup like any line, counts exact."""
+    from logparser_spark.operators.corpus import dedup_lines_within_doc
+
+    df = spark.createDataFrame(
+        [(1, "A\nB\nA\nC\nB\nA"), (2, "x"), (3, ""),
+         (4, "p\n\nq\n\np")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["text_dedup"], r["n_lines_in"],
+                         r["n_lines_out"])
+           for r in dedup_lines_within_doc(df).collect()}
+    assert got[1] == ("A\nB\nC", 6, 3)
+    assert got[2] == ("x", 1, 1)
+    assert got[3] == ("", 1, 1)
+    assert got[4] == ("p\n\nq", 5, 3)
+
+
+def test_robots_sitemaps(spark):
+    from logparser_spark.operators.weburl import robots_sitemaps
+
+    txt = ("User-agent: *\nDisallow: /p\n"
+           "# Sitemap: https://commented.out/x.xml\n"
+           "Sitemap: https://a.com/s1.xml\n"
+           "sitemap:https://a.com/s2.xml\n"
+           "SITEMAP:   https://a.com/s1.xml\n"   # duplicate preserved
+           "NotASitemap: https://a.com/no.xml\n")
+    df = spark.createDataFrame([("a.com", txt)],
+                               "host string, robots_txt string")
+    got = sorted(r["sitemap_url"] for r in robots_sitemaps(df).collect())
+    assert got == ["https://a.com/s1.xml", "https://a.com/s1.xml",
+                   "https://a.com/s2.xml"]
