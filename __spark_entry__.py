@@ -969,6 +969,89 @@ def q_robots_sitemaps(spark, sf_dir):
     )
 
 
+def q_etld1(spark, sf_dir):
+    """Registrable-domain (eTLD+1) extraction: five host shapes per
+    doc_id (multi-label public suffixes .co.uk/.com.au/.co.jp, plain
+    .com, deep .org subdomains, plus a mixed-case row). Oracle emits
+    the expected registrable domain arithmetically."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.weburl import registrable_domain
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    k = (i % 40).cast("string")
+    host = (
+        F.when(i % 5 == 0, F.concat(F.lit("www.site"), k, F.lit(".co.uk")))
+        .when(i % 5 == 1, F.concat(F.lit("sub.deep.site"), k,
+                                   F.lit(".com.au")))
+        .when(i % 5 == 2, F.concat(F.lit("site"), k, F.lit(".com")))
+        .when(i % 5 == 3, F.concat(F.lit("a.b.site"), k, F.lit(".org")))
+        .otherwise(F.concat(F.lit("WWW.Site"), k, F.lit(".CO.JP")))
+    )
+    return registrable_domain(
+        docs.select("doc_id", host.alias("host"))
+    ).select("doc_id", "host", "etld1")
+
+
+def q_sniff_mime(spark, sf_dir):
+    """Magic-byte MIME sniffing over synthesized binaries: eight
+    prefix families (JPEG/PNG/RIFF-WAVE/RIFF-AVI/MP4-ftyp/zip/html/
+    unknown) built via unhex so the bytes are exact; oracle emits the
+    expected mime arithmetically."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.multimodal import sniff_mime
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    hexes = [
+        "ffd8ffe000",                 # jpeg
+        "89504e470d0a1a0a00",         # png
+        "52494646aabbccdd57415645",   # RIFF....WAVE
+        "52494646aabbccdd41564920",   # RIFF....AVI(space)
+        "000000206674797069736f6d",   # ....ftypisom
+        "504b030400",                 # zip
+        "3c68746d6c3e",               # <html>
+        "deadbeef",                   # unknown
+    ]
+    hx = F.lit(hexes[0])
+    for j, s in enumerate(hexes[1:], start=1):
+        hx = F.when(i % 8 == j, F.lit(s)).otherwise(hx)
+    data = F.unhex(F.concat(hx, F.lpad(F.lit(""), 8, "00")))
+    return sniff_mime(
+        docs.select("doc_id", data.alias("data")), binary_col="data"
+    ).select("doc_id", "mime")
+
+
+def q_http_headers(spark, sf_dir):
+    """HTTP header extraction from response payloads: full response
+    text per doc (status line, three headers — one with odd casing
+    and padding, one arithmetic, one malformed line that must drop —
+    blank line, then a body containing a colon line that must NOT
+    leak into the header table). Oracle rebuilds every header row
+    arithmetically."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.sources.warc import http_headers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+              "X-Doc-Id:  "),
+        i.cast("string"),
+        F.lit(" \r\nnot a header line\r\nSERVER:nginx\r\n\r\n"
+              "body: with colon\r\nrest"),
+    )
+    return http_headers(
+        docs.select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            payload.alias("payload"),
+        )
+    )
+
+
 def q_boilerplate_blocks(spark, sf_dir):
     """jusText-style block classification over the synth pages. The
     oracle is ANALYTIC: the three boilerplate blocks are restated as
@@ -2378,6 +2461,46 @@ def _dataprep_sql() -> dict[str, str]:
         AS value
     FROM q, n"""
 
+    sqls["etld1"] = """
+    SELECT doc_id,
+      CASE doc_id % 5
+        WHEN 0 THEN 'www.site' || (doc_id % 40) || '.co.uk'
+        WHEN 1 THEN 'sub.deep.site' || (doc_id % 40) || '.com.au'
+        WHEN 2 THEN 'site' || (doc_id % 40) || '.com'
+        WHEN 3 THEN 'a.b.site' || (doc_id % 40) || '.org'
+        ELSE 'WWW.Site' || (doc_id % 40) || '.CO.JP' END AS host,
+      CASE doc_id % 5
+        WHEN 0 THEN 'site' || (doc_id % 40) || '.co.uk'
+        WHEN 1 THEN 'site' || (doc_id % 40) || '.com.au'
+        WHEN 2 THEN 'site' || (doc_id % 40) || '.com'
+        WHEN 3 THEN 'site' || (doc_id % 40) || '.org'
+        ELSE 'site' || (doc_id % 40) || '.co.jp' END AS etld1
+    FROM documents"""
+
+    sqls["sniff_mime"] = """
+    SELECT doc_id,
+      CASE doc_id % 8
+        WHEN 0 THEN 'image/jpeg'
+        WHEN 1 THEN 'image/png'
+        WHEN 2 THEN 'audio/wav'
+        WHEN 3 THEN 'video/x-msvideo'
+        WHEN 4 THEN 'video/mp4'
+        WHEN 5 THEN 'application/zip'
+        WHEN 6 THEN 'text/html'
+        ELSE 'application/octet-stream' END AS mime
+    FROM documents"""
+
+    sqls["http_headers"] = """
+    SELECT doc_id::VARCHAR AS record_id, 1::BIGINT AS seq,
+           'content-type' AS name, 'text/html' AS value
+    FROM documents
+    UNION ALL
+    SELECT doc_id::VARCHAR, 2::BIGINT, 'x-doc-id', doc_id::VARCHAR
+    FROM documents
+    UNION ALL
+    SELECT doc_id::VARCHAR, 4::BIGINT, 'server', 'nginx'
+    FROM documents"""
+
     sqls["route_date_rows"] = """
     WITH c AS (
       SELECT doc_id,
@@ -3641,6 +3764,9 @@ _DRIVER_HEAD: list[str] = [
     "route_date_rows",
     "dedup_doc_lines",
     "robots_sitemaps",
+    "etld1",
+    "sniff_mime",
+    "http_headers",
     # -- never driver-checked (round-3 additions past the r03 window) --
     "cdx_index",
     "cdx_lookup",
@@ -3828,6 +3954,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_date_rows": q_route_date_rows,
         "dedup_doc_lines": q_dedup_doc_lines,
         "robots_sitemaps": q_robots_sitemaps,
+        "etld1": q_etld1,
+        "sniff_mime": q_sniff_mime,
+        "http_headers": q_http_headers,
         "route_raw_contains": q_route_raw_contains,
         "route_ew_rows": q_route_ew_rows,
         "route_nor_rows": q_route_nor_rows,

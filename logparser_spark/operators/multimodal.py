@@ -1404,3 +1404,62 @@ def synth_bmp(df, id_col: str = "doc_id", out_col: str = "img",
         return make_bmp(px, top_down=fam == 1)
 
     return _synth_binary_stage(df, synth, out_col, id_col, keep_cols)
+
+
+# (magic-prefix, mime) in precedence order; RIFF subtypes need the
+# format tag at offset 8, handled separately below.
+_MAGIC_MIME = [
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"fLaC", "audio/flac"),
+    (b"ID3", "audio/mpeg"),
+    (b"\xff\xfb", "audio/mpeg"),
+    (b"\xff\xf3", "audio/mpeg"),
+    (b"%PDF-", "application/pdf"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"\x1f\x8b\x08", "application/gzip"),
+    (b"<!DOCTYPE html", "text/html"),
+    (b"<html", "text/html"),
+]
+
+
+def sniff_mime(df, binary_col: str = "data", out_col: str = "mime"):
+    """Content sniffing by magic bytes — the trust-the-bytes MIME
+    detector a crawl pipeline runs BEFORE believing any Content-Type
+    header (servers lie; WHATWG MIME-sniffing exists for exactly this
+    reason). Pure Catalyst: the binary prefix is compared against the
+    magic table as a folded CASE chain in codegen — map-only, no UDF,
+    no shuffle. RIFF containers dispatch on the format tag at offset
+    8 (WAVE→wav, AVI →avi); MP4 detects the ``ftyp`` box at offset 4.
+    Unknown prefixes yield ``application/octet-stream``; NULL input
+    stays NULL."""
+    from pyspark.sql import functions as F
+
+    b = F.col(binary_col)
+
+    def pre(n):
+        return F.substring(b, 1, n)
+
+    expr = F.lit("application/octet-stream")
+    # build the chain in REVERSE so earlier table rows win
+    for magic, mime in reversed(_MAGIC_MIME):
+        lit = F.lit(bytearray(magic)).cast("binary")
+        expr = F.when(pre(len(magic)) == lit, F.lit(mime)).otherwise(expr)
+    riff = pre(4) == F.lit(bytearray(b"RIFF")).cast("binary")
+    tag = F.substring(b, 9, 4)
+    expr = (
+        F.when(riff & (tag == F.lit(bytearray(b"WAVE")).cast("binary")),
+               F.lit("audio/wav"))
+        .when(riff & (tag == F.lit(bytearray(b"AVI ")).cast("binary")),
+              F.lit("video/x-msvideo"))
+        .when(F.substring(b, 5, 4) == F.lit(bytearray(b"ftyp"))
+              .cast("binary"), F.lit("video/mp4"))
+        .otherwise(expr)
+    )
+    return df.withColumn(
+        out_col, F.when(b.isNull(), F.lit(None).cast("string"))
+        .otherwise(expr)
+    )

@@ -247,3 +247,36 @@ def to_wet(records, payload_col: str = "payload"):
     return extract_text(
         valid, html_col=payload_col, out_col="wet_text", binary=False
     ).select("file_id", "rec_no", "target_uri", "record_id", "wet_text")
+
+
+def http_headers(records, payload_col: str = "payload",
+                 id_col: str = "record_id"):
+    """HTTP header table from WARC response payloads: one row per
+    header line in the head block (everything before the first blank
+    line), ``(record_id, seq, name, value)`` with ``name`` lowercased
+    (RFC 9110: field names are case-insensitive; values kept verbatim,
+    surrounding whitespace trimmed). The status line is excluded;
+    continuation folding (obs-fold) is deliberately out of scope —
+    modern crawls reject folded headers.
+
+    Pure Catalyst: split head block → posexplode lines → one regexp
+    per row. Map-only, no UDF; the downstream aggregate (e.g.
+    content-type histograms) owns any shuffle."""
+    from pyspark.sql import functions as F
+
+    head = F.split(F.col(payload_col), r"\r?\n\r?\n", 2).getItem(0)
+    lines = records.select(
+        F.col(id_col),
+        F.posexplode(F.split(head, r"\r?\n")).alias("seq", "__l"),
+    ).where(F.col("seq") > 0)  # drop the status line
+    name = F.regexp_extract("__l", r"^([!#$%&'*+.^_`|~0-9A-Za-z-]+):", 1)
+    value = F.trim(F.regexp_extract("__l", r"^[^:]+:(.*)$", 1))
+    return (
+        lines.select(
+            id_col,
+            F.col("seq").cast("long"),
+            F.lower(name).alias("name"),
+            value.alias("value"),
+        )
+        .where(F.col("name") != "")
+    )

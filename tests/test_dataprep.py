@@ -2141,3 +2141,67 @@ def test_robots_sitemaps(spark):
     got = sorted(r["sitemap_url"] for r in robots_sitemaps(df).collect())
     assert got == ["https://a.com/s1.xml", "https://a.com/s1.xml",
                    "https://a.com/s2.xml"]
+
+
+def test_registrable_domain(spark):
+    from logparser_spark.operators.weburl import registrable_domain
+
+    cases = {
+        "www.site7.co.uk": "site7.co.uk",
+        "site7.co.uk": "site7.co.uk",
+        "co.uk": "co.uk",                 # bare suffix: passthrough
+        "a.b.site.com": "site.com",
+        "site.com": "site.com",
+        "localhost": "localhost",         # no dot: passthrough
+        "deep.sub.x.com.au": "x.com.au",
+        "WWW.Upper.CO.UK": "upper.co.uk",
+        "something.co.ukx": "co.ukx",     # suffix needs label boundary
+        "extra.suf.example": "party.suf.example",
+    }
+    df = spark.createDataFrame(
+        [(h,) for h in cases
+         if h != "extra.suf.example"] + [("my.party.suf.example",)],
+        "host string",
+    )
+    got = {r["host"]: r["etld1"]
+           for r in registrable_domain(
+               df, extra_suffixes=["suf.example"]).collect()}
+    for h, want in cases.items():
+        key = "my.party.suf.example" if h == "extra.suf.example" else h
+        assert got[key] == want, (key, got[key], want)
+
+
+def test_sniff_mime_and_http_headers(spark):
+    from logparser_spark.operators.multimodal import sniff_mime
+    from logparser_spark.sources.warc import http_headers
+
+    rows = [
+        (1, bytearray(b"\xff\xd8\xff\xe0rest"), "image/jpeg"),
+        (2, bytearray(b"\x89PNG\r\n\x1a\nx"), "image/png"),
+        (3, bytearray(b"RIFF\x00\x00\x00\x00WAVEfmt "), "audio/wav"),
+        (4, bytearray(b"RIFF\x00\x00\x00\x00AVI LIST"),
+         "video/x-msvideo"),
+        (5, bytearray(b"\x00\x00\x00 ftypisom"), "video/mp4"),
+        (6, bytearray(b"random"), "application/octet-stream"),
+        (7, None, None),
+        (8, bytearray(b"GIF89a..."), "image/gif"),
+        (9, bytearray(b"fLaC\x00"), "audio/flac"),
+        (10, bytearray(b"\x1f\x8b\x08\x00"), "application/gzip"),
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d, _m in rows], "doc_id long, data binary"
+    )
+    got = {r["doc_id"]: r["mime"] for r in sniff_mime(df).collect()}
+    for i, _d, want in rows:
+        assert got[i] == want, (i, got[i], want)
+
+    h = spark.createDataFrame(
+        [("r1", "HTTP/1.1 200 OK\r\nContent-Type: text/html; q=1\r\n"
+                "X-N:  7 \r\nbad line\r\nSERVER:nginx\r\n\r\n"
+                "body: colon\r\nx")],
+        "record_id string, payload string",
+    )
+    hdrs = [(r["seq"], r["name"], r["value"])
+            for r in http_headers(h).orderBy("seq").collect()]
+    assert hdrs == [(1, "content-type", "text/html; q=1"),
+                    (2, "x-n", "7"), (4, "server", "nginx")]
