@@ -969,6 +969,21 @@ def q_robots_sitemaps(spark, sf_dir):
     )
 
 
+def q_embedding_kmeans(spark, sf_dir):
+    """Deterministic integer k-means (k=4, 3 Lloyd iterations) over
+    the embeddings table: coordinates quantized via the cross-engine
+    floor(x*1e6+0.5) contract, exact int64 squared-L2 distances,
+    truncated-division centroid means, smaller-cid tie-break,
+    empty-cluster carryover. The oracle UNROLLS all three iterations
+    as SQL CTEs (assignment window + per-dim sum/count + rebuilt
+    centroid lists), so every training step is checked bit-for-bit —
+    the same unrolled-iteration pattern as the PageRank oracle."""
+    from logparser_spark.operators.kmeans import kmeans_fit_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_fit_assign(emb, k=4, iters=3)
+
+
 def q_etld1(spark, sf_dir):
     """Registrable-domain (eTLD+1) extraction: five host shapes per
     doc_id (multi-label public suffixes .co.uk/.com.au/.co.jp, plain
@@ -2461,6 +2476,65 @@ def _dataprep_sql() -> dict[str, str]:
         AS value
     FROM q, n"""
 
+    # integer k-means, 3 unrolled Lloyd iterations (PageRank-style
+    # oracle): trunc-division means via //, tie-break on (dist, cid),
+    # empty clusters keep the previous centroid
+    _km_iter = """,
+    d{t} AS (
+      SELECT q.vec_id, q.q, c.cid,
+        list_sum(list_transform(generate_series(1, 64),
+          i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS dist
+      FROM q, c{t} c),
+    a{t} AS (
+      SELECT vec_id, q, cid AS cluster, dist,
+        row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dist, cid) AS rk
+      FROM d{t}),
+    s{t} AS (
+      SELECT cluster, CAST(i.i AS INT) AS dim,
+             sum(q[CAST(i.i AS INT)])::BIGINT AS s,
+             count(*)::BIGINT AS n
+      FROM a{t}, generate_series(1, 64) i(i)
+      WHERE rk = 1
+      GROUP BY 1, 2),
+    c{t1} AS (
+      SELECT cluster AS cid, list(s // n ORDER BY dim) AS c
+      FROM s{t} GROUP BY 1
+      UNION ALL
+      SELECT cid, c FROM c{t}
+      WHERE cid NOT IN (SELECT cluster FROM s{t}))
+    """
+
+    sqls["embedding_kmeans"] = (
+        """
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT)) AS q
+      FROM embeddings),
+    c0 AS (
+      SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+             q AS c
+      FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT 4))
+    """
+        + _km_iter.format(t=0, t1=1)
+        + _km_iter.format(t=1, t1=2)
+        + _km_iter.format(t=2, t1=3)
+        + """,
+    df AS (
+      SELECT q.vec_id, c.cid,
+        list_sum(list_transform(generate_series(1, 64),
+          i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS dist
+      FROM q, c3 c)
+    SELECT vec_id, cluster::INT AS cluster, dist::BIGINT AS dist
+    FROM (
+      SELECT vec_id, cid AS cluster, dist,
+        row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dist, cid) AS rk
+      FROM df)
+    WHERE rk = 1"""
+    )
+
     sqls["etld1"] = """
     SELECT doc_id,
       CASE doc_id % 5
@@ -3767,6 +3841,7 @@ _DRIVER_HEAD: list[str] = [
     "etld1",
     "sniff_mime",
     "http_headers",
+    "embedding_kmeans",
     # -- never driver-checked (round-3 additions past the r03 window) --
     "cdx_index",
     "cdx_lookup",
@@ -3869,6 +3944,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_ann": q_cosine_topk_ann,
+        "embedding_kmeans": q_embedding_kmeans,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "gopher_quality": q_gopher_quality,

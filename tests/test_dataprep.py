@@ -2205,3 +2205,58 @@ def test_sniff_mime_and_http_headers(spark):
             for r in http_headers(h).orderBy("seq").collect()]
     assert hdrs == [(1, "content-type", "text/html; q=1"),
                     (2, "x-n", "7"), (4, "server", "nginx")]
+
+
+def test_kmeans_matches_python_reference(spark):
+    """Integer k-means vs an independent per-row python reference
+    (same quantize/trunc-div/tie-break/empty-carryover contract), on
+    vectors engineered to exercise ties and an emptied cluster."""
+    import math
+
+    from logparser_spark.operators.kmeans import kmeans_fit_assign
+
+    vecs = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [10.0, 10.0]),
+        (3, [10.1, 10.0]), (4, [10.0, 10.1]), (5, [0.05, 0.05]),
+        (6, [-5.0, -5.0]), (7, [-5.1, -5.0]), (8, [20.0, 20.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    K, IT = 3, 4
+    got = {r["vec_id"]: (r["cluster"], r["dist"])
+           for r in kmeans_fit_assign(df, k=K, iters=IT).collect()}
+
+    # reference: float32-faithful quantization, then pure ints
+    def quant(v):
+        import struct
+        return [math.floor(
+            struct.unpack("f", struct.pack("f", x))[0] * 1e6 + 0.5
+        ) for x in v]
+
+    q = {i: quant(v) for i, v in vecs}
+    cent = [q[i] for i in range(K)]
+
+    def dist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def assign():
+        out = {}
+        for i, qq in q.items():
+            best = min((dist(qq, c), j) for j, c in enumerate(cent))
+            out[i] = best
+        return out
+
+    for _ in range(IT):
+        a = assign()
+        sums = {}
+        for i, (d, j) in a.items():
+            s = sums.setdefault(j, [[0] * len(q[i]), 0])
+            s[0] = [x + y for x, y in zip(s[0], q[i])]
+            s[1] += 1
+        for j, (svec, n) in sums.items():
+            cent[j] = [(abs(s) // n) * (1 if s >= 0 else -1)
+                       for s in svec]
+    ref = {i: (j, d) for i, (d, j) in assign().items()}
+    assert got == ref
