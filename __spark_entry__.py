@@ -969,6 +969,34 @@ def q_robots_sitemaps(spark, sf_dir):
     )
 
 
+def q_host_components(spark, sf_dir):
+    """Connected components over the extracted host web graph (the
+    companion to host_pagerank): min-label propagation — the SAME
+    operator the dedup pipeline uses for transitive near-dup clusters
+    (labels are strings here; min = lexicographic). The oracle
+    computes the exact fixpoint independently with a RECURSIVE CTE
+    (reachability closure + min over reachable labels), so the
+    iterate-until-converged loop is checked against a closed-form
+    answer, not a re-run of itself."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.dedup import near_dup_clusters
+    from logparser_spark.operators.weburl import extract_outlinks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = extract_outlinks(_outlink_pages(docs)).select(
+        F.col("src_host").alias("id_a"), F.col("dst_host").alias("id_b")
+    ).distinct()
+    hosts = (
+        edges.select(F.col("id_a").alias("host"))
+        .union(edges.select("id_b"))
+        .distinct()
+    )
+    return near_dup_clusters(hosts, edges, id_col="host").select(
+        "host", F.col("cluster_id").alias("component_id")
+    )
+
+
 def q_embedding_kmeans(spark, sf_dir):
     """Deterministic integer k-means (k=4, 3 Lloyd iterations) over
     the embeddings table: coordinates quantized via the cross-engine
@@ -2476,6 +2504,21 @@ def _dataprep_sql() -> dict[str, str]:
         AS value
     FROM q, n"""
 
+    sqls["host_components"] = """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT src_host AS a, dst_host AS b FROM (
+        {edges}
+      )),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    nodes AS (SELECT DISTINCT a AS host FROM sym),
+    reach(node, lbl) AS (
+      SELECT host, host FROM nodes
+      UNION
+      SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS host, min(lbl) AS component_id
+    FROM reach GROUP BY 1""".format(edges=_OUTLINK_EDGES_SQL)
+
     # integer k-means, 3 unrolled Lloyd iterations (PageRank-style
     # oracle): trunc-division means via //, tie-break on (dist, cid),
     # empty clusters keep the previous centroid
@@ -3842,6 +3885,7 @@ _DRIVER_HEAD: list[str] = [
     "sniff_mime",
     "http_headers",
     "embedding_kmeans",
+    "host_components",
     # -- never driver-checked (round-3 additions past the r03 window) --
     "cdx_index",
     "cdx_lookup",
@@ -3987,6 +4031,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "outlink_degrees": q_outlink_degrees,
         "anchor_text_stats": q_anchor_text_stats,
+        "host_components": q_host_components,
         "sitemap_urls": q_sitemap_urls,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
