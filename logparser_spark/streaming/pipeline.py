@@ -274,3 +274,73 @@ def sessionize_stream(events, user_col: str = "user_id",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def cms_stream(stream_df, out_dir: str, depth: int = 4,
+               width: int = 64, text_col: str = "text"):
+    """Streaming count-min sketch maintenance: every micro-batch
+    builds its own bounded sketch (``sketch.cms_build``, shuffle ≤
+    depth × width rows per map partition) and MERGES it into the
+    persisted sketch table with the documented merge law —
+    ``union → groupBy(r, bucket) → sum`` — inside ``foreachBatch``.
+    The merged table is overwritten atomically per batch alongside a
+    ``__batch_id`` column, so a replayed micro-batch (foreachBatch is
+    at-least-once) detects itself and SKIPS the merge instead of
+    double-counting: effectively-once counters, the same dynamic-
+    overwrite idempotency contract as ``make_batch_writer``.
+
+    State size is the sketch itself (depth × width rows) — constant
+    in stream length, the whole point of sketching a stream."""
+    import os
+
+    return (
+        stream_df.writeStream.foreachBatch(
+            make_cms_merger(out_dir, depth=depth, width=width,
+                            text_col=text_col)
+        )
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+    )
+
+
+def make_cms_merger(out_dir: str, depth: int = 4, width: int = 64,
+                    text_col: str = "text"):
+    """The ``foreachBatch`` merger behind :func:`cms_stream`, exposed
+    for direct (re)invocation — the replay-idempotency tests call it
+    with a repeated batch id and assert the sketch is untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.sketch import cms_build
+
+    sk_path = os.path.join(out_dir, "cms_sketch")
+
+    def merge_batch(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        new = cms_build(batch_df, depth=depth, width=width,
+                        text_col=text_col)
+        try:
+            # eager localCheckpoint: materialize BEFORE overwriting the
+            # same path (Spark refuses to overwrite a path still in the
+            # read plan); the sketch is depth x width rows by contract,
+            # so the materialized copy is O(1)
+            prev = spark.read.parquet(sk_path).localCheckpoint(eager=True)
+            if prev.where(
+                F.col("__batch_id") == batch_id
+            ).limit(1).count() > 0:
+                return  # replayed batch: already merged
+            merged = (
+                prev.select("r", "bucket", "cnt").unionAll(new)
+                .groupBy("r", "bucket")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        except Exception:
+            merged = new
+        (
+            merged.withColumn("__batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(sk_path)
+        )
+
+    return merge_batch

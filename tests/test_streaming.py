@@ -341,3 +341,75 @@ def test_sessionize_stream_matches_batch(spark):
         assert got == expect
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cms_stream_equals_batch_and_replay_idempotent(spark):
+    """Streaming CMS maintenance: the merged sketch after consuming N
+    source files equals the batch sketch over all rows (the union-sum
+    merge law, incrementally applied), and re-invoking the writer with
+    the last batch id is a no-op (at-least-once foreachBatch ->
+    effectively-once counters)."""
+    import os
+    import shutil
+    import tempfile
+
+    from logparser_spark.operators.sketch import cms_build
+    from logparser_spark.streaming import pipeline as SP
+
+    d = tempfile.mkdtemp(prefix="scms_")
+    try:
+        texts = []
+        for f in range(3):
+            rows = [(f * 100 + i,
+                     f"alpha beta{i % 4} gamma{(f + i) % 3} alpha")
+                    for i in range(12)]
+            texts.extend(t for _i, t in rows)
+            spark.createDataFrame(
+                rows, "doc_id bigint, text string"
+            ).coalesce(1).write.mode(
+                "append" if f else "overwrite"
+            ).parquet(f"{d}/src")
+
+        stream = SP.stream_pages(spark, f"{d}/src", max_files=1,
+                                 schema="doc_id bigint, text string")
+        q = SP.cms_stream(stream, d, depth=4, width=32).start()
+        q.awaitTermination(120)
+
+        got = {
+            (r["r"], r["bucket"]): r["cnt"]
+            for r in spark.read.parquet(f"{d}/cms_sketch").collect()
+        }
+        all_docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        want = {
+            (r["r"], r["bucket"]): r["cnt"]
+            for r in cms_build(all_docs, depth=4, width=32).collect()
+        }
+        assert got == want
+
+        # replay the LAST batch id directly: detected and skipped
+        last_id = spark.read.parquet(f"{d}/cms_sketch") \
+            .select("__batch_id").head()["__batch_id"]
+        merger = SP.make_cms_merger(d, depth=4, width=32)
+        batch_df = spark.createDataFrame(
+            [(999, "alpha alpha alpha")], "doc_id bigint, text string"
+        )
+        merger(batch_df, last_id)
+        got2 = {
+            (r["r"], r["bucket"]): r["cnt"]
+            for r in spark.read.parquet(f"{d}/cms_sketch").collect()
+        }
+        assert got2 == want
+
+        # a NEW batch id must merge (alpha count rises by 3 in every
+        # row of alpha's buckets)
+        merger(batch_df, last_id + 1)
+        got3 = {
+            (r["r"], r["bucket"]): r["cnt"]
+            for r in spark.read.parquet(f"{d}/cms_sketch").collect()
+        }
+        assert sum(got3.values()) == sum(want.values()) + 3 * 4
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
