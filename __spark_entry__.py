@@ -1012,6 +1012,20 @@ def q_embedding_kmeans(spark, sf_dir):
     return kmeans_fit_assign(emb, k=4, iters=3)
 
 
+def q_kmeans_ann_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors on the k-means coarse
+    quantizer (FAISS IVF-Flat shape): queries = every 100th vector,
+    nprobe=2 of k=4 cells, exact integer distances, top-5 by
+    (dist, vec_id). The oracle extends the unrolled-kmeans CTEs with
+    the probe ranking and candidate top-k, so cell assignment, probe
+    selection, and final ranks are all replayed bit-for-bit."""
+    from logparser_spark.operators.kmeans import kmeans_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_ivf_topk(emb, k=4, iters=3, nprobe=2, topk=5,
+                           query_mod=100)
+
+
 def q_etld1(spark, sf_dir):
     """Registrable-domain (eTLD+1) extraction: five host shapes per
     doc_id (multi-label public suffixes .co.uk/.com.au/.co.jp, plain
@@ -2548,7 +2562,7 @@ def _dataprep_sql() -> dict[str, str]:
       WHERE cid NOT IN (SELECT cluster FROM s{t}))
     """
 
-    sqls["embedding_kmeans"] = (
+    _km_prefix = (
         """
     WITH q AS (
       SELECT vec_id, list_transform(embedding,
@@ -2563,7 +2577,9 @@ def _dataprep_sql() -> dict[str, str]:
         + _km_iter.format(t=0, t1=1)
         + _km_iter.format(t=1, t1=2)
         + _km_iter.format(t=2, t1=3)
-        + """,
+    )
+
+    sqls["embedding_kmeans"] = _km_prefix + """,
     df AS (
       SELECT q.vec_id, c.cid,
         list_sum(list_transform(generate_series(1, 64),
@@ -2576,7 +2592,45 @@ def _dataprep_sql() -> dict[str, str]:
                            ORDER BY dist, cid) AS rk
       FROM df)
     WHERE rk = 1"""
-    )
+
+    sqls["kmeans_ann_topk"] = _km_prefix + """,
+    asg AS (
+      SELECT vec_id, q, cluster FROM (
+        SELECT q.vec_id, q.q, c.cid AS cluster,
+          list_sum(list_transform(generate_series(1, 64),
+            i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS dist,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            list_sum(list_transform(generate_series(1, 64),
+              i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))),
+            c.cid) AS rk
+        FROM q, c3 c)
+      WHERE rk = 1),
+    qv AS (SELECT vec_id AS qid, q AS qq FROM q
+           WHERE vec_id % 100 = 0),
+    pd AS (
+      SELECT qv.qid, qv.qq, c.cid,
+        list_sum(list_transform(generate_series(1, 64),
+          i -> (qv.qq[i] - c.c[i]) * (qv.qq[i] - c.c[i]))) AS cdist
+      FROM qv, c3 c),
+    probe AS (
+      SELECT qid, qq, cid FROM (
+        SELECT qid, qq, cid,
+          row_number() OVER (PARTITION BY qid
+                             ORDER BY cdist, cid) AS prk
+        FROM pd)
+      WHERE prk <= 2),
+    cand AS (
+      SELECT p.qid, a.vec_id,
+        list_sum(list_transform(generate_series(1, 64),
+          i -> (p.qq[i] - a.q[i]) * (p.qq[i] - a.q[i]))) AS dist
+      FROM probe p JOIN asg a ON a.cluster = p.cid)
+    SELECT qid, vec_id, dist::BIGINT AS dist, rank::INT AS rank
+    FROM (
+      SELECT qid, vec_id, dist,
+        row_number() OVER (PARTITION BY qid
+                           ORDER BY dist, vec_id) AS rank
+      FROM cand)
+    WHERE rank <= 5"""
 
     sqls["etld1"] = """
     SELECT doc_id,
@@ -3885,6 +3939,7 @@ _DRIVER_HEAD: list[str] = [
     "sniff_mime",
     "http_headers",
     "embedding_kmeans",
+    "kmeans_ann_topk",
     "host_components",
     # -- never driver-checked (round-3 additions past the r03 window) --
     "cdx_index",
@@ -3989,6 +4044,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_topk_ann": q_cosine_topk_ann,
         "embedding_kmeans": q_embedding_kmeans,
+        "kmeans_ann_topk": q_kmeans_ann_topk,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "gopher_quality": q_gopher_quality,

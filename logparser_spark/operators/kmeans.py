@@ -69,14 +69,12 @@ def _dist_expr(q_col, centroid: List[int]):
     )
 
 
-def kmeans_fit_assign(df, k: int = 4, iters: int = 3,
-                      vec_col: str = "embedding",
-                      id_col: str = "vec_id"):
+def kmeans_fit(df, k: int = 4, iters: int = 3,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> List[List[int]]:
     """Run ``iters`` Lloyd iterations from the deterministic init and
-    return the FINAL assignment: ``(id_col, cluster, dist)`` with
-    ``dist`` the exact integer squared-L2 distance to the final
-    centroid. (The final centroids are a k·dim literal — callers
-    needing them use :func:`kmeans_centroids`.)"""
+    return the FINAL centroids (k·dim int64 lists) — the IVF coarse
+    quantizer :func:`kmeans_ivf_topk` probes."""
     from pyspark.sql import functions as F
 
     qdf = quantize(df, vec_col, id_col).persist()
@@ -116,9 +114,90 @@ def kmeans_fit_assign(df, k: int = 4, iters: int = 3,
                 ]
             centroids = new
 
-        return _assign(qdf, centroids).select(id_col, "cluster", "dist")
+        return centroids
     finally:
         qdf.unpersist()
+
+
+def kmeans_fit_assign(df, k: int = 4, iters: int = 3,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id"):
+    """:func:`kmeans_fit` + final assignment: ``(id_col, cluster,
+    dist)`` with ``dist`` the exact integer squared-L2 distance to the
+    final centroid."""
+    centroids = kmeans_fit(df, k=k, iters=iters, vec_col=vec_col,
+                           id_col=id_col)
+    return _assign(
+        quantize(df, vec_col, id_col), centroids
+    ).select(id_col, "cluster", "dist")
+
+
+def kmeans_ivf_topk(df, k: int = 4, iters: int = 3, nprobe: int = 2,
+                    topk: int = 5, query_mod: int = 100,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id"):
+    """IVF approximate nearest neighbors — the canonical two-level ANN
+    (FAISS IVF-Flat shape) over the k-means coarse quantizer: every
+    vector lives in its nearest centroid's cell; a query scans only
+    its ``nprobe`` nearest cells and ranks candidates by EXACT integer
+    squared-L2. Queries here are the rows with
+    ``id % query_mod == 0`` (a deterministic query set the oracle can
+    restate); the query itself is a candidate (dist 0, rank 1) — the
+    standard self-hit, kept so recall accounting is explicit.
+
+    Output: ``(qid, vec_id, dist, rank)``, ``rank`` 1-based by
+    ``(dist, vec_id)`` within each query, ≤ ``topk`` rows per query.
+
+    Scale shape: the probe step is MAP-ONLY (centroids are driver
+    literals: per-query probe list = array_sort of k (dist, cid)
+    structs, sliced to nprobe, exploded); candidates join on the cell
+    id — the IVF argument: each query shuffles against ~nprobe/k of
+    the corpus, not all of it. The per-query rank window is bounded by
+    the probed cells' population (the standard IVF cost model —
+    balanced cells by construction of k-means; a skewed corpus wants
+    more centroids, which is a parameter, not a shape change)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    centroids = kmeans_fit(df, k=k, iters=iters, vec_col=vec_col,
+                           id_col=id_col)
+    qdf = quantize(df, vec_col, id_col)
+    data = _assign(qdf, centroids).select(
+        F.col(id_col).alias("vec_id"), F.col("q").alias("__dq"),
+        "cluster",
+    )
+    probes = F.slice(
+        F.array_sort(F.array(*[
+            F.struct(
+                _dist_expr(F.col("q"), c).alias("dist"),
+                F.lit(j).alias("cid"),
+            )
+            for j, c in enumerate(centroids)
+        ])),
+        1, nprobe,
+    )
+    queries = (
+        qdf.where(F.col(id_col) % query_mod == 0)
+        .select(
+            F.col(id_col).alias("qid"), F.col("q").alias("__qq"),
+            F.explode(F.transform(probes, lambda s: s["cid"]))
+            .alias("cluster"),
+        )
+    )
+    cand = queries.join(data, "cluster").select(
+        "qid", "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("__qq"), F.col("__dq"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+    )
 
 
 def _assign(qdf, centroids):

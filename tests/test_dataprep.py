@@ -2260,3 +2260,53 @@ def test_kmeans_matches_python_reference(spark):
                        for s in svec]
     ref = {i: (j, d) for i, (d, j) in assign().items()}
     assert got == ref
+
+
+def test_kmeans_ivf_topk_recall_and_self_hit(spark):
+    """IVF ANN: self-hit at rank 1 with dist 0; results are a subset
+    of brute-force candidates restricted to probed cells with exact
+    integer distances; raising nprobe to k makes it EXACT brute-force
+    top-k (the IVF recall law)."""
+    from logparser_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_ivf_topk,
+        quantize,
+    )
+
+    import random
+    rng = random.Random(5)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_ivf_topk(df, k=3, iters=2, nprobe=1, topk=4,
+                          query_mod=20)
+    rows = sorted(
+        (r["qid"], r["rank"], r["vec_id"], r["dist"])
+        for r in out.collect()
+    )
+    qids = {q for q, _r, _v, _d in rows}
+    assert qids == {0, 20, 40}
+    for q in qids:
+        first = [r for r in rows if r[0] == q and r[1] == 1][0]
+        assert first[2] == q and first[3] == 0  # self-hit
+
+    # nprobe = k  ==> exact brute-force top-k
+    exact = kmeans_ivf_topk(df, k=3, iters=2, nprobe=3, topk=4,
+                            query_mod=20)
+    got = {(r["qid"], r["rank"]): (r["vec_id"], r["dist"])
+           for r in exact.collect()}
+    qrows = {r["vec_id"]: list(r["q"])
+             for r in quantize(df).collect()}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for q in qids:
+        bf = sorted(
+            (d2(qrows[q], qv), v) for v, qv in qrows.items()
+        )[:4]
+        for rk, (dd, vv) in enumerate(bf, start=1):
+            assert got[(q, rk)] == (vv, dd), (q, rk)
