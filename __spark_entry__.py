@@ -3923,24 +3923,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # else (green in CORRECTNESS_r03) follows in its original grouping.
 # Rotate per round so every query re-earns a recent driver row.
 _DRIVER_HEAD: list[str] = [
-    # -- new round-4 queries (highest priority: new code) --
-    "winnow_fingerprints",
-    "winnow_overlap",
-    "gopher_quality",
-    "anchor_text_stats",
-    "sitemap_urls",
-    "boilerplate_blocks",
-    "main_content",
-    "parse_date_spec",
-    "route_date_rows",
-    "dedup_doc_lines",
-    "robots_sitemaps",
-    "etld1",
-    "sniff_mime",
-    "http_headers",
-    "embedding_kmeans",
-    "kmeans_ann_topk",
-    "host_components",
     # -- never driver-checked (round-3 additions past the r03 window) --
     "cdx_index",
     "cdx_lookup",
@@ -3980,6 +3962,26 @@ _DRIVER_HEAD: list[str] = [
     "bpe_train",
     "events_asof",
     "parse_nchar_utf8",
+    # -- round-4 additions (never driver-checked either; behind the
+    # round-3 backlog so the VERDICT-promised 38 land inside the
+    # driver's ~50-entry window; locally oracle-verified) --
+    "winnow_fingerprints",
+    "winnow_overlap",
+    "gopher_quality",
+    "anchor_text_stats",
+    "sitemap_urls",
+    "boilerplate_blocks",
+    "main_content",
+    "parse_date_spec",
+    "route_date_rows",
+    "dedup_doc_lines",
+    "robots_sitemaps",
+    "etld1",
+    "sniff_mime",
+    "http_headers",
+    "embedding_kmeans",
+    "kmeans_ann_topk",
+    "host_components",
     # -- green in r02/r01 but displaced out of the r03 window --
     "embedding_near_dup",
     "lineage_buckets",
