@@ -431,6 +431,18 @@ def duplicate_spans(docs, k: int = 5, text_col: str = "text",
     row via one window spec, the filter is applied in place, and the
     span merge is the classic ``pos - row_number`` islands trick —
     O(1) state per row, no collect, no cross product.
+
+    Hot-key contract: the rank/count window partitions by the k-token
+    WINDOW text, so a degenerate corpus (one phrase repeated
+    corpus-wide) concentrates that phrase's occurrences in one
+    partition — unlike the LSH/simhash paths there is deliberately NO
+    bucket cap, because dropping occurrences would change which spans
+    are detected (correctness, not candidate generation). At the
+    10^12-row scale the mitigation is upstream: run
+    ``dedup_lines_within_doc`` / ``paragraph_dedup`` first (they
+    collapse exactly the mass that creates such keys), and key the
+    window on ``xxhash64(win)`` as noted above so the sort is on
+    8-byte keys.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window

@@ -105,7 +105,14 @@ def synth_warc_files(docs, per_file: int = 8, id_col: str = "doc_id",
     file blobs ``(file_id, warc)`` — records concatenated in doc_id
     order, UTF-8 encoded once per file. One bounded groupBy (files are
     ``per_file`` records wide by construction, so collect_list is
-    O(per_file), never a whole-partition blowup)."""
+    O(per_file), never a whole-partition blowup).
+
+    ``per_file`` contract: this is a TEST-FIXTURE synthesizer — keep
+    ``per_file`` small (≤ ~100). A real WARC segment holds ~10^5
+    records/GB; at that width the collect_list rows become GB-sized
+    and the groupBy shuffles whole files as single rows. Real
+    segments are READ (``parse_warc`` / ``read_warc_gz_files``),
+    never synthesized this way."""
     from pyspark.sql import functions as F
 
     recs = synth_warc_records(docs, id_col=id_col, text_col=text_col)

@@ -123,7 +123,11 @@ def synth_warc_gz_files(docs, per_file: int = 8, id_col: str = "doc_id",
     doc_id order. Records render in pure Catalyst
     (``synth_warc_records``); only the compression itself crosses to
     Python, as one Arrow-batched pandas UDF over the grouped record
-    arrays (bounded: ``per_file`` records per group by construction)."""
+    arrays (bounded: ``per_file`` records per group by construction).
+
+    ``per_file`` contract: TEST-FIXTURE synthesizer — keep it small
+    (≤ ~100); see ``warc.synth_warc_files``. Real many-member
+    segments are read (``read_warc_gz_files``), not synthesized."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
