@@ -1026,6 +1026,71 @@ def q_kmeans_ann_topk(spark, sf_dir):
                            query_mod=100)
 
 
+def q_crawl_rollup(spark, sf_dir):
+    """Hierarchical corpus accounting via ROLLUP (the crawl-report
+    shape: totals per (source, lang), per source, and grand total in
+    ONE pass — Spark expands grouping sets with a single shuffle,
+    partial aggregation intact). NULL grouping levels are surfaced as
+    the literal '(all)' so the hash compare is unambiguous."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "n_docs",
+            "n_chars",
+        )
+    )
+
+
+def q_lang_source_pivot(spark, sf_dir):
+    """Language × source contingency table via PIVOT: one row per
+    lang, one count column per source (fixed column list so the
+    schema is deterministic). The oracle states the same table as
+    conditional aggregation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sources = [r["source"] for r in
+               docs.select("source").distinct().collect()]
+    piv = (
+        docs.groupBy("lang")
+        .pivot("source", sorted(sources))
+        .count()
+    )
+    from pyspark.sql import functions as F
+
+    return piv.select(
+        "lang",
+        *[F.coalesce(F.col(f"`{s}`"), F.lit(0)).cast("long")
+          .alias(f"n_{s}") for s in sorted(sources)],
+    )
+
+
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix (the telemetry Markov
+    table): LAG over each user's time-ordered events, count (prev →
+    curr) pairs; ties at identical timestamps break by event_id so
+    the sequence is deterministic."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    return seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 def q_etld1(spark, sf_dir):
     """Registrable-domain (eTLD+1) extraction: five host shapes per
     doc_id (multi-label public suffixes .co.uk/.com.au/.co.jp, plain
@@ -2632,6 +2697,35 @@ def _dataprep_sql() -> dict[str, str]:
       FROM cand)
     WHERE rank <= 5"""
 
+    sqls["crawl_rollup"] = """
+    SELECT coalesce(source, '(all)') AS source,
+           coalesce(lang, '(all)') AS lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS n_chars
+    FROM documents
+    GROUP BY ROLLUP(source, lang)"""
+
+    _srcs = [f"src{j}" for j in range(20)]
+    sqls["lang_source_pivot"] = (
+        "SELECT lang, "
+        + ", ".join(
+            f"sum(CASE WHEN source = '{s}' THEN 1 ELSE 0 END)::BIGINT"
+            f" AS n_{s}"
+            for s in sorted(_srcs)
+        )
+        + " FROM documents GROUP BY lang"
+    )
+
+    sqls["event_transitions"] = """
+    WITH s AS (
+      SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type, count(*)::BIGINT AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2"""
+
     sqls["etld1"] = """
     SELECT doc_id,
       CASE doc_id % 5
@@ -3982,6 +4076,9 @@ _DRIVER_HEAD: list[str] = [
     "embedding_kmeans",
     "kmeans_ann_topk",
     "host_components",
+    "crawl_rollup",
+    "lang_source_pivot",
+    "event_transitions",
     # -- green in r02/r01 but displaced out of the r03 window --
     "embedding_near_dup",
     "lineage_buckets",
@@ -4090,6 +4187,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_degrees": q_outlink_degrees,
         "anchor_text_stats": q_anchor_text_stats,
         "host_components": q_host_components,
+        "crawl_rollup": q_crawl_rollup,
+        "lang_source_pivot": q_lang_source_pivot,
+        "event_transitions": q_event_transitions,
         "sitemap_urls": q_sitemap_urls,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
