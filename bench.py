@@ -333,7 +333,23 @@ def single_throughput() -> dict:
     }
 
 
-INTERPRETATION_MD = """\n## Round-3 kernel change (capture-free split plan)
+INTERPRETATION_MD = """\n## Round-4 scaling-evidence change (median headline)
+
+Round 4 changes what the executor-model section LEADS with, per the
+round-3 review: every attempt (clean or not) now lands in a round-long
+log, and the headline is the MEDIAN over attempts whose BOTH
+same-window controls were healthy (pure-CPU control A ≥ 0.75 and the
+resource-matched memory-streaming control B ≥ 0.9 — B collapsing
+means the window itself was bandwidth-degraded with zero Spark
+involved). The keep-best table is explicitly demoted to "optimistic
+bound". Round-4 attempts include a dual-clean **0.829** draw (host A
+1.012, stream B 1.159) — the first time the 1-vs-4-JVM proxy cleared
+the 0.8 bar with both controls clean in the same window; the
+attribution argument from round 3 below still explains why the
+MEDIAN sits under the bar on this single box while the in-JVM 4→16
+pair and control-attributed numbers clear it.
+
+## Round-3 kernel change (capture-free split plan)
 
 The parse kernel no longer pays RE2's capture engine on the hot path:
 profiling showed `pc.extract_regex` at 77% of kernel time, and a
