@@ -1026,6 +1026,34 @@ def q_kmeans_ann_topk(spark, sf_dir):
                            query_mod=100)
 
 
+def q_rebalance_mix(spark, sf_dir):
+    """Downsample to a target language mix (equal shares over
+    en/de/fr/es; zh dropped): the binding stratum keeps 100%, every
+    acceptance rate is derived with exact integer cross-multiplied
+    rationals, selection is the salted-md5 bucket rule. The oracle
+    re-derives the binding stratum (NOT EXISTS over cross products),
+    every rate, and the kept rows."""
+    from logparser_spark.operators.corpus import rebalance_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rebalance_mix(docs, {
+        "en": 250_000, "de": 250_000, "fr": 250_000, "es": 250_000,
+    })
+
+
+def q_tag_keywords(spark, sf_dir):
+    """Dictionary tagging via one RE2 alternation (the Aho-Corasick
+    use case inside codegen): five corpus-vocabulary keywords matched
+    as whole words, sorted distinct tags per doc. Oracle runs the
+    identical pattern through DuckDB's RE2."""
+    from logparser_spark.operators.textstats import tag_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tag_keywords(
+        docs, ["table", "scan", "spark", "window", "hash"]
+    )
+
+
 def q_crawl_rollup(spark, sf_dir):
     """Hierarchical corpus accounting via ROLLUP (the crawl-report
     shape: totals per (source, lang), per source, and grand total in
@@ -2697,6 +2725,40 @@ def _dataprep_sql() -> dict[str, str]:
       FROM cand)
     WHERE rank <= 5"""
 
+    _bucket = ("('0x' || substr(md5('salt42|' || doc_id::VARCHAR), 1, 8))"
+               "::BIGINT % 1000000")
+
+    sqls["rebalance_mix"] = f"""
+    WITH counts AS (
+      SELECT lang, count(*)::BIGINT AS n FROM documents
+      WHERE lang IN ('de','en','es','fr') GROUP BY 1),
+    t AS (SELECT lang, n, 250000::BIGINT AS tp FROM counts),
+    star AS (
+      SELECT a.lang AS sl, a.n AS sn, a.tp AS stp FROM t a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM t b
+        WHERE b.n * a.tp < a.n * b.tp
+           OR (b.n * a.tp = a.n * b.tp AND b.lang < a.lang))),
+    acc AS (
+      SELECT t.lang,
+        least(1000000,
+              (star.sn * t.tp * 1000000)
+              // (star.stp * t.n))::BIGINT AS accept_ppm
+      FROM t, star)
+    SELECT d.doc_id, d.lang, ({_bucket})::BIGINT AS bucket,
+           acc.accept_ppm
+    FROM documents d JOIN acc ON acc.lang = d.lang
+    WHERE {_bucket} < acc.accept_ppm"""
+
+    sqls["tag_keywords"] = r"""
+    SELECT doc_id,
+      list_sort(list_distinct(regexp_extract_all(
+        text, '\b(table|scan|spark|window|hash)\b', 1))) AS tags,
+      len(list_distinct(regexp_extract_all(
+        text, '\b(table|scan|spark|window|hash)\b', 1)))::BIGINT
+        AS n_tags
+    FROM documents"""
+
     sqls["crawl_rollup"] = """
     SELECT coalesce(source, '(all)') AS source,
            coalesce(lang, '(all)') AS lang,
@@ -3470,8 +3532,6 @@ def _dataprep_sql() -> dict[str, str]:
        ELSE 0 END)::INT AS straddles
     FROM c"""
 
-    _bucket = ("('0x' || substr(md5('salt42|' || doc_id::VARCHAR), 1, 8))"
-               "::BIGINT % 1000000")
     _rate = ("CASE lang WHEN 'en' THEN 620000 WHEN 'de' THEN 370000 "
              "WHEN 'fr' THEN 250000 WHEN 'es' THEN 180000 "
              "ELSE 120000 END")
@@ -4079,6 +4139,8 @@ _DRIVER_HEAD: list[str] = [
     "crawl_rollup",
     "lang_source_pivot",
     "event_transitions",
+    "rebalance_mix",
+    "tag_keywords",
     # -- green in r02/r01 but displaced out of the r03 window --
     "embedding_near_dup",
     "lineage_buckets",
@@ -4190,6 +4252,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_rollup": q_crawl_rollup,
         "lang_source_pivot": q_lang_source_pivot,
         "event_transitions": q_event_transitions,
+        "rebalance_mix": q_rebalance_mix,
+        "tag_keywords": q_tag_keywords,
         "sitemap_urls": q_sitemap_urls,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,

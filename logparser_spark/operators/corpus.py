@@ -614,3 +614,68 @@ def dedup_lines_within_doc(docs, text_col: str = "text",
         F.sum("__n").cast("long").alias("n_lines_in"),
         F.count(F.lit(1)).cast("long").alias("n_lines_out"),
     )
+
+
+def rebalance_mix(docs, target_ppm: Mapping[str, int],
+                  lang_col: str = "lang", id_col: str = "doc_id"):
+    """Downsample to a TARGET language mix at maximal size — the data-
+    mixing step proper (``sample_stratified`` applies given rates;
+    this DERIVES them): the binding stratum (smallest n/target ratio)
+    keeps 100%, every other stratum's acceptance scales so kept counts
+    are proportional to ``target_ppm`` in expectation. Exact integer
+    derivation — acceptance_ppm(l) = ⌊n(l*)·t(l)·10⁶ / (t(l*)·n(l))⌋
+    with the binding stratum l* chosen by exact cross-multiplied
+    rational comparison (ties → lexicographically smallest lang) — so
+    a SQL oracle reproduces every rate bit-for-bit; selection itself
+    is the same salted-md5 bucket rule as ``sample_stratified``
+    (deterministic, re-run-stable, no RNG).
+
+    Strata absent from ``target_ppm`` get acceptance 0 (dropped — a
+    mix spec is exhaustive by definition).
+
+    Output: kept rows ``(doc_id, lang, bucket, accept_ppm)``.
+
+    Scale shape: one per-lang count aggregate (#langs rows collected —
+    driver data bounded by the lang vocabulary, same budget class as
+    the kmeans centroid fold), then a map-only filter. Products stay
+    ≤ n·10¹² — int64-safe to ~10⁶-row strata; past that the driver
+    math widens to python bigints automatically and only the SQL
+    oracle needs DECIMAL."""
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy(F.col(lang_col).alias("lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n")).collect()
+        if r["lang"] in target_ppm
+    }
+    if not counts:
+        raise ValueError("no stratum in target_ppm present in data")
+    # binding stratum: min n/t by cross-multiplication, tie -> min lang
+    star = min(
+        counts,
+        key=lambda l: (counts[l] * 10**12 // target_ppm[l], l),
+    )
+    # exact check the div-key above can't collide on: verify via cross
+    # products (n_a * t_b <= n_b * t_a for all b)
+    for b in counts:
+        assert counts[star] * target_ppm[b] <= counts[b] * \
+            target_ppm[star] or (
+                counts[star] * target_ppm[b] == counts[b] *
+                target_ppm[star] and star <= b
+        )
+    accept = {
+        l: min(
+            1_000_000,
+            (counts[star] * target_ppm[l] * 1_000_000)
+            // (target_ppm[star] * counts[l]),
+        )
+        for l in counts
+    }
+    bucket = _bucket_expr(id_col).alias("bucket")
+    rate = _rate_expr(lang_col, accept, 0).cast("long") \
+        .alias("accept_ppm")
+    return (
+        docs.select(id_col, F.col(lang_col).alias("lang"), bucket, rate)
+        .where(F.col("bucket") < F.col("accept_ppm"))
+    )

@@ -860,3 +860,40 @@ def gopher_quality(df, text_col: str = "text", id_col: str = "doc_id"):
     for i in range(2, 8):
         passes = passes & F.col(f"r{i}")
     return out.withColumn("passes", passes)
+
+
+def tag_keywords(df, keywords, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Multi-keyword tagging — blocklist / topic / contamination-term
+    matching: which of ``keywords`` occur in each document (as whole
+    words). ONE regex alternation anchored with word boundaries does
+    the whole dictionary in a single scan: RE2 compiles alternations
+    to a DFA, so this is the Aho-Corasick use case without leaving
+    codegen (per-keyword ``contains`` would rescan the text
+    len(keywords) times). Matching is case-sensitive byte equality;
+    lower both sides upstream for folding.
+
+    Output: ``(doc_id, tags, n_tags)`` — ``tags`` the sorted distinct
+    matched keywords. Map-only, no shuffle, no UDF.
+
+    Dictionary contract: keywords are regex-escaped (literal match)
+    and the pattern is a codegen literal — fine to ~10^4 terms; a
+    10^6-term dictionary wants the broadcast-join token form
+    (``contamination_check``'s shape) instead."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    if not keywords:
+        raise ValueError("keywords must be non-empty")
+    pat = r"\b(" + "|".join(
+        _re.escape(k) for k in sorted(set(keywords))
+    ) + r")\b"
+    tags = F.array_sort(F.array_distinct(
+        F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(1))
+    ))
+    return df.select(
+        F.col(id_col),
+        tags.alias("tags"),
+        F.size(tags).cast("long").alias("n_tags"),
+    )

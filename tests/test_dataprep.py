@@ -2310,3 +2310,45 @@ def test_kmeans_ivf_topk_recall_and_self_hit(spark):
         )[:4]
         for rk, (dd, vv) in enumerate(bf, start=1):
             assert got[(q, rk)] == (vv, dd), (q, rk)
+
+
+def test_rebalance_mix_rates_and_binding_stratum(spark):
+    """Rate derivation: binding stratum keeps 100%, other rates scale
+    by the exact rational, absent strata drop, kept counts land near
+    target proportions."""
+    from logparser_spark.operators.corpus import rebalance_mix
+
+    rows = [(i, "big") for i in range(300)]
+    rows += [(1000 + i, "small") for i in range(50)]
+    rows += [(2000 + i, "dropme") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = rebalance_mix(df, {"big": 500_000, "small": 500_000})
+    got = {(r["lang"], r["accept_ppm"]) for r in out.collect()}
+    langs = {l for l, _p in got}
+    assert langs == {"big", "small"}
+    rates = dict(got)
+    assert rates["small"] == 1_000_000           # binding stratum
+    # big: floor(50 * 5e5 * 1e6 / (5e5 * 300)) = 166_666
+    assert rates["big"] == 166_666
+    n_big = sum(1 for r in out.collect() if r["lang"] == "big")
+    assert 30 <= n_big <= 70  # ~50 expected of 300 at 16.7%
+
+
+def test_tag_keywords(spark):
+    from logparser_spark.operators.textstats import tag_keywords
+
+    df = spark.createDataFrame(
+        [(1, "the table scan beats a tablescan"),
+         (2, "spark spark spark"),
+         (3, "nothing relevant"),
+         (4, "window. hash, table!")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["tags"], r["n_tags"])
+           for r in tag_keywords(
+               df, ["table", "scan", "spark", "window", "hash"]
+           ).collect()}
+    assert got[1] == (["scan", "table"], 2)   # 'tablescan' NOT matched
+    assert got[2] == (["spark"], 1)
+    assert got[3] == ([], 0)
+    assert got[4] == (["hash", "table", "window"], 3)
