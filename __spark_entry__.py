@@ -1026,6 +1026,40 @@ def q_kmeans_ann_topk(spark, sf_dir):
                            query_mod=100)
 
 
+def q_campaign_range_join(spark, sf_dir):
+    """Range (interval) join via grid decomposition: ten overlapping
+    3-hour campaign windows anchored at the hour-truncated corpus min
+    timestamp, joined to events on start <= ts < end WITHOUT a
+    nested-loop plan (interval explode + one cell equality join +
+    residual check), then per-campaign event/user counts. The oracle
+    states the plain inequality join — the rewrite is checked against
+    naive semantics, not itself."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.rangejoin import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    mn = ev.agg(F.min("ts").alias("m")).collect()[0]["m"]
+    base = mn.replace(minute=0, second=0, microsecond=0)
+    rows = [
+        (k, base + datetime.timedelta(hours=2 * k),
+         base + datetime.timedelta(hours=2 * k + 3))
+        for k in range(10)
+    ]
+    campaigns = spark.createDataFrame(
+        rows, "campaign_id int, start_ts timestamp, end_ts timestamp"
+    )
+    j = range_join(ev, campaigns, ts_col="ts", bucket_s=3600)
+    return j.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 def q_rebalance_mix(spark, sf_dir):
     """Downsample to a target language mix (equal shares over
     en/de/fr/es; zh dropped): the binding stratum keeps 100%, every
@@ -2728,6 +2762,20 @@ def _dataprep_sql() -> dict[str, str]:
     _bucket = ("('0x' || substr(md5('salt42|' || doc_id::VARCHAR), 1, 8))"
                "::BIGINT % 1000000")
 
+    sqls["campaign_range_join"] = """
+    WITH mn AS (SELECT date_trunc('hour', min(ts)) AS b FROM events),
+    c AS (
+      SELECT CAST(t.k AS INT) AS campaign_id,
+             b + (t.k * 2) * INTERVAL 1 HOUR AS s,
+             b + (t.k * 2 + 3) * INTERVAL 1 HOUR AS e
+      FROM mn, unnest(range(0, 10)) t(k)),
+    j AS (
+      SELECT c.campaign_id, ev.event_id, ev.user_id
+      FROM events ev JOIN c ON c.s <= ev.ts AND ev.ts < c.e)
+    SELECT campaign_id, count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM j GROUP BY 1"""
+
     sqls["rebalance_mix"] = f"""
     WITH counts AS (
       SELECT lang, count(*)::BIGINT AS n FROM documents
@@ -4141,6 +4189,7 @@ _DRIVER_HEAD: list[str] = [
     "event_transitions",
     "rebalance_mix",
     "tag_keywords",
+    "campaign_range_join",
     # -- green in r02/r01 but displaced out of the r03 window --
     "embedding_near_dup",
     "lineage_buckets",
@@ -4288,6 +4337,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_props": q_events_props,
         "events_asof": q_events_asof,
+        "campaign_range_join": q_campaign_range_join,
         # parse-semantics extras
         "parse_dbl_spec": q_parse_dbl_spec,
         "crlf_identity": q_crlf_identity,

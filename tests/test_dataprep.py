@@ -2352,3 +2352,51 @@ def test_tag_keywords(spark):
     assert got[2] == (["spark"], 1)
     assert got[3] == ([], 0)
     assert got[4] == (["hash", "table", "window"], 3)
+
+
+def test_range_join_vs_naive(spark):
+    """Grid-decomposed range join vs the naive predicate: boundary
+    inclusion (ts == start in, ts == end out), empty and reversed
+    intervals match nothing, intervals spanning many grid cells match
+    once, and the plan has NO nested-loop/cartesian join."""
+    import datetime as dt
+
+    from logparser_spark.operators.rangejoin import range_join
+
+    t0 = dt.datetime(2026, 3, 1, 0, 0, 0)
+
+    def T(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    pts = [(i, T(m)) for i, m in enumerate(
+        [0, 59, 60, 61, 119, 120, 180, 240, 600, 59, 200]
+    )]
+    ivs = [
+        (0, T(0), T(60)),       # [0, 60)
+        (1, T(60), T(120)),
+        (2, T(0), T(600)),      # spans 10 cells
+        (3, T(240), T(240)),    # empty
+        (4, T(300), T(240)),    # reversed
+        (5, T(601), T(602)),
+    ]
+    p = spark.createDataFrame(pts, "pid long, ts timestamp")
+    v = spark.createDataFrame(
+        ivs, "iid long, start_ts timestamp, end_ts timestamp"
+    )
+    out = range_join(p, v, ts_col="ts", bucket_s=3600)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    want = sorted(
+        (pid, iid)
+        for pid, ts in pts
+        for iid, s, e in ivs
+        if s <= ts < e
+    )
+    assert got == want and want  # non-trivial
+    # at start_ts included; at exactly end_ts excluded
+    assert (0, 0) in got and (2, 1) in got
+    assert (2, 0) not in got and (5, 1) not in got
+    assert all(i != 3 and i != 4 for _p, i in got)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
