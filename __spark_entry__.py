@@ -1026,6 +1026,31 @@ def q_kmeans_ann_topk(spark, sf_dir):
                            query_mod=100)
 
 
+def q_crawl_diff(spark, sf_dir):
+    """Snapshot diff for incremental recrawls: the 'new' snapshot
+    drops every 13th doc, rewrites every 7th (of the survivors), and
+    adds fresh ids for every 11th — the diff must classify every id
+    by digest comparison (added/removed/changed/unchanged) with the
+    digests themselves exposed. Oracle rebuilds statuses and both
+    digests arithmetically."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.diffsnap import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    survivors = docs.where(i % 13 != 0).select(
+        "doc_id",
+        F.when(i % 7 == 0, F.concat(F.col("text"), F.lit(" CHANGED")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.where(i % 11 == 0).select(
+        (i + 1_000_000).alias("doc_id"), "text"
+    )
+    new = survivors.unionAll(added)
+    return snapshot_diff(docs.select("doc_id", "text"), new)
+
+
 def q_campaign_range_join(spark, sf_dir):
     """Range (interval) join via grid decomposition: ten overlapping
     3-hour campaign windows anchored at the hour-truncated corpus min
@@ -2762,6 +2787,30 @@ def _dataprep_sql() -> dict[str, str]:
     _bucket = ("('0x' || substr(md5('salt42|' || doc_id::VARCHAR), 1, 8))"
                "::BIGINT % 1000000")
 
+    sqls["crawl_diff"] = """
+    WITH od AS (
+      SELECT doc_id, md5(text || chr(31)) AS old_digest
+      FROM documents),
+    nd AS (
+      SELECT doc_id,
+        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' CHANGED'
+                 ELSE text END || chr(31)) AS new_digest
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, md5(text || chr(31))
+      FROM documents WHERE doc_id % 11 = 0),
+    j AS (
+      SELECT coalesce(od.doc_id, nd.doc_id) AS doc_id,
+             od.old_digest, nd.new_digest
+      FROM od FULL OUTER JOIN nd ON od.doc_id = nd.doc_id)
+    SELECT doc_id,
+      CASE WHEN old_digest IS NULL THEN 'added'
+           WHEN new_digest IS NULL THEN 'removed'
+           WHEN old_digest = new_digest THEN 'unchanged'
+           ELSE 'changed' END AS status,
+      old_digest, new_digest
+    FROM j"""
+
     sqls["campaign_range_join"] = """
     WITH mn AS (SELECT date_trunc('hour', min(ts)) AS b FROM events),
     c AS (
@@ -4190,6 +4239,7 @@ _DRIVER_HEAD: list[str] = [
     "rebalance_mix",
     "tag_keywords",
     "campaign_range_join",
+    "crawl_diff",
     # -- green in r02/r01 but displaced out of the r03 window --
     "embedding_near_dup",
     "lineage_buckets",
@@ -4338,6 +4388,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": q_events_props,
         "events_asof": q_events_asof,
         "campaign_range_join": q_campaign_range_join,
+        "crawl_diff": q_crawl_diff,
         # parse-semantics extras
         "parse_dbl_spec": q_parse_dbl_spec,
         "crlf_identity": q_crlf_identity,

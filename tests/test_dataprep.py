@@ -2400,3 +2400,30 @@ def test_range_join_vs_naive(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_statuses(spark):
+    """Digest-based diff: NULL-content transitions count as changes
+    (null marker), added/removed/changed/unchanged all exercised,
+    summary counts match."""
+    from logparser_spark.operators.diffsnap import (
+        diff_summary,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, "e")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "now set"), (5, None), (6, "new")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "changed", 5: "changed", 6: "added"}
+    summ = {r["status"]: r["n"]
+            for r in diff_summary(old, new).collect()}
+    assert summ == {"unchanged": 1, "changed": 3, "removed": 1,
+                    "added": 1}
