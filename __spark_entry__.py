@@ -1026,6 +1026,24 @@ def q_kmeans_ann_topk(spark, sf_dir):
                            query_mod=100)
 
 
+def q_dq_check(spark, sf_dir):
+    """Table-contract expectation check over the documents snapshot:
+    five rules in ONE aggregate over ONE scan (conditional sums with
+    map-side combine, stack-unpivoted) — three that hold, one that
+    deliberately fails on every fifth doc, and a NULL-fails-closed
+    rule. Oracle restates each conditional sum."""
+    from logparser_spark.operators.corpus import dq_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dq_check(docs, {
+        "n_chars consistent": "n_chars = length(text)",
+        "lang known": "lang IN ('en','de','fr','es','zh')",
+        "text non-empty": "length(text) > 0",
+        "doc_id not multiple of 5": "doc_id % 5 <> 0",
+        "source set": "source IS NOT NULL AND source <> ''",
+    })
+
+
 def q_crawl_diff(spark, sf_dir):
     """Snapshot diff for incremental recrawls: the 'new' snapshot
     drops every 13th doc, rewrites every 7th (of the survivors), and
@@ -2787,6 +2805,31 @@ def _dataprep_sql() -> dict[str, str]:
     _bucket = ("('0x' || substr(md5('salt42|' || doc_id::VARCHAR), 1, 8))"
                "::BIGINT % 1000000")
 
+    sqls["dq_check"] = """
+    WITH a AS (
+      SELECT count(*)::BIGINT AS n,
+        sum(CASE WHEN coalesce(n_chars = length(text), FALSE)
+                 THEN 0 ELSE 1 END)::BIGINT AS v0,
+        sum(CASE WHEN coalesce(
+              lang IN ('en','de','fr','es','zh'), FALSE)
+                 THEN 0 ELSE 1 END)::BIGINT AS v1,
+        sum(CASE WHEN coalesce(length(text) > 0, FALSE)
+                 THEN 0 ELSE 1 END)::BIGINT AS v2,
+        sum(CASE WHEN coalesce(doc_id % 5 <> 0, FALSE)
+                 THEN 0 ELSE 1 END)::BIGINT AS v3,
+        sum(CASE WHEN coalesce(source IS NOT NULL AND source <> '',
+                               FALSE)
+                 THEN 0 ELSE 1 END)::BIGINT AS v4
+      FROM documents)
+    SELECT r.rule, a.n AS n_rows, r.v AS n_violations,
+           r.v = 0 AS passed
+    FROM a, (
+      SELECT 'n_chars consistent' AS rule, v0 AS v FROM a
+      UNION ALL SELECT 'lang known', v1 FROM a
+      UNION ALL SELECT 'text non-empty', v2 FROM a
+      UNION ALL SELECT 'doc_id not multiple of 5', v3 FROM a
+      UNION ALL SELECT 'source set', v4 FROM a) r"""
+
     sqls["crawl_diff"] = """
     WITH od AS (
       SELECT doc_id, md5(text || chr(31)) AS old_digest
@@ -4240,6 +4283,7 @@ _DRIVER_HEAD: list[str] = [
     "tag_keywords",
     "campaign_range_join",
     "crawl_diff",
+    "dq_check",
     # -- green in r02/r01 but displaced out of the r03 window --
     "embedding_near_dup",
     "lineage_buckets",
@@ -4389,6 +4433,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "campaign_range_join": q_campaign_range_join,
         "crawl_diff": q_crawl_diff,
+        "dq_check": q_dq_check,
         # parse-semantics extras
         "parse_dbl_spec": q_parse_dbl_spec,
         "crlf_identity": q_crlf_identity,

@@ -679,3 +679,46 @@ def rebalance_mix(docs, target_ppm: Mapping[str, int],
         docs.select(id_col, F.col(lang_col).alias("lang"), bucket, rate)
         .where(F.col("bucket") < F.col("accept_ppm"))
     )
+
+
+def dq_check(df, rules: Mapping[str, str]):
+    """Data-quality expectation check (the deequ/Great-Expectations
+    primitive a production table contract runs before publishing a
+    snapshot): each rule is a boolean SQL expression that must hold
+    for EVERY row; a row violates when the expression is FALSE **or
+    NULL** (three-valued logic fails closed — an unexpectedly-NULL
+    column is itself a quality defect).
+
+    Output: one row per rule — ``(rule, n_rows, n_violations,
+    passed)``.
+
+    Scale shape: ONE aggregate over ONE scan regardless of rule count
+    (every rule folds to a conditional sum with map-side combine);
+    the per-rule unpivot happens on the single result row via
+    ``stack``. No UDF, no per-rule rescans."""
+    from pyspark.sql import functions as F
+
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for j, (_name, expr) in enumerate(rules.items()):
+        ok = F.expr(expr)
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(ok, F.lit(False)), 0).otherwise(1)
+            ).cast("long").alias(f"__v{j}")
+        )
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        "'{}', __v{}".format(name.replace("'", "''"), j)
+        for j, name in enumerate(rules)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "rule", "n_rows", "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

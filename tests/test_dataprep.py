@@ -2427,3 +2427,21 @@ def test_snapshot_diff_statuses(spark):
             for r in diff_summary(old, new).collect()}
     assert summ == {"unchanged": 1, "changed": 3, "removed": 1,
                     "added": 1}
+
+
+def test_dq_check_null_fails_closed(spark):
+    from logparser_spark.operators.corpus import dq_check
+
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, None, 2), (3, "c", 99), (4, "d", None)],
+        "doc_id long, text string, v long",
+    )
+    got = {r["rule"]: (r["n_rows"], r["n_violations"], r["passed"])
+           for r in dq_check(df, {
+               "text not null": "text IS NOT NULL",
+               "v in range": "v BETWEEN 1 AND 10",  # NULL v violates
+               "id positive": "doc_id > 0",
+           }).collect()}
+    assert got == {"text not null": (4, 1, False),
+                   "v in range": (4, 2, False),
+                   "id positive": (4, 0, True)}
