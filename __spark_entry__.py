@@ -1026,6 +1026,38 @@ def q_kmeans_ann_topk(spark, sf_dir):
                            query_mod=100)
 
 
+def q_clean_corpus_verdicts(spark, sf_dir):
+    """Integration of the round-4 cleaning chain: HTML pages →
+    boilerplate removal (main_content) → Gopher quality gate on the
+    EXTRACTED content — one verdict row per document (docs whose
+    paragraph flunked extraction report has_content=false and never
+    reach the gate). The oracle derives everything from the raw text:
+    extraction survival = the 30% stopword-density rule, gopher
+    metrics recomputed on the lead-augmented paragraph."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.boilerplate import main_content
+    from logparser_spark.operators.textstats import gopher_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mc = main_content(_boiler_pages(docs))
+    gq = gopher_quality(
+        mc.select("doc_id", F.col("content").alias("text"))
+    ).select("doc_id", "n_words", "passes")
+    return (
+        docs.select("doc_id")
+        .join(mc.select("doc_id", F.lit(True).alias("has_content")),
+              "doc_id", "left")
+        .join(gq, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("has_content", F.lit(False)).alias("has_content"),
+            "n_words",
+            F.coalesce("passes", F.lit(False)).alias("passes"),
+        )
+    )
+
+
 def q_dq_check(spark, sf_dir):
     """Table-contract expectation check over the documents snapshot:
     five rules in ONE aggregate over ONE scan (conditional sums with
@@ -3085,6 +3117,47 @@ def _dataprep_sql() -> dict[str, str]:
     FROM para_row
     WHERE stopword_density_ppm >= 300000"""
 
+    sqls["clean_corpus_verdicts"] = _boiler_para + """,
+    g AS (
+      SELECT pw.doc_id, pw.para, pw.words, pr.stopword_density_ppm
+      FROM pw JOIN para_row pr USING (doc_id)),
+    m AS (
+      SELECT doc_id, stopword_density_ppm,
+        len(words)::BIGINT AS n_words,
+        coalesce(list_sum(list_transform(words, x -> len(x))),
+                 0)::BIGINT AS swl,
+        ((len(para) - len(replace(para, '#', '')))
+         + (len(para) - len(replace(para, '...', ''))) // 3)::BIGINT
+          AS nsym,
+        (CASE WHEN regexp_matches(trim(para), '(\\.\\.\\.|…)$')
+              THEN 1 ELSE 0 END)::BIGINT AS nell,
+        (CASE WHEN regexp_matches(trim(para), '^[•\\-*]')
+              THEN 1 ELSE 0 END)::BIGINT AS nbul,
+        len(list_filter(words,
+            x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS nalpha,
+        len(list_intersect(
+            list_distinct(list_transform(words, x -> lower(x))),
+            ['the','be','to','of','and','that','have','with']
+        ))::BIGINT AS nstop
+      FROM g),
+    v AS (
+      SELECT doc_id,
+        stopword_density_ppm >= 300000 AS has_content, n_words,
+        (n_words BETWEEN 50 AND 100000)
+        AND ((swl * 1000000) // n_words BETWEEN 3000000 AND 10000000)
+        AND ((nsym * 1000000) // n_words <= 100000)
+        AND (nbul * 1000000 <= 900000)
+        AND (nell * 1000000 <= 300000)
+        AND ((nalpha * 1000000) // n_words >= 800000)
+        AND (nstop >= 2) AS gpass
+      FROM m)
+    SELECT d.doc_id,
+      coalesce(v.has_content, FALSE) AS has_content,
+      CASE WHEN v.has_content THEN v.n_words END AS n_words,
+      coalesce(v.has_content AND v.gpass, FALSE) AS passes
+    FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id"""
+
+
     sqls["sitemap_urls"] = """
     WITH s AS (
       SELECT doc_id,
@@ -4284,6 +4357,7 @@ _DRIVER_HEAD: list[str] = [
     "campaign_range_join",
     "crawl_diff",
     "dq_check",
+    "clean_corpus_verdicts",
     # -- green in r02/r01 but displaced out of the r03 window --
     "embedding_near_dup",
     "lineage_buckets",
@@ -4434,6 +4508,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "campaign_range_join": q_campaign_range_join,
         "crawl_diff": q_crawl_diff,
         "dq_check": q_dq_check,
+        "clean_corpus_verdicts": q_clean_corpus_verdicts,
         # parse-semantics extras
         "parse_dbl_spec": q_parse_dbl_spec,
         "crlf_identity": q_crlf_identity,
