@@ -349,6 +349,15 @@ attribution argument from round 3 below still explains why the
 MEDIAN sits under the bar on this single box while the in-JVM 4→16
 pair and control-attributed numbers clear it.
 
+Disclosure: six round-4 attempts (two three-attempt invocations,
+~08:55-09:15 on 2026-08-18) ran while a SECOND benchmark process
+overlapped on the host (a builder scheduling error — two background
+scaling jobs wrote the same slot). Their windows carry self-inflicted
+contention a real cluster would not have; two of them passed the
+control gate anyway (0.373, 0.571) and are KEPT in the median — the
+gate is mechanical and removing identified-bad-luck draws by hand
+would be cherry-picking. Later serialized attempts dilute them.
+
 ## Round-3 kernel change (capture-free split plan)
 
 The parse kernel no longer pays RE2's capture engine on the hot path:
