@@ -37,16 +37,20 @@ def range_join(points, intervals, ts_col: str = "ts",
     cell at most once."""
     from pyspark.sql import functions as F
 
-    p_cell = F.floor(
-        F.unix_timestamp(F.col(ts_col)) / F.lit(int(bucket_s))
-    ).cast("long")
+    def _epoch(c):
+        # parquet timestamps often read as TIMESTAMP_NTZ; normalize so
+        # the grid math is type-independent (cells only need to be
+        # self-consistent between the two sides)
+        return F.unix_timestamp(F.col(c).cast("timestamp"))
+
+    p_cell = F.floor(_epoch(ts_col) / F.lit(int(bucket_s))).cast("long")
     i_first = F.floor(
-        F.unix_timestamp(F.col(start_col)) / F.lit(int(bucket_s))
+        _epoch(start_col) / F.lit(int(bucket_s))
     ).cast("long")
     # half-open end: the cell containing (end - 1s) is the last one
     # an interval can match a point in
     i_last = F.floor(
-        (F.unix_timestamp(F.col(end_col)) - 1) / F.lit(int(bucket_s))
+        (_epoch(end_col) - 1) / F.lit(int(bucket_s))
     ).cast("long")
 
     iv = intervals.withColumn(
