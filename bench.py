@@ -1023,7 +1023,11 @@ def _render_executor_section(f, r: dict, attempt_log=None) -> None:
             ab_clean = [a["eff"] for a in attempt_log
                         if a.get("host_eff", 0) >= 0.75
                         and (a.get("stream_eff") or 0) >= 0.9]
+            band_clean = [a["eff"] for a in attempt_log
+                          if a.get("host_eff", 0) >= 0.75
+                          and 0.9 <= (a.get("stream_eff") or 0) <= 1.5]
             med_a, med_ab = _med(a_clean), _med(ab_clean)
+            med_band = _med(band_clean)
             if med_a is not None:
                 f.write(
                     f"**HEADLINE — median efficiency over control-clean "
@@ -1035,8 +1039,14 @@ def _render_executor_section(f, r: dict, attempt_log=None) -> None:
                     f"bandwidth-degraded with zero Spark involved; "
                     f"{len(ab_clean)} such of {len(attempt_log)} total "
                     f"attempts). Under the weaker A-only gate the median "
-                    f"is {med_a} over {len(a_clean)} attempts — both "
-                    f"medians disclosed so the gate choice is auditable. "
+                    f"is {med_a} over {len(a_clean)} attempts; under a "
+                    f"sanity-banded B gate (0.9 ≤ B ≤ 1.5 — a resource-"
+                    f"matched control reading far ABOVE 1 means the "
+                    f"window shifted under the measurement, e.g. the "
+                    f"logged B=12.13 artifact) the median is {med_band} "
+                    f"over {len(band_clean)} attempts. All three "
+                    f"disclosed so the gate choice is auditable; the "
+                    f"headline stays the pre-registered AB gate. "
                     f"All attempts (eff / host A / stream B): "
                     + str([
                         (a['eff'], a['host_eff'], a.get('stream_eff'))
