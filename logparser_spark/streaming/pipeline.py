@@ -317,6 +317,8 @@ def make_cms_merger(out_dir: str, depth: int = 4, width: int = 64,
     sk_path = os.path.join(out_dir, "cms_sketch")
 
     def merge_batch(batch_df, batch_id: int):
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         new = cms_build(batch_df, depth=depth, width=width,
                         text_col=text_col)
@@ -326,6 +328,14 @@ def make_cms_merger(out_dir: str, depth: int = 4, width: int = 64,
             # read plan); the sketch is depth x width rows by contract,
             # so the materialized copy is O(1)
             prev = spark.read.parquet(sk_path).localCheckpoint(eager=True)
+        except AnalysisException:
+            # ONLY the first-batch case (sketch path does not exist yet)
+            # seeds from the new batch alone; any OTHER read failure
+            # (transient IO, corrupt footer) must propagate — falling
+            # back there would silently RESET the accumulated sketch to
+            # one batch's counts
+            merged = prev = None
+        if prev is not None:
             if prev.where(
                 F.col("__batch_id") == batch_id
             ).limit(1).count() > 0:
@@ -335,7 +345,7 @@ def make_cms_merger(out_dir: str, depth: int = 4, width: int = 64,
                 .groupBy("r", "bucket")
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
             )
-        except Exception:
+        else:
             merged = new
         (
             merged.withColumn("__batch_id", F.lit(batch_id))
