@@ -127,10 +127,18 @@ def run_bench() -> dict:
     # pre-warm python workers/JIT so the first query isn't charged for them
     pipeline_throughput(spark, 2000, CPUS)
     for name in headline:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        qtimes[name] = round(time.time() - t0, 3)
+        # best of 3, same noisy-host policy as the throughput legs
+        # below; the callable REBUILDS the DataFrame each iteration, so
+        # every timing executes the full plan (never a cached-shuffle
+        # rerun — measurement trap #1)
+        t_best = None
+        for _ in range(3):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.count()
+            dt = time.time() - t0
+            t_best = dt if t_best is None else min(t_best, dt)
+        qtimes[name] = round(t_best, 3)
 
     n_pages = int(
         os.environ.get(
