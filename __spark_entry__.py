@@ -1026,6 +1026,21 @@ def q_kmeans_ann_topk(spark, sf_dir):
                            query_mod=100)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table:
+    k-means clusters (the deterministic integer contract), exact
+    within-cluster cosine pairs at tau=0.35 (half-up ppm, the
+    embedding_near_dup cross-engine contract), transitive duplicate
+    groups, one kept representative per group (farthest from its
+    centroid, ties to the smaller id). The oracle replays the whole
+    stack: unrolled-kmeans CTEs + the pairwise-cosine predicate + a
+    RECURSIVE-CTE component closure + the same keep window."""
+    from logparser_spark.operators.semdedup import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(emb, k=4, iters=3, tau_ppm=350_000)
+
+
 def q_clean_corpus_verdicts(spark, sf_dir):
     """Integration of the round-4 cleaning chain: HTML pages →
     boilerplate removal (main_content) → Gopher quality gate on the
@@ -2834,6 +2849,50 @@ def _dataprep_sql() -> dict[str, str]:
       FROM cand)
     WHERE rank <= 5"""
 
+    # SemDeDup: the unrolled-kmeans prefix (hoisted to WITH RECURSIVE
+    # so the component closure can live in the same statement) + exact
+    # within-cluster cosine pairs + reachability closure + keep window
+    sqls["semdedup"] = _km_prefix.replace(
+        "WITH q AS", "WITH RECURSIVE q AS", 1
+    ) + """,
+    asg AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT q.vec_id, c.cid AS cluster,
+          list_sum(list_transform(generate_series(1, 64),
+            i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))) AS dist,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            list_sum(list_transform(generate_series(1, 64),
+              i -> (q.q[i] - c.c[i]) * (q.q[i] - c.c[i]))),
+            c.cid) AS rk
+        FROM q, c3 c)
+      WHERE rk = 1),
+    pr AS (
+      SELECT ax.vec_id AS a, ay.vec_id AS b
+      FROM asg ax JOIN asg ay
+        ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
+      JOIN embeddings x ON x.vec_id = ax.vec_id
+      JOIN embeddings y ON y.vec_id = ay.vec_id
+      WHERE FLOOR(
+        list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(x.embedding::DOUBLE[],
+                                 x.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(y.embedding::DOUBLE[],
+                                   y.embedding::DOUBLE[])))
+        * 1000000 + 0.5)::BIGINT >= 350000),
+    sym AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+    reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM q
+      UNION
+      SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node),
+    comp AS (
+      SELECT node AS vec_id, min(lbl) AS component_id
+      FROM reach GROUP BY 1)
+    SELECT a.vec_id, a.cluster::INT AS cluster, a.dist::BIGINT AS dist,
+      c.component_id::BIGINT AS component_id,
+      (row_number() OVER (PARTITION BY c.component_id
+                          ORDER BY a.dist DESC, a.vec_id) = 1) AS keep
+    FROM asg a JOIN comp c ON c.vec_id = a.vec_id"""
+
     _bucket = ("('0x' || substr(md5('salt42|' || doc_id::VARCHAR), 1, 8))"
                "::BIGINT % 1000000")
 
@@ -4348,6 +4407,7 @@ _DRIVER_HEAD: list[str] = [
     "http_headers",
     "embedding_kmeans",
     "kmeans_ann_topk",
+    "semdedup",
     "host_components",
     "crawl_rollup",
     "lang_source_pivot",
@@ -4423,6 +4483,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_ann": q_cosine_topk_ann,
         "embedding_kmeans": q_embedding_kmeans,
         "kmeans_ann_topk": q_kmeans_ann_topk,
+        "semdedup": q_semdedup,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "gopher_quality": q_gopher_quality,
