@@ -304,9 +304,19 @@ def near_dup_clusters(docs, pairs, id_col: str = "doc_id",
         )
         .persist()
     )
+    # localCheckpoint, not persist: each round's table references the
+    # previous one TWICE (via nbr_min and via the left join), so with
+    # plain persist the LOGICAL plan doubles per round — exponential in
+    # rounds (a 10-round run produced a 2 GiB plan string via semdedup)
+    # even though the data is cached. localCheckpoint truncates lineage
+    # so plan size stays O(1) per round; the round's `changed` count
+    # materializes the table anyway, so eager checkpointing adds no
+    # extra pass. (Cluster note: localCheckpoint trades lineage
+    # recovery for bounded plans — the canonical choice for iterative
+    # label propagation.)
     labels = docs.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
-    ).persist()
+    ).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
         nbr_min = (
@@ -320,7 +330,7 @@ def near_dup_clusters(docs, pairs, id_col: str = "doc_id",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl")))
                 .alias("lbl"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -328,7 +338,6 @@ def near_dup_clusters(docs, pairs, id_col: str = "doc_id",
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .limit(1).count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
@@ -509,6 +518,85 @@ def ngram_jaccard_pairs(df, pairs_df, text_col: str = "text",
     return out.select(
         "id_a", "id_b",
         jac.alias("jaccard"),
+    )
+
+
+# ── asymmetric containment (quote / subset detection) ────────────────
+
+# Shingles appearing in more than this many documents are dropped
+# before the containment pair join: a corpus-wide boilerplate shingle
+# ("Copyright ©", nav chrome) would otherwise shuffle O(N) rows to one
+# key and emit O(N²) candidate rows. Dropping high-document-frequency
+# shingles is the standard containment-search move (they carry no
+# quote signal by definition); the cap bounds the join's per-key
+# fan-out at CONTAIN_MAX_DF² regardless of corpus size.
+CONTAIN_MAX_DF = 64
+
+
+def containment_pairs(df, text_col: str = "text", id_col: str = "doc_id",
+                      n: int = SHINGLE_N, min_inter: int = 3,
+                      max_df: int = CONTAIN_MAX_DF, shingle_df=None):
+    """Asymmetric n-gram containment — quote/subset detection, the
+    complement of :func:`ngram_jaccard_pairs`: a short document quoted
+    verbatim inside a long one has LOW Jaccard (the union is dominated
+    by the long doc) but containment ``|A∩B| / |A|`` ≈ 1, so
+    MinHash/LSH never surfaces it.  This is the Broder (1997) resemblance
+    vs containment distinction; dedup pipelines need both.
+
+    Candidate generation joins documents on SHARED RARE SHINGLES rather
+    than LSH bands: keep only shingles whose document frequency is
+    ≤ ``max_df`` (see :data:`CONTAIN_MAX_DF`), self-join on the shingle
+    hash, and keep pairs sharing ≥ ``min_inter`` surviving shingles.
+    Output per pair: the intersection size over the capped shingle
+    pool, each side's FULL distinct-shingle count, and both directional
+    containment ratios (``cont_a`` = how much of A appears in B) —
+    half-up-rounded to 6 decimals in integer space (the
+    :func:`ngram_jaccard_pairs` cross-engine contract).  The capped
+    intersection understates the true one only on df-heavy shingles,
+    which is the documented trade for a bounded join.
+
+    Scale shape: one groupBy over shingle hashes (map-side combined)
+    for the df cap, one equality self-join keyed on the shingle hash
+    with per-key fan-out ≤ max_df², one pair-keyed aggregate.  Never
+    all-pairs; no windows.
+    """
+    from pyspark.sql import functions as F
+
+    sh = (shingle_df if shingle_df is not None
+          else shingle_hashes(df, text_col, id_col, n=n))
+    rare = (
+        sh.groupBy("shingle_hash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= int(max_df))
+        .select("shingle_hash")
+    )
+    # the shingle exchange is identical on both sides → ReusedExchange
+    shc = sh.join(rare, "shingle_hash", "left_semi")
+    inter = (
+        shc.select(F.col(id_col).alias("id_a"), "shingle_hash")
+        .join(shc.select(F.col(id_col).alias("id_b"), "shingle_hash"),
+              "shingle_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(F.col("n_inter") >= int(min_inter))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+    )
+    # integer-space half-up rounding to 6 decimals (double ROUND ties
+    # split differently across engines — same rationale as jaccard)
+    cont_a = F.expr("(2000000 * n_inter + sz_a) div (2 * sz_a)") \
+        / F.lit(1_000_000.0)
+    cont_b = F.expr("(2000000 * n_inter + sz_b) div (2 * sz_b)") \
+        / F.lit(1_000_000.0)
+    return out.select(
+        "id_a", "id_b", "n_inter", "sz_a", "sz_b",
+        cont_a.alias("cont_a"), cont_b.alias("cont_b"),
     )
 
 
