@@ -3942,6 +3942,102 @@ def _dataprep_sql() -> dict[str, str]:
       2::BIGINT AS n_removed
     FROM documents"""
 
+    sqls["containment_pairs"] = f"""WITH {shingle_cte},
+    rare AS (
+      SELECT shingle_hash FROM shingles
+      GROUP BY 1 HAVING count(*) <= 8),
+    shc AS (SELECT s.* FROM shingles s JOIN rare USING (shingle_hash)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*)::BIGINT AS n_inter
+      FROM shc a
+      JOIN shc b ON b.shingle_hash = a.shingle_hash
+               AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 10),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS sz
+              FROM shingles GROUP BY 1)
+    SELECT i.id_a, i.id_b, i.n_inter, za.sz AS sz_a, zb.sz AS sz_b,
+      ((2000000 * i.n_inter + za.sz) // (2 * za.sz)) / 1000000.0
+        AS cont_a,
+      ((2000000 * i.n_inter + zb.sz) // (2 * zb.sz)) / 1000000.0
+        AS cont_b
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b"""
+
+    sqls["collocations"] = """
+    WITH w AS (
+      SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents),
+    big AS (
+      SELECT ws[i.i] AS w1, ws[i.i + 1] AS w2
+      FROM w, unnest(range(1, len(ws))) i(i)
+      WHERE len(ws) >= 2),
+    pt AS (SELECT w1, w2, count(*)::BIGINT AS n_pair
+           FROM big GROUP BY 1, 2),
+    lm AS (SELECT w1, sum(n_pair)::BIGINT AS c_left FROM pt GROUP BY 1),
+    rm AS (SELECT w2, sum(n_pair)::BIGINT AS c_right FROM pt GROUP BY 1),
+    tot AS (SELECT sum(n_pair)::HUGEINT AS m FROM pt)
+    SELECT p.w1, p.w2, p.n_pair,
+      ((2000000::HUGEINT * p.n_pair * t.m
+        + lm.c_left::HUGEINT * rm.c_right)
+       // (2::HUGEINT * lm.c_left * rm.c_right))::BIGINT AS lift_ppm
+    FROM pt p
+    JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot t
+    WHERE p.n_pair >= 3"""
+
+    # step derives from the same table both sides: total_weight div 40,
+    # clamped to >= 1 (DuckDB // truncates = python // floors on
+    # non-negatives — the pinned cross-engine division contract)
+    sqls["sample_weighted"] = """
+    WITH w AS (
+      SELECT doc_id, greatest(n_chars, 0)::BIGINT AS weight
+      FROM documents),
+    t AS (SELECT greatest(sum(weight) // 40, 1)::BIGINT AS step FROM w),
+    c AS (
+      SELECT doc_id, weight,
+        sum(weight) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+          AS cum_weight
+      FROM w)
+    SELECT c.doc_id, c.weight, c.cum_weight
+    FROM c CROSS JOIN t
+    WHERE c.weight > 0
+      AND (c.cum_weight // t.step)
+          > ((c.cum_weight - c.weight) // t.step)"""
+
+    sqls["levenshtein_pairs"] = """
+    WITH v AS (
+      SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+                                         x -> len(x) > 0)) AS k
+      FROM documents),
+    kk AS (
+      SELECT k FROM v
+      UNION
+      SELECT substr(k, 2) AS k FROM v WHERE len(k) > 1
+      UNION
+      SELECT substr(k, 1, len(k) - 1) AS k FROM v WHERE len(k) > 1),
+    sig AS (
+      SELECT k,
+        unnest(list_distinct([substr(k, 1, 1), substr(k, len(k), 1)]))
+          AS sig,
+        (len(k) // 3)::BIGINT AS band
+      FROM kk WHERE len(k) > 0),
+    ok AS (SELECT sig, band FROM sig
+           GROUP BY 1, 2 HAVING count(*) <= 2000),
+    sg AS (SELECT s.* FROM sig s JOIN ok USING (sig, band)),
+    a AS (
+      SELECT k AS key_a, sig,
+             unnest([band - 1, band, band + 1]) AS band
+      FROM sg),
+    p AS (
+      SELECT DISTINCT a.key_a, b.k AS key_b
+      FROM a JOIN sg b ON b.sig = a.sig AND b.band = a.band
+      WHERE a.key_a < b.k
+        AND abs(len(a.key_a) - len(b.k)) <= 2)
+    SELECT key_a, key_b, levenshtein(key_a, key_b)::INT AS dist
+    FROM p WHERE levenshtein(key_a, key_b) BETWEEN 1 AND 2"""
+
     return sqls
 
 
@@ -4320,6 +4416,71 @@ def q_route_bits_histogram(spark, sf_dir):
     return masked.groupBy("route_bits").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric n-gram containment (quote/subset detection): pairs
+    sharing ≥10 RARE shingles (document frequency ≤ 8 — tight here
+    because the synthetic corpus is template-generated, so moderately
+    shared shingles are corpus noise, not quotes), with exact |A∩B|/|A|
+    and |A∩B|/|B| over the capped shingle pool — the Broder containment
+    measure MinHash/LSH cannot see (a short doc quoted in a long one
+    has low Jaccard). The oracle replays shingling, the df cap, and the
+    integer-space rounding."""
+    from logparser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.containment_pairs(docs, min_inter=10, max_df=8)
+
+
+def q_collocations(spark, sf_dir):
+    """PMI-style collocation mining: adjacent word pairs with integer-
+    exact lift_ppm = 10⁶·c_xy·M / (cL_x·cR_y) against the positional
+    marginals — observed/expected under independence, monotone in PMI.
+    DECIMAL(38,0) products (HUGEINT on the DuckDB side); count
+    threshold, not top-k, so no tie-break hazard."""
+    from logparser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.collocations(docs, min_count=3)
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Exact weight-proportional systematic sampling by n_chars: tick
+    every step = total_weight div 40 units along the id-ordered weight
+    axis, select documents whose interval contains a tick. Two-level
+    prefix sum (the with_global_line_id pattern) — no global window;
+    the oracle states the same rule with one window over 500 rows."""
+    from logparser_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.sample_weighted_systematic(docs, 40)
+
+
+def q_levenshtein_pairs(spark, sf_dir):
+    """Edit-distance ≤2 key pairs via first/last-char + length-band
+    blocking and exact levenshtein verify: key set = corpus vocabulary
+    plus each word's drop-first and drop-last variants (deterministic
+    typo corpus with real distance-2 pairs). The oracle replays the
+    blocking (signatures, bands, ±1 expansion, bucket cap) and the
+    verify in SQL, so candidates AND survivors must match exactly."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.fuzzyjoin import blocked_levenshtein_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        F.explode(F.filter(
+            F.split(F.col("text"), " "), lambda t: F.length(t) > 0
+        )).alias("k")
+    ).distinct()
+    heads = words.select(
+        F.expr("substring(k, 1, length(k) - 1)").alias("k")
+    ).where(F.length("k") > 0)
+    tails = words.select(F.expr("substring(k, 2)").alias("k")) \
+        .where(F.length("k") > 0)
+    keys = words.union(tails).union(heads).distinct()
+    return blocked_levenshtein_pairs(keys, "k", max_dist=2)
+
+
 # ── driver contract ───────────────────────────────────────────────────
 
 
@@ -4586,6 +4747,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_ew_rows": q_route_ew_rows,
         "route_nor_rows": q_route_nor_rows,
         "route_bits_histogram": q_route_bits_histogram,
+        # round-4b additions
+        "containment_pairs": q_containment_pairs,
+        "collocations": q_collocations,
+        "sample_weighted": q_sample_weighted,
+        "levenshtein_pairs": q_levenshtein_pairs,
     }
 
 

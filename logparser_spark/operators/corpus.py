@@ -722,3 +722,78 @@ def dq_check(df, rules: Mapping[str, str]):
         "rule", "n_rows", "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def sample_weighted_systematic(docs, n_target: int,
+                               weight_col: str = "n_chars",
+                               id_col: str = "doc_id",
+                               bucket_width: int = 4096):
+    """Exact weight-proportional systematic sampling — the deterministic
+    replacement for ``rand()``-based weighted draws: lay every document's
+    (non-negative integer) weight end-to-end along an axis ordered by
+    ``id_col``, drop a tick every ``step = total_weight div n_target``
+    units, and select the documents whose weight interval contains a
+    tick. Selection probability is proportional to weight (documents
+    heavier than ``step`` are selected with certainty), the sample size
+    is ``total_weight div step`` (= n_target up to the final remainder),
+    and re-running the pipeline reselects the identical set — the same
+    determinism contract as ``sample_stratified``'s salted-hash rule,
+    but weight-exact instead of Bernoulli.
+
+    Scale shape: the cumulative weight uses the two-level prefix-sum
+    pattern of ``parse.with_global_line_id`` — intra-bucket running sums
+    under a window partitioned by ``id div bucket_width`` (bounded
+    partitions, never a global single-task sort), bucket totals
+    prefix-summed over the tiny bucket table and broadcast back. One
+    row-keyed shuffle; no global window.
+
+    Input must carry ONE row per ``id_col`` (pre-aggregate otherwise).
+    Rows with weight ≤ 0 are never selected and contribute nothing to
+    the axis. If ``n_target`` exceeds the total weight the step clamps
+    to 1 (every weight-1 unit is a tick: selects every positive-weight
+    row). Output: ``(id_col, weight, cum_weight)`` for selected rows.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if n_target <= 0:
+        raise ValueError("n_target must be positive")
+    w = docs.select(
+        F.col(id_col),
+        F.greatest(F.col(weight_col).cast("long"), F.lit(0))
+        .alias("weight"),
+    )
+    total = w.agg(F.sum("weight")).collect()[0][0] or 0
+    if total == 0:
+        return w.select(
+            id_col, "weight", F.lit(0).cast("long").alias("cum_weight")
+        ).filter(F.lit(False))
+    step = max(total // int(n_target), 1)
+
+    bucket = F.expr(f"`{id_col}` div {int(bucket_width)}")
+    wb = w.withColumn("__b", bucket)
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = wb.withColumn("__cin", F.sum("weight").over(w_in))
+    btot = wb.groupBy("__b").agg(F.sum("weight").alias("__bn"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.withColumn(
+        "__boff", F.coalesce(F.sum("__bn").over(w_b), F.lit(0))
+    ).select("__b", "__boff")
+    cum = (
+        intra.join(F.broadcast(boff), "__b")
+        .withColumn("cum_weight", F.col("__cin") + F.col("__boff"))
+    )
+    # a row is selected iff a tick (multiple of step) falls inside its
+    # (cum-weight, cum] interval — pure int64 `div`, engine-exact
+    return (
+        cum.filter(F.col("weight") > 0)
+        .filter(
+            F.expr(f"cum_weight div {step}")
+            > F.expr(f"(cum_weight - weight) div {step}")
+        )
+        .select(id_col, "weight", "cum_weight")
+    )

@@ -897,3 +897,75 @@ def tag_keywords(df, keywords, text_col: str = "text",
         tags.alias("tags"),
         F.size(tags).cast("long").alias("n_tags"),
     )
+
+
+def collocations(df, min_count: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """PMI-style collocation mining: adjacent word pairs whose observed
+    count exceeds what their marginals predict — the classic corpus-
+    analysis signal for multi-word expressions ("new york", "et al"),
+    and a cheap phrase-vocabulary builder for tokenizer training.
+
+    Association score, kept integer-exact so any SQL engine reproduces
+    it bit for bit: ``lift_ppm = half-up(10^6 · c_xy · M / (cL_x ·
+    cR_y))`` where ``c_xy`` is the bigram count, ``M`` the corpus bigram
+    total, ``cL_x`` the count of ``x`` as a LEFT bigram member and
+    ``cR_y`` of ``y`` as RIGHT (positional marginals — exactly the
+    bigram-table row/column sums, so the lift is a true observed/expected
+    ratio under positional independence). lift_ppm > 10^6 means
+    attraction; PMI = log2(lift) is monotone in it, so thresholds and
+    rankings carry over without cross-engine float logs. Products go
+    through DECIMAL(38,0): 10^6 · c_xy · M overflows int64 once
+    M > ~9·10^6 — guaranteed at any real corpus size.
+
+    Output: ``(w1, w2, n_pair, lift_ppm)`` for pairs with ``n_pair ≥
+    min_count`` — a set, not a top-k, so no cross-engine tie-break
+    hazard. Scale shape: the bigram explode is linear in corpus tokens;
+    ONE (w1,w2)-keyed aggregate (map-side combined) builds the table;
+    the marginals are two re-aggregates of THAT table (vocabulary-sized,
+    not corpus-sized) broadcast back onto it. One corpus-sized shuffle
+    total; no windows, no sort.
+    """
+    from pyspark.sql import functions as F
+
+    # one explode; the filter keeps token positions identical to the
+    # other word-level operators (split on single space, drop empties)
+    bigrams = df.select(
+        F.filter(F.split(F.col(text_col), " "),
+                 lambda t: F.length(t) > 0).alias("__w")
+    ).select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__w) >= 2 THEN "
+                "transform(sequence(1, size(__w) - 1), "
+                "i -> struct(element_at(__w, i) AS w1, "
+                "element_at(__w, i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("__b")
+    ).select("__b.w1", "__b.w2")
+
+    pair_tab = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    ).persist()
+    left_m = pair_tab.groupBy("w1").agg(
+        F.sum("n_pair").cast("long").alias("c_left"))
+    right_m = pair_tab.groupBy("w2").agg(
+        F.sum("n_pair").cast("long").alias("c_right"))
+    total = pair_tab.agg(F.sum("n_pair")).collect()[0][0] or 0
+    if total == 0:
+        return pair_tab.select(
+            "w1", "w2", "n_pair",
+            F.lit(0).cast("long").alias("lift_ppm"),
+        ).filter(F.lit(False))
+    out = (
+        pair_tab.filter(F.col("n_pair") >= int(min_count))
+        .join(F.broadcast(left_m), "w1")
+        .join(F.broadcast(right_m), "w2")
+    )
+    lift = F.expr(
+        f"(2000000 * CAST(n_pair AS DECIMAL(38,0)) * {int(total)}"
+        " + CAST(c_left AS DECIMAL(38,0)) * c_right) "
+        "div (2 * CAST(c_left AS DECIMAL(38,0)) * c_right)"
+    ).cast("long")
+    return out.select("w1", "w2", "n_pair", lift.alias("lift_ppm"))
