@@ -1748,6 +1748,55 @@ def _pagerank_sql(iters: int = 3, damping_pct: int = 85) -> str:
     )
 
 
+def _hits_sql(iters: int = 3) -> str:
+    """Unrolled integer-exact HITS oracle (mirrors weburl.host_hits
+    half-step for half-step, max-norm as greatest(coalesce(max,0),1))."""
+    s = 1_000_000
+    ctes = [
+        f"e0 AS ({_OUTLINK_EDGES_SQL})",
+        "e AS (SELECT DISTINCT src_host, dst_host FROM e0)",
+        "v AS (SELECT src_host AS host FROM e"
+        " UNION SELECT dst_host FROM e)",
+        f"h0 AS (SELECT host, {s}::BIGINT AS hub FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"ra{i} AS (SELECT e.dst_host AS host,"
+            f" sum(h{i-1}.hub)::BIGINT AS st"
+            f" FROM e JOIN h{i-1} ON h{i-1}.host = e.src_host GROUP BY 1)"
+        )
+        ctes.append(
+            f"am{i} AS (SELECT greatest(coalesce(max(st), 0), 1)::HUGEINT"
+            f" AS m FROM ra{i})"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT v.host,"
+            f" ((coalesce(ra{i}.st, 0)::HUGEINT * {s}) // am{i}.m)::BIGINT"
+            f" AS authority"
+            f" FROM v LEFT JOIN ra{i} USING (host), am{i})"
+        )
+        ctes.append(
+            f"rh{i} AS (SELECT e.src_host AS host,"
+            f" sum(a{i}.authority)::BIGINT AS st"
+            f" FROM e JOIN a{i} ON a{i}.host = e.dst_host GROUP BY 1)"
+        )
+        ctes.append(
+            f"hm{i} AS (SELECT greatest(coalesce(max(st), 0), 1)::HUGEINT"
+            f" AS m FROM rh{i})"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT v.host,"
+            f" ((coalesce(rh{i}.st, 0)::HUGEINT * {s}) // hm{i}.m)::BIGINT"
+            f" AS hub"
+            f" FROM v LEFT JOIN rh{i} USING (host), hm{i})"
+        )
+    return (
+        "\n    WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT a{iters}.host, a{iters}.authority, h{iters}.hub"
+        + f"\n    FROM a{iters} JOIN h{iters} USING (host)"
+    )
+
+
 def q_outlink_degrees(spark, sf_dir):
     """Host web-graph degrees from extracted outlinks: each page
     carries two absolute links (hosts arithmetic in doc_id, one
@@ -1776,6 +1825,57 @@ def q_host_pagerank(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     edges = weburl.extract_outlinks(_outlink_pages(docs))
     return weburl.host_pagerank(edges, iters=3)
+
+
+def q_host_hits(spark, sf_dir):
+    """Three integer-exact HITS iterations (hubs/authorities, max-norm
+    in ppm) over the same extracted host graph as host_pagerank: the
+    oracle unrolls both half-steps of every iteration as DuckDB CTEs
+    over the arithmetically reconstructed edge list, so each score must
+    match bit for bit."""
+    from logparser_spark.operators import weburl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = weburl.extract_outlinks(_outlink_pages(docs))
+    return weburl.host_hits(edges, iters=3)
+
+
+def q_luhn_scrub(spark, sf_dir):
+    """Checksum-validated credit-card scrub: append to each document a
+    spaced 16-digit run whose last digit is doc_id%10 (Luhn-valid only
+    at 1), a dashed run with last digit (doc_id+7)%10 (valid only at
+    4), and a short '1234' that must not even be a candidate. Only the
+    Luhn-passing runs are masked, so candidate extraction, the Luhn
+    fold AND the fold-of-replaces scrub are all checked byte-exactly by
+    the oracle, which replays them in list-lambda SQL."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' pay 4111 1111 1111 111',"
+            " cast(doc_id % 10 AS STRING),"
+            " ' alt 5500-0000-0000-000',"
+            " cast((doc_id + 7) % 10 AS STRING),"
+            " ' ref 1234 ok')"
+        ).alias("text"),
+    )
+    return textstats.luhn_cc_scrub(pages)
+
+
+def q_proximity_search(spark, sf_dir):
+    """Ordered NEAR/3 positional search ('spark' followed by 'table'
+    within 3 positions) over the inverted index: exact ordered-pair
+    counts from an array fold over the two posting slices; the oracle
+    recomputes positions with an index unnest and a range join."""
+    from logparser_spark.operators import invindex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = invindex.build_inverted_index(docs)
+    return invindex.proximity_search(idx, "spark", "table", slop=3)
 
 
 def q_extract_text(spark, sf_dir):
@@ -3526,6 +3626,7 @@ def _dataprep_sql() -> dict[str, str]:
     FROM e GROUP BY 1"""
 
     sqls["host_pagerank"] = _pagerank_sql(iters=3, damping_pct=85)
+    sqls["host_hits"] = _hits_sql(iters=3)
 
     sqls["canonical_urls"] = """
     SELECT doc_id,
@@ -4005,6 +4106,53 @@ def _dataprep_sql() -> dict[str, str]:
     WHERE c.weight > 0
       AND (c.cum_weight // t.step)
           > ((c.cum_weight - c.weight) // t.step)"""
+
+    # Luhn scrub: same synthesis, same candidate regex (RE2-safe, no
+    # lookarounds), same digit fold (double every 2nd from the right,
+    # -9 on overflow), same fold-of-replaces via list_reduce with the
+    # text prepended as the init value
+    _luhn_valid = (
+        "list_filter(cands, c -> (list_sum(list_transform("
+        "range(1, length(translate(c, ' -', '')) + 1), i -> "
+        "CASE WHEN (length(translate(c, ' -', '')) - i) % 2 = 1 THEN "
+        "CASE WHEN 2 * substr(translate(c, ' -', ''), i, 1)::INT > 9 "
+        "THEN 2 * substr(translate(c, ' -', ''), i, 1)::INT - 9 "
+        "ELSE 2 * substr(translate(c, ' -', ''), i, 1)::INT END "
+        "ELSE substr(translate(c, ' -', ''), i, 1)::INT END)) % 10) = 0)"
+    )
+    sqls["luhn_scrub"] = f"""
+    WITH pages AS (
+      SELECT doc_id,
+        text || ' pay 4111 1111 1111 111' || (doc_id % 10)::VARCHAR
+             || ' alt 5500-0000-0000-000' || ((doc_id + 7) % 10)::VARCHAR
+             || ' ref 1234 ok' AS text
+      FROM documents),
+    c AS (
+      SELECT doc_id, text,
+        regexp_extract_all(text, '\\d(?:[ -]?\\d){{12,18}}') AS cands
+      FROM pages)
+    SELECT doc_id,
+      len(cands)::BIGINT AS n_cc_candidates,
+      len({_luhn_valid})::BIGINT AS n_cc_valid,
+      list_reduce(list_prepend(text, {_luhn_valid}),
+                  (a, b) -> replace(a, b, '[CC]')) AS scrubbed
+    FROM c"""
+
+    sqls["proximity_search"] = """
+    WITH w AS (
+      SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents),
+    pos AS (
+      SELECT doc_id, ws[i.i] AS term, i.i - 1 AS p
+      FROM w, unnest(range(1, len(ws) + 1)) i(i)),
+    a AS (SELECT doc_id, p FROM pos WHERE term = 'spark'),
+    b AS (SELECT doc_id, p FROM pos WHERE term = 'table')
+    SELECT a.doc_id, count(*)::BIGINT AS n_pairs
+    FROM a JOIN b ON b.doc_id = a.doc_id
+               AND b.p > a.p AND b.p <= a.p + 3
+    GROUP BY 1"""
+
 
     sqls["levenshtein_pairs"] = """
     WITH v AS (
@@ -4700,6 +4848,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_search": q_term_search,
         "phrase_search": q_phrase_search,
         "host_pagerank": q_host_pagerank,
+        "host_hits": q_host_hits,
+        "luhn_scrub": q_luhn_scrub,
+        "proximity_search": q_proximity_search,
         "embedding_near_dup": q_embedding_near_dup,
         # corpus construction
         "contamination_check": q_contamination_check,

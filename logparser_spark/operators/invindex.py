@@ -140,6 +140,41 @@ def phrase_search(index, first: str, second: str,
     )
 
 
+def proximity_search(index, first: str, second: str, slop: int = 3,
+                     id_col: str = "doc_id"):
+    """Ordered proximity (NEAR/k) search: documents where ``second``
+    follows ``first`` within ``slop`` word positions, with the exact
+    ordered-pair count — the classic positional-index operator between
+    exact phrase (slop=1) and bag-of-words AND (slop=∞).
+
+    ``n_pairs = Σ_{p ∈ pos(first)} |{q ∈ pos(second) : p < q ≤ p+slop}|``
+    as a pure array fold (aggregate + filter) over the two terms'
+    posting slices — codegen array expressions, no UDF; per-doc cost is
+    tf(first)·tf(second), bounded by the posting lengths. One doc-keyed
+    join between two term slices, same scale shape as phrase_search."""
+    from pyspark.sql import functions as F
+
+    a = index.where(F.col("term") == first).select(
+        id_col, F.col("positions").alias("__pa")
+    )
+    b = index.where(F.col("term") == second).select(
+        id_col, F.col("positions").alias("__pb")
+    )
+    n = F.aggregate(
+        F.col("__pa"),
+        F.lit(0),
+        lambda acc, p: acc + F.size(F.filter(
+            F.col("__pb"),
+            lambda q: (q > p) & (q <= p + F.lit(int(slop))),
+        )),
+    )
+    return (
+        a.join(b, id_col)
+        .select(id_col, n.cast("long").alias("n_pairs"))
+        .where(F.col("n_pairs") > 0)
+    )
+
+
 def read_postings_pruned(spark, path: str, terms: list,
                          n_buckets: int = 64):
     """Read only the bucket directories the query terms can live in —

@@ -969,3 +969,54 @@ def collocations(df, min_count: int = 3, text_col: str = "text",
         "div (2 * CAST(c_left AS DECIMAL(38,0)) * c_right)"
     ).cast("long")
     return out.select("w1", "w2", "n_pair", lift.alias("lift_ppm"))
+
+
+def luhn_cc_scrub(df, text_col: str = "text", id_col: str = "doc_id",
+                  mask: str = "[CC]"):
+    """Checksum-validated credit-card scrubbing — the PII pass regex
+    alone cannot do: a 13-19 digit run (spaces/dashes allowed) is only
+    masked when it PASSES the Luhn check, so order ids and phone-number
+    runs survive while real PANs are removed. This is the standard
+    precision upgrade over ``pii_scrub``'s pattern-only rules.
+
+    Pure Catalyst higher-order functions, no UDF: candidates from ONE
+    ``regexp_extract_all`` (the pattern avoids lookarounds so RE2-based
+    engines replay it exactly), the Luhn sum as an ``aggregate`` fold
+    over digit positions (double every second digit from the right,
+    subtract 9 on overflow), and the scrub as an ``aggregate`` fold of
+    literal ``replace`` calls over the validated candidates — map-only,
+    one projection, no shuffle.
+
+    Output: ``(id_col, n_cc_candidates, n_cc_valid, scrubbed)``.
+    """
+    from pyspark.sql import functions as F
+
+    luhn_digit = (
+        "CASE WHEN (length(s.dg) - i) % 2 = 1 THEN "
+        "CASE WHEN 2 * cast(substring(s.dg, i, 1) AS INT) > 9 "
+        "THEN 2 * cast(substring(s.dg, i, 1) AS INT) - 9 "
+        "ELSE 2 * cast(substring(s.dg, i, 1) AS INT) END "
+        "ELSE cast(substring(s.dg, i, 1) AS INT) END"
+    )
+    cands = F.expr(
+        rf"transform(regexp_extract_all({text_col},"
+        r" '\\d(?:[ -]?\\d){12,18}', 0),"
+        r" c -> struct(c AS c, translate(c, ' -', '') AS dg))"
+    )
+    valid = (
+        "filter(__cs, s -> aggregate(sequence(1, length(s.dg)), 0, "
+        f"(acc, i) -> acc + {luhn_digit}) % 10 = 0)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(text_col),
+        cands.alias("__cs"),
+    ).select(
+        id_col,
+        F.expr("size(__cs)").cast("long").alias("n_cc_candidates"),
+        F.expr(f"size({valid})").cast("long").alias("n_cc_valid"),
+        F.expr(
+            f"aggregate(transform({valid}, s -> s.c), {text_col}, "
+            f"(acc, c) -> replace(acc, c, '{mask}'))"
+        ).alias("scrubbed"),
+    )

@@ -401,6 +401,82 @@ def host_pagerank(edges, iters: int = 3, damping_pct: int = 85):
     return r
 
 
+HITS_SCALE = 1_000_000  # hub/authority scores in ppm of the per-iteration max
+
+
+def host_hits(edges, iters: int = 3):
+    """HITS hubs-and-authorities (Kleinberg 1999) over the host graph —
+    the complementary centrality to :func:`host_pagerank`: authorities
+    are hosts many good hubs point TO, hubs are hosts that point to
+    many good authorities. Crawl curation uses both (PageRank for
+    global importance, HITS for topical directory/resource detection).
+
+    Kept INTEGER-EXACT so any engine reproduces every score bit for
+    bit: scores live in ppm of the iteration's maximum (max-norm
+    replaces the usual L2 norm — same fixpoint direction, no sqrt, no
+    float accumulation order), and each iteration computes
+
+        auth'(v) = (Σ_{u→v} hub(u)) · SCALE div max_v(Σ hub)
+        hub'(u)  = (Σ_{u→v} auth'(v)) · SCALE div max_u(Σ auth')
+
+    with trunc integer division throughout. Multi-edges/self-loops are
+    collapsed to the simple directed graph first; vertices with no
+    in-links (out-links) get authority (hub) 0. The ·SCALE products go
+    through DECIMAL(38,0): Σ hub ≤ N·SCALE, so the product overflows
+    int64 past ~9·10⁶ hosts — routine at web scale.
+
+    Output: ``(host, authority, hub)`` for all vertices.
+
+    Scale shape: each iteration is two shuffle join+aggregate steps
+    over the edge list (the canonical distributed HITS step) plus one
+    O(1) scalar max per step (a driver literal, like the kmeans
+    centroids — two tiny jobs per iteration). ``iters`` unrolls into
+    the logical plan, so keep it small (≤6) or checkpoint between
+    iterations — the same contract as :func:`host_pagerank`.
+    """
+    from pyspark.sql import functions as F
+
+    e = edges.select("src_host", "dst_host").distinct().persist()
+    verts = (
+        e.select(F.col("src_host").alias("host"))
+        .union(e.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .persist()
+    )
+    hub = verts.select(
+        "host", F.lit(HITS_SCALE).cast("long").alias("hub")
+    )
+    auth = None
+    for _ in range(iters):
+        raw_a = (
+            e.join(hub, e["src_host"] == hub["host"])
+            .groupBy(F.col("dst_host").alias("host"))
+            .agg(F.sum("hub").cast("long").alias("__s"))
+        )
+        amax = raw_a.agg(F.max("__s")).collect()[0][0] or 1
+        auth = verts.join(raw_a, "host", "left").select(
+            "host",
+            F.expr(
+                f"(CAST(coalesce(__s, 0) AS DECIMAL(38,0))"
+                f" * {HITS_SCALE}) div {int(amax)}"
+            ).cast("long").alias("authority"),
+        )
+        raw_h = (
+            e.join(auth, e["dst_host"] == auth["host"])
+            .groupBy(F.col("src_host").alias("host"))
+            .agg(F.sum("authority").cast("long").alias("__s"))
+        )
+        hmax = raw_h.agg(F.max("__s")).collect()[0][0] or 1
+        hub = verts.join(raw_h, "host", "left").select(
+            "host",
+            F.expr(
+                f"(CAST(coalesce(__s, 0) AS DECIMAL(38,0))"
+                f" * {HITS_SCALE}) div {int(hmax)}"
+            ).cast("long").alias("hub"),
+        )
+    return auth.join(hub, "host").select("host", "authority", "hub")
+
+
 def surt_key(canonical_url_col, host_col):
     """SURT (Sort-friendly URI Reordering Transform) key from a
     canonicalized URL: reversed-host joined with commas, ``)``, then
