@@ -354,3 +354,41 @@ def make_cms_merger(out_dir: str, depth: int = 4, width: int = 64,
         )
 
     return merge_batch
+
+
+def interval_join_streams(left, right,
+                          key: str = "user_id",
+                          left_ts: str = "l_ts", right_ts: str = "r_ts",
+                          horizon_secs: int = 60,
+                          watermark_secs: int = 120):
+    """Stream-stream interval join — the attribution shape (impression
+    stream ⋈ click stream: a click joins the impression it followed
+    within ``horizon_secs``). Both sides are watermarked so Spark can
+    BOUND the join state: without watermarks + a time-range condition a
+    stream-stream join must buffer both streams forever; with them,
+    rows older than (watermark + horizon) are evicted — state is
+    O(rate × horizon) regardless of stream length, the property that
+    keeps this runnable on an unbounded crawl feed.
+
+    The join condition is ``key equality AND right_ts ∈ [left_ts,
+    left_ts + horizon_secs]`` — equality keys partition state, the
+    range bounds eviction. Inner join: late rows past the watermark are
+    dropped by construction (the documented trade; the batch
+    equivalent of this operator sees them, which is why the pytest
+    replays stream == batch only within the watermark).
+    """
+    from pyspark.sql import functions as F
+
+    lw = left.withWatermark(left_ts, f"{watermark_secs} seconds")
+    rw = right.withWatermark(right_ts, f"{watermark_secs} seconds")
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts]
+           + F.expr(f"INTERVAL {int(horizon_secs)} SECONDS"))
+    )
+    return lw.join(rw, cond, "inner").select(
+        lw[key].alias(key),
+        lw[left_ts].alias(left_ts),
+        rw[right_ts].alias(right_ts),
+    )
