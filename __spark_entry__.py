@@ -1878,6 +1878,38 @@ def q_proximity_search(spark, sf_dir):
     return invindex.proximity_search(idx, "spark", "table", slop=3)
 
 
+def q_hll_by_type(spark, sf_dir):
+    """Per-group HyperLogLog: distinct users per event_type as
+    integer-exact register/estimate rows (the global hll_distinct
+    contract keyed by group). The oracle rebuilds registers and the
+    alpha·m²/harmonic-sum estimate per group and carries the exact
+    distinct alongside."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    regs = sketch.hll_registers_by(ev, "event_type", "user_id")
+    est = sketch.hll_estimate_by(regs, "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("true_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+def q_unigram_drift(spark, sf_dir):
+    """Snapshot drift report: even-doc_id documents as snapshot A, odd
+    as snapshot B; words whose ppm frequency moved >= 1000 ppm between
+    the two. Integer-exact ppm (trunc div), full-outer vocabulary
+    join."""
+    from logparser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    return textstats.unigram_drift(a, b, min_delta_ppm=1000)
+
+
 def q_extract_text(spark, sf_dir):
     """Boilerplate removal from realistic messy HTML: per document,
     build a page with script/style blocks (containing '<', quotes and
@@ -4154,6 +4186,62 @@ def _dataprep_sql() -> dict[str, str]:
     GROUP BY 1"""
 
 
+    sqls["hll_by_type"] = """
+    WITH h AS (
+      SELECT event_type,
+        ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM events),
+    r AS (
+      SELECT event_type, h >> 54 AS bucket,
+        CASE WHEN h % (1::BIGINT << 54) = 0 THEN 55
+             ELSE 55 - length(bin(h % (1::BIGINT << 54)))
+        END AS rank
+      FROM h),
+    reg AS (SELECT event_type, bucket, max(rank) AS max_rank
+            FROM r GROUP BY 1, 2),
+    e AS (
+      SELECT event_type, count(*)::BIGINT AS used,
+        sum((1::BIGINT << (30 - least(max_rank, 30))))::BIGINT AS s_used
+      FROM reg GROUP BY 1),
+    x AS (
+      SELECT event_type, count(DISTINCT user_id)::BIGINT
+        AS true_distinct
+      FROM events GROUP BY 1)
+    SELECT e.event_type, (64 - used)::BIGINT AS v_empty,
+      (s_used + (64 - used) * (1::BIGINT << 30))::BIGINT AS s30,
+      ((709::BIGINT * 64 * 64 * (1::BIGINT << 30))
+       // (1000 * (s_used + (64 - used) * (1::BIGINT << 30))))::BIGINT
+        AS raw_est,
+      x.true_distinct
+    FROM e JOIN x USING (event_type)"""
+
+    sqls["unigram_drift"] = """
+    WITH wa AS (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                                x -> len(x) > 0)) AS word
+      FROM documents WHERE doc_id % 2 = 0),
+    wb AS (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                                x -> len(x) > 0)) AS word
+      FROM documents WHERE doc_id % 2 = 1),
+    ca AS (SELECT word, count(*)::BIGINT AS cnt_a FROM wa GROUP BY 1),
+    cb AS (SELECT word, count(*)::BIGINT AS cnt_b FROM wb GROUP BY 1),
+    ta AS (SELECT greatest(coalesce(sum(cnt_a), 0), 1)::HUGEINT AS t FROM ca),
+    tb AS (SELECT greatest(coalesce(sum(cnt_b), 0), 1)::HUGEINT AS t FROM cb),
+    j AS (
+      SELECT coalesce(ca.word, cb.word) AS word,
+        coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+      FROM ca FULL OUTER JOIN cb USING (word)),
+    p AS (
+      SELECT word, cnt_a, cnt_b,
+        ((cnt_a::HUGEINT * 1000000) // ta.t)::BIGINT AS ppm_a,
+        ((cnt_b::HUGEINT * 1000000) // tb.t)::BIGINT AS ppm_b
+      FROM j, ta, tb)
+    SELECT word, cnt_a, cnt_b, ppm_a, ppm_b,
+      abs(ppm_a - ppm_b)::BIGINT AS delta_ppm
+    FROM p WHERE abs(ppm_a - ppm_b) >= 1000"""
+
+
     sqls["levenshtein_pairs"] = """
     WITH v AS (
       SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
@@ -4851,6 +4939,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": q_host_hits,
         "luhn_scrub": q_luhn_scrub,
         "proximity_search": q_proximity_search,
+        "hll_by_type": q_hll_by_type,
+        "unigram_drift": q_unigram_drift,
         "embedding_near_dup": q_embedding_near_dup,
         # corpus construction
         "contamination_check": q_contamination_check,

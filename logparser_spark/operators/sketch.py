@@ -191,3 +191,58 @@ def hll_estimate(registers_df):
             f"({m} - used) * {1 << HLL_SUM_SCALE})) AS BIGINT)"
         ).alias("raw_est"),
     )
+
+
+def hll_registers_by(df, group_col, item_col):
+    """Per-group HyperLogLog registers — the "distinct users per
+    event_type / per host" shape: same md5-contract hash, bucket and
+    rank as :func:`hll_registers`, keyed by ``group_col``. One bounded
+    groupBy (≤ 64 register rows per group after map-side max); shards
+    merge by ``union → groupBy(group, bucket) → max``."""
+    from pyspark.sql import functions as F
+
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 15),
+        16, 10,
+    ).cast("long")
+    bucket = F.shiftright(h, HLL_RANK_BITS).cast("long")
+    suffix = h % F.lit(1 << HLL_RANK_BITS)
+    rank = F.when(suffix == 0, F.lit(HLL_RANK_BITS + 1)).otherwise(
+        F.lit(HLL_RANK_BITS + 1) - F.length(F.bin(suffix))
+    )
+    return (
+        df.select(
+            F.col(group_col), bucket.alias("bucket"), rank.alias("rank")
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rank").cast("int").alias("max_rank"))
+    )
+
+
+def hll_estimate_by(registers_df, group_col):
+    """Per-group estimate rows ``(group, v_empty, s30, raw_est)`` —
+    the integer-exact contract of :func:`hll_estimate` applied per
+    group key (one aggregate over ≤ 64·n_groups register rows)."""
+    from pyspark.sql import functions as F
+
+    m = HLL_M
+    term = F.expr(
+        f"CAST(pow(2, {HLL_SUM_SCALE} - least(max_rank, "
+        f"{HLL_SUM_SCALE})) AS BIGINT)"
+    )
+    agg = registers_df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("used"),
+        F.sum(term).cast("long").alias("s_used"),
+    )
+    numerator = HLL_ALPHA_PPT * m * m * (1 << HLL_SUM_SCALE)
+    return agg.select(
+        group_col,
+        (F.lit(m) - F.col("used")).cast("long").alias("v_empty"),
+        (F.col("s_used")
+         + (F.lit(m) - F.col("used")) * F.lit(1 << HLL_SUM_SCALE))
+        .cast("long").alias("s30"),
+        F.expr(
+            f"CAST({numerator} div (1000 * (s_used + "
+            f"(64 - used) * {1 << HLL_SUM_SCALE})) AS BIGINT)"
+        ).alias("raw_est"),
+    )

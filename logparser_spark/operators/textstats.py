@@ -1020,3 +1020,56 @@ def luhn_cc_scrub(df, text_col: str = "text", id_col: str = "doc_id",
             f"(acc, c) -> replace(acc, c, '{mask}'))"
         ).alias("scrubbed"),
     )
+
+
+def unigram_drift(df_a, df_b, min_delta_ppm: int = 1000,
+                  text_col: str = "text"):
+    """Distribution-drift report between two corpus snapshots — the
+    monitoring primitive for incremental crawls: per word, its
+    frequency in parts-per-million of each snapshot's token mass and
+    the absolute delta, keeping words whose delta reaches
+    ``min_delta_ppm``. A recrawl whose boilerplate/template mix shifted
+    (or whose extraction broke) lights up here before any model does.
+
+    Integer-exact: ppm = count·10⁶ div total (trunc — the pinned
+    cross-engine division), deltas on those integers; words absent
+    from one side carry ppm 0 (full-outer vocabulary join). DECIMAL
+    products: count·10⁶ overflows int64 past ~9·10¹² tokens.
+
+    Scale shape: one word-keyed aggregate per snapshot (map-side
+    combined), one vocabulary-sized full-outer join — corpus rows never
+    join anything. Output: ``(word, cnt_a, cnt_b, ppm_a, ppm_b,
+    delta_ppm)``.
+    """
+    from pyspark.sql import functions as F
+
+    def counts(df, side):
+        words = df.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "),
+                         lambda t: F.length(t) > 0)
+            ).alias("word")
+        )
+        return words.groupBy("word").agg(
+            F.count("*").cast("long").alias(f"cnt_{side}")
+        )
+
+    ca, cb = counts(df_a, "a"), counts(df_b, "b")
+    tot_a = ca.agg(F.sum("cnt_a")).collect()[0][0] or 1
+    tot_b = cb.agg(F.sum("cnt_b")).collect()[0][0] or 1
+    j = ca.join(cb, "word", "full_outer").select(
+        "word",
+        F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+    )
+    ppm_a = F.expr(
+        f"(CAST(cnt_a AS DECIMAL(38,0)) * 1000000) div {int(tot_a)}"
+    ).cast("long")
+    ppm_b = F.expr(
+        f"(CAST(cnt_b AS DECIMAL(38,0)) * 1000000) div {int(tot_b)}"
+    ).cast("long")
+    out = j.select(
+        "word", "cnt_a", "cnt_b",
+        ppm_a.alias("ppm_a"), ppm_b.alias("ppm_b"),
+    ).withColumn("delta_ppm", F.abs(F.col("ppm_a") - F.col("ppm_b")))
+    return out.where(F.col("delta_ppm") >= int(min_delta_ppm))
