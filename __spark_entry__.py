@@ -1910,6 +1910,27 @@ def q_unigram_drift(spark, sf_dir):
     return textstats.unigram_drift(a, b, min_delta_ppm=1000)
 
 
+def q_cdc_dup_chunks(spark, sf_dir):
+    """Content-defined-chunking dedup on a shifted-duplicate corpus:
+    every doc_id%5==0 document reappears with a 'shift ' prefix under
+    id+10^6. Fixed-window chunking finds zero duplicates between the
+    pair (every window moved); CDC boundaries move with the content, so
+    the shared suffix chunks dedupe — which is the operator's reason to
+    exist. The oracle replays the boundary rule, chunk reassembly, the
+    min-length floor and the canonical-occurrence fold in list SQL."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shifted = docs.where("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("shift "), F.col("text")).alias("text"),
+    )
+    pages = docs.select("doc_id", "text").unionAll(shifted)
+    return corpus.cdc_duplicate_chunks(pages, min_copies=2, min_len=4)
+
+
 def q_extract_text(spark, sf_dir):
     """Boilerplate removal from realistic messy HTML: per document,
     build a page with script/style blocks (containing '<', quotes and
@@ -4242,6 +4263,45 @@ def _dataprep_sql() -> dict[str, str]:
     FROM p WHERE abs(ppm_a - ppm_b) >= 1000"""
 
 
+    sqls["cdc_dup_chunks"] = """
+    WITH pages AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'shift ' || text AS text
+      FROM documents WHERE doc_id % 5 = 0),
+    c0 AS (
+      SELECT doc_id, text,
+        list_filter(list_transform(
+          range(1, greatest(length(text) - 7, 0) + 1),
+          i -> CASE WHEN ('0x' || substr(md5(substr(text, i, 8)), 1, 15))
+                         ::BIGINT % 16 = 0
+                    THEN i + 7 ELSE -1 END),
+          x -> x > 0 AND x < length(text)) AS cuts
+      FROM pages),
+    c1 AS (SELECT doc_id, text, list_append(cuts, length(text)) AS cuts2
+           FROM c0 WHERE length(text) > 0),
+    ch AS (
+      SELECT doc_id, j.j - 1 AS chunk_idx,
+        substr(text,
+          (CASE WHEN j.j = 1 THEN 0 ELSE cuts2[j.j - 1] END) + 1,
+          cuts2[j.j]
+            - CASE WHEN j.j = 1 THEN 0 ELSE cuts2[j.j - 1] END) AS chunk
+      FROM c1, unnest(range(1, len(cuts2) + 1)) j(j)),
+    h AS (
+      SELECT doc_id, chunk_idx,
+        ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS chunk_hash
+      FROM ch WHERE length(chunk) >= 4),
+    g AS (
+      SELECT chunk_hash, count(*)::BIGINT AS n_copies,
+        count(DISTINCT doc_id)::BIGINT AS n_docs,
+        min(doc_id * 1000000 + chunk_idx) AS k
+      FROM h GROUP BY 1)
+    SELECT chunk_hash, n_copies, n_docs,
+      (k // 1000000)::BIGINT AS canonical_doc,
+      (k % 1000000)::INT AS canonical_idx
+    FROM g WHERE n_copies >= 2"""
+
+
     sqls["levenshtein_pairs"] = """
     WITH v AS (
       SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
@@ -4941,6 +5001,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search": q_proximity_search,
         "hll_by_type": q_hll_by_type,
         "unigram_drift": q_unigram_drift,
+        "cdc_dup_chunks": q_cdc_dup_chunks,
         "embedding_near_dup": q_embedding_near_dup,
         # corpus construction
         "contamination_check": q_contamination_check,

@@ -797,3 +797,93 @@ def sample_weighted_systematic(docs, n_target: int,
         )
         .select(id_col, "weight", "cum_weight")
     )
+
+
+def cdc_chunks(docs, k: int = 8, divisor: int = 16,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Content-defined chunking (the rsync/FastCDC boundary trick,
+    simplified to a pinned deterministic rule): a chunk boundary falls
+    after every position whose k-gram hash ≡ 0 (mod ``divisor``), so
+    expected chunk length is ``divisor`` + k and — the point —
+    boundaries move WITH the content: inserting a prefix shifts every
+    fixed-window chunk but leaves all content-defined chunks after the
+    first boundary untouched. Fixed-window ``chunk_documents`` finds
+    zero duplicates between a doc and its shifted copy; this finds all
+    of them.
+
+    Pinned semantics (no min/max chunk clamps — the production knobs
+    FastCDC adds — so the rule replays in one SQL expression): k-gram
+    hashes use the md5 ``hash64`` contract; cut points are
+    ``{i + k - 1 : hash(text[i:i+k]) % divisor = 0, cut < len}`` plus
+    ``len``; chunks are the substrings between consecutive cuts.
+    Empty documents yield no chunks.
+
+    Pure per-row Catalyst array expressions (transform/filter over
+    positions — the winnowing cost shape, O(len·k) per row, no UDF,
+    no shuffle); output one row per chunk: ``(id_col, chunk_idx,
+    chunk, chunk_hash)`` via ONE posexplode.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import hash64
+
+    gram_hash = (
+        f"cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 15),"
+        f" 16, 10) AS BIGINT)"
+    )
+    cuts = (
+        f"filter(transform(sequence(1, greatest(length({text_col})"
+        f" - {k - 1}, 0)), i -> IF({gram_hash} % {divisor} = 0,"
+        f" i + {k - 1}, -1)), x -> x > 0 AND x < length({text_col}))"
+    )
+    cuts2 = f"concat({cuts}, array(length({text_col})))"
+    chunks = (
+        f"CASE WHEN length({text_col}) = 0 THEN array() "
+        f"ELSE transform(sequence(1, size(__cuts)), j -> "
+        f"substring({text_col},"
+        f" IF(j = 1, 0, element_at(__cuts, j - 1)) + 1,"
+        f" element_at(__cuts, j)"
+        f" - IF(j = 1, 0, element_at(__cuts, j - 1)))) END"
+    )
+    base = docs.select(
+        F.col(id_col), F.col(text_col), F.expr(cuts2).alias("__cuts")
+    ).select(
+        id_col,
+        F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk"),
+    )
+    return base.select(
+        id_col, "chunk_idx", "chunk",
+        hash64(F.col("chunk")).alias("chunk_hash"),
+    )
+
+
+def cdc_duplicate_chunks(docs, k: int = 8, divisor: int = 16,
+                         min_copies: int = 2, min_len: int = 4,
+                         text_col: str = "text", id_col: str = "doc_id"):
+    """Cross-document duplicate-chunk report over content-defined
+    chunks: for every chunk hash seen ``min_copies``+ times (and at
+    least ``min_len`` chars — single-char chunks are noise), the copy
+    count, how many distinct documents share it, and the canonical
+    (smallest (doc, idx)) occurrence. ONE hash-keyed aggregate over the
+    chunk stream — the digest-only-shuffle dedup shape."""
+    from pyspark.sql import functions as F
+
+    ch = cdc_chunks(docs, k=k, divisor=divisor,
+                    text_col=text_col, id_col=id_col)
+    return (
+        ch.where(F.length("chunk") >= int(min_len))
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.min(F.struct(
+                F.col(id_col).alias("d"), F.col("chunk_idx").alias("i")
+            )).alias("__c"),
+        )
+        .where(F.col("n_copies") >= int(min_copies))
+        .select(
+            "chunk_hash", "n_copies", "n_docs",
+            F.col("__c.d").alias("canonical_doc"),
+            F.col("__c.i").alias("canonical_idx"),
+        )
+    )
