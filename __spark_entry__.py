@@ -1931,6 +1931,20 @@ def q_cdc_dup_chunks(spark, sf_dir):
     return corpus.cdc_duplicate_chunks(pages, min_copies=2, min_len=4)
 
 
+def q_length_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch over document lengths: id-bucket
+    systematic compaction (every 16th by (value,id) within the bucket,
+    remainder-weighted tail), two-level cumulative weights, quartile
+    targets — deterministic, so the oracle replays every step and the
+    estimates must match exactly (not just within the rank bound)."""
+    from logparser_spark.operators import quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quantiles.quantile_sketch(
+        docs, "n_chars", [250_000, 500_000, 750_000], r=16
+    )
+
+
 def q_extract_text(spark, sf_dir):
     """Boilerplate removal from realistic messy HTML: per document,
     build a page with script/style blocks (containing '<', quotes and
@@ -4302,6 +4316,35 @@ def _dataprep_sql() -> dict[str, str]:
     FROM g WHERE n_copies >= 2"""
 
 
+    sqls["length_quantile_sketch"] = """
+    WITH v AS (
+      SELECT doc_id, n_chars::BIGINT AS val FROM documents
+      WHERE n_chars IS NOT NULL),
+    n AS (SELECT count(*)::BIGINT AS n FROM v),
+    rk AS (
+      SELECT doc_id // 4096 AS bucket, val,
+        row_number() OVER (PARTITION BY doc_id // 4096
+                           ORDER BY val, doc_id) AS rnk,
+        count(*) OVER (PARTITION BY doc_id // 4096) AS nb
+      FROM v),
+    s AS (
+      SELECT bucket, val, rnk,
+        least(16, nb - rnk + 1)::BIGINT AS w
+      FROM rk WHERE (rnk - 1) % 16 = 0),
+    c AS (
+      SELECT val,
+        sum(w) OVER (ORDER BY val, bucket, rnk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM s),
+    q AS (SELECT unnest([250000, 500000, 750000]) AS q_ppm),
+    t AS (SELECT q_ppm,
+                 (q_ppm * (n.n - 1)) // 1000000 + 1 AS target
+          FROM q, n)
+    SELECT t.q_ppm::BIGINT AS q_ppm,
+      (SELECT min(val) FROM c WHERE c.cum >= t.target)::BIGINT AS est
+    FROM t"""
+
+
     sqls["levenshtein_pairs"] = """
     WITH v AS (
       SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
@@ -5002,6 +5045,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by_type": q_hll_by_type,
         "unigram_drift": q_unigram_drift,
         "cdc_dup_chunks": q_cdc_dup_chunks,
+        "length_quantile_sketch": q_length_quantile_sketch,
         "embedding_near_dup": q_embedding_near_dup,
         # corpus construction
         "contamination_check": q_contamination_check,
