@@ -843,6 +843,7 @@ def run_scaling_executors(exec_cpus: int = 8, n_exec: int = 4,
     best["control_gated"] = bool(clean)
     # every attempt's triple survives into state — the round headline
     # is the MEDIAN over control-clean attempts, not this keep-best
+    cfg = f"{exec_cpus}c" + ("p" if pin_symmetric else "")
     best["all_attempts"] = [
         {
             "eff": round(r["efficiency"], 3),
@@ -850,6 +851,7 @@ def run_scaling_executors(exec_cpus: int = 8, n_exec: int = 4,
             "stream_eff": (round(r["host_stream_eff"], 3)
                            if r.get("host_stream_eff") is not None
                            else None),
+            "cfg": cfg,
         }
         for r in attempts
     ]
@@ -991,7 +993,9 @@ def write_executor_report(r: dict) -> None:
                     "host_eff": round(r.get("host_control_eff") or 0, 3),
                     "stream_eff": (round(r["host_stream_eff"], 3)
                                    if r.get("host_stream_eff") is not None
-                                   else None)}])
+                                   else None),
+                    "cfg": (f"{r['exec_cpus']}c"
+                            + ("p" if r.get("pin_symmetric") else ""))}])
     state["exec_attempt_log"] = log
     state["executors"].pop("all_attempts", None)
     # ALSO keep the best fully-instrumented attempt: the keep-best
@@ -1026,12 +1030,27 @@ def _render_executor_section(f, r: dict, attempt_log=None) -> None:
                 return (xs[mid] if len(xs) % 2
                         else round((xs[mid - 1] + xs[mid]) / 2, 3))
 
-            a_clean = [a["eff"] for a in attempt_log
+            # Per-config evidence lines: the ledger tags each attempt
+            # with its executor geometry (cfg "<cores>c[p]"; untagged
+            # entries predate the tag and were all launched as the
+            # 4-core symmetric-pinned fair-fit config per the round
+            # log).  The primary line stays the fair-fit config; other
+            # geometries (e.g. 2-core executors, whose 4-way leg keeps
+            # total streaming cores BELOW the measured single-host
+            # bandwidth wall) are disclosed separately below.
+            primary = [a for a in attempt_log
+                       if a.get("cfg", "4cp") == "4cp"]
+            others: dict = {}
+            for a in attempt_log:
+                c = a.get("cfg", "4cp")
+                if c != "4cp":
+                    others.setdefault(c, []).append(a)
+            a_clean = [a["eff"] for a in primary
                        if a.get("host_eff", 0) >= 0.75]
-            ab_clean = [a["eff"] for a in attempt_log
+            ab_clean = [a["eff"] for a in primary
                         if a.get("host_eff", 0) >= 0.75
                         and (a.get("stream_eff") or 0) >= 0.9]
-            band_clean = [a["eff"] for a in attempt_log
+            band_clean = [a["eff"] for a in primary
                           if a.get("host_eff", 0) >= 0.75
                           and 0.9 <= (a.get("stream_eff") or 0) <= 1.5]
             med_a, med_ab = _med(a_clean), _med(ab_clean)
@@ -1045,8 +1064,8 @@ def _render_executor_section(f, r: dict, attempt_log=None) -> None:
                     f"resource-matched memory-streaming control B ≥ 0.9 "
                     f"— B collapsing means the window itself was "
                     f"bandwidth-degraded with zero Spark involved; "
-                    f"{len(ab_clean)} such of {len(attempt_log)} total "
-                    f"attempts). Under the weaker A-only gate the median "
+                    f"{len(ab_clean)} such of {len(primary)} total "
+                    f"fair-fit attempts). Under the weaker A-only gate the median "
                     f"is {med_a} over {len(a_clean)} attempts; under a "
                     f"sanity-banded B gate (0.9 ≤ B ≤ 1.5 — a resource-"
                     f"matched control reading far ABOVE 1 means the "
@@ -1055,10 +1074,10 @@ def _render_executor_section(f, r: dict, attempt_log=None) -> None:
                     f"over {len(band_clean)} attempts. All three "
                     f"disclosed so the gate choice is auditable; the "
                     f"headline stays the pre-registered AB gate. "
-                    f"All attempts (eff / host A / stream B): "
+                    f"All fair-fit attempts (eff / host A / stream B): "
                     + str([
                         (a['eff'], a['host_eff'], a.get('stream_eff'))
-                        for a in attempt_log
+                        for a in primary
                     ])
                     + ". The keep-best table below is the single best "
                     f"clean draw — the optimistic bound; the median "
@@ -1066,12 +1085,33 @@ def _render_executor_section(f, r: dict, attempt_log=None) -> None:
                 )
             else:
                 f.write(
-                    f"**HEADLINE: no control-clean attempt this round "
-                    f"yet** ({len(attempt_log)} attempts, all with host "
+                    f"**HEADLINE: no control-clean fair-fit attempt this "
+                    f"round yet** ({len(primary)} attempts, all with host "
                     f"control < 0.75 — every window was degraded; "
-                    f"attempt effs {[a['eff'] for a in attempt_log]}). "
+                    f"attempt effs {[a['eff'] for a in primary]}). "
                     f"The keep-best record below is from a prior round's "
                     f"clean window.\n\n"
+                )
+            for c, grp in sorted(others.items()):
+                g_ab = sorted(a["eff"] for a in grp
+                              if a.get("host_eff", 0) >= 0.75
+                              and (a.get("stream_eff") or 0) >= 0.9)
+                f.write(
+                    f"**Secondary evidence line — config {c}** "
+                    f"({c.rstrip('p').rstrip('c')}-core executors"
+                    + (", symmetric-pinned" if c.endswith("p") else "")
+                    + f"): {len(grp)} attempts, AB-clean median "
+                    f"{_med(g_ab)} over {len(g_ab)} clean "
+                    f"(all eff / host A / stream B: "
+                    + str([(a['eff'], a['host_eff'], a.get('stream_eff'))
+                           for a in grp])
+                    + "). With 2-core executors the 4-executor leg runs "
+                    "8 streaming cores total — BELOW the single-host "
+                    "bandwidth wall that the fair-fit config's 16-32 "
+                    "streaming threads hit — so this line isolates "
+                    "Spark-software scaling from the host ceiling; a "
+                    "real cluster's 4N executors bring 4N memory "
+                    "controllers and live on this side of the wall.\n\n"
                 )
         f.write(
             "A 1000-executor cluster is many independent JVMs, not one "
