@@ -1116,6 +1116,64 @@ def q_crawl_diff(spark, sf_dir):
     return snapshot_diff(docs.select("doc_id", "text"), new)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (hashed unigram+bigram features, 4096
+    md5 buckets): target distribution = the 'curated' sources
+    src1/src2/src3, raw = the whole corpus; per-bucket Laplace ratio
+    and per-doc mean ratio all in exact integer ppm. The oracle
+    rebuilds grams, buckets, both distributions and every weight in
+    SQL."""
+    from logparser_spark.operators.corpus import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(
+        docs, "source IN ('src1','src2','src3')", n_buckets=4096
+    )
+
+
+def q_url_revisions_latest(spark, sf_dir):
+    """Multi-snapshot revision dedup (the Common-Crawl recrawl
+    primitive): each doc appears as 1 + doc_id%3 captures of one URL
+    with daily-spaced warc_ts, even docs rewrite their text in the
+    final capture — keep exactly the latest revision per URL via ONE
+    map-side-combined max(struct) shuffle, carrying the winning text.
+    The oracle rebuilds the revision stream and picks winners with a
+    window over (ts DESC, digest DESC)."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.diffsnap import keep_latest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    revs = docs.select(
+        "doc_id", "text",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("rev"),
+    ).select(
+        F.concat(
+            F.lit("http://site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".com/page/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00' + "
+            "make_dt_interval(rev, CAST(doc_id % 97 AS INT), 0, 0)"
+        ).alias("warc_ts"),
+        F.when(
+            (F.col("rev") == F.col("doc_id") % 3)
+            & (F.col("doc_id") % 2 == 0),
+            F.concat(F.col("text"), F.lit(" v2")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    latest = keep_latest(revs, "url", "warc_ts",
+                         cols=("text",), carry=("text",))
+    return latest.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss")
+        .alias("latest_ts"),
+        "digest", "n_revisions", "text",
+    )
+
+
 def q_campaign_range_join(spark, sf_dir):
     """Range (interval) join via grid decomposition: ten overlapping
     3-hour campaign windows anchored at the hour-truncated corpus min
@@ -1296,6 +1354,44 @@ def q_sniff_mime(spark, sf_dir):
     return sniff_mime(
         docs.select("doc_id", data.alias("data")), binary_col="data"
     ).select("doc_id", "mime")
+
+
+def q_detect_charset(spark, sf_dir):
+    """Charset sniffing over nine synthesized payload families: five
+    BOMs (UTF-32 before UTF-16 — FF FE 00 00 must not read as
+    UTF-16LE), a mixed-case http-equiv meta, an unquoted <meta
+    charset=...>, pure-ASCII, and a high-byte no-declaration payload
+    (WHATWG windows-1252 fallback). Bytes are exact via unhex; the
+    oracle states the expected (charset, method) per family
+    arithmetically — intent, not implementation."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.multimodal import detect_charset
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    meta1 = ('<HTML><head><META HTTP-EQUIV="Content-Type" '
+             'CONTENT="text/html; CHARSET=ISO-8859-2"></head>')
+    meta2 = "<!doctype html><meta charset=utf-8><p>hi"
+    hexes = [
+        "efbbbf" + b"hello".hex(),          # 0: utf-8 BOM
+        "fffe" + "6100",                    # 1: utf-16le BOM + 'a'
+        "feff" + "0061",                    # 2: utf-16be BOM
+        "fffe0000" + "61000000",            # 3: utf-32le BOM
+        "0000feff" + "00000061",            # 4: utf-32be BOM
+        meta1.encode().hex(),               # 5: http-equiv meta
+        meta2.encode().hex(),               # 6: unquoted meta charset
+        b"plain ascii page".hex(),          # 7: ascii heuristic
+        b"caf".hex() + "e9" + b" page".hex(),  # 8: latin-1 high byte
+    ]
+    hx = F.lit(hexes[0])
+    for j, s in enumerate(hexes[1:], start=1):
+        hx = F.when(i % 9 == j, F.lit(s)).otherwise(hx)
+    out = detect_charset(
+        docs.select("doc_id", F.unhex(hx).alias("data")),
+        binary_col="data",
+    )
+    return out.select("doc_id", "charset", "charset_method")
 
 
 def q_http_headers(spark, sf_dir):
@@ -1636,6 +1732,21 @@ def q_term_search(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     idx = invindex.build_inverted_index(docs)
     return invindex.term_search(idx, ["spark", "window"], k=10)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (OR semantics) over the inverted index,
+    integer-exact: idf is the exact ppm-scaled argument of the classic
+    log-idf (monotone, so per-term ranking is preserved), tf
+    normalization is k1=1.2/b=0.75 cleared of denominators into one
+    integer rational, and avgdl uses pinned truncating division. The
+    oracle rebuilds postings, document lengths, corpus stats and every
+    per-(doc,term) score from the raw text in SQL."""
+    from logparser_spark.operators import invindex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = invindex.build_inverted_index(docs)
+    return invindex.bm25_topk(idx, ["spark", "vector", "join"], k=15)
 
 
 def q_phrase_search(spark, sf_dir):
@@ -3215,6 +3326,19 @@ def _dataprep_sql() -> dict[str, str]:
         ELSE 'application/octet-stream' END AS mime
     FROM documents"""
 
+    sqls["detect_charset"] = """
+    SELECT doc_id,
+      CASE doc_id % 9
+        WHEN 0 THEN 'utf-8'    WHEN 1 THEN 'utf-16le'
+        WHEN 2 THEN 'utf-16be' WHEN 3 THEN 'utf-32le'
+        WHEN 4 THEN 'utf-32be' WHEN 5 THEN 'iso-8859-2'
+        WHEN 6 THEN 'utf-8'    WHEN 7 THEN 'ascii'
+        ELSE 'windows-1252' END AS charset,
+      CASE WHEN doc_id % 9 <= 4 THEN 'bom'
+           WHEN doc_id % 9 <= 6 THEN 'meta'
+           ELSE 'heuristic' END AS charset_method
+    FROM documents"""
+
     sqls["http_headers"] = """
     SELECT doc_id::VARCHAR AS record_id, 1::BIGINT AS seq,
            'content-type' AS name, 'text/html' AS value
@@ -3660,6 +3784,98 @@ def _dataprep_sql() -> dict[str, str]:
     SELECT row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rank,
       doc_id, score
     FROM hits ORDER BY rank LIMIT 10"""
+
+    sqls["dsir_weights"] = """
+    WITH d AS (
+      SELECT doc_id, source,
+        list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents),
+    uni AS (
+      SELECT doc_id, source, ws[i.i] AS gram
+      FROM d, unnest(generate_series(1, len(ws))) i(i)),
+    bi AS (
+      SELECT doc_id, source, ws[i.i] || ' ' || ws[i.i + 1] AS gram
+      FROM d, unnest(generate_series(1, len(ws) - 1)) i(i)),
+    g AS (
+      SELECT doc_id,
+        (source IN ('src1', 'src2', 'src3')) AS t,
+        CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 4096 AS b
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    raw AS (
+      SELECT b, count(*)::BIGINT AS r,
+        sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS tc
+      FROM g GROUP BY 1),
+    tot AS (
+      SELECT sum(r)::BIGINT AS rr, sum(tc)::BIGINT AS tt FROM raw),
+    ratio AS (
+      SELECT b,
+        (((tc + 1) * (tot.rr + 4096) * 1000000)
+         // ((r + 1) * (tot.tt + 4096)))::BIGINT AS ratio_ppm
+      FROM raw CROSS JOIN tot),
+    sc AS (
+      SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+        (sum(ratio_ppm) // count(*))::BIGINT AS weight_ppm
+      FROM g JOIN ratio USING (b) GROUP BY 1)
+    SELECT doc.doc_id,
+      coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+      coalesce(sc.weight_ppm, 0)::BIGINT AS weight_ppm
+    FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id"""
+
+    sqls["url_revisions_latest"] = """
+    WITH revs AS (
+      SELECT
+        'http://site' || (doc_id % 50) || '.com/page/' || doc_id AS url,
+        TIMESTAMP '2024-01-01 00:00:00'
+          + (r.rev * INTERVAL 1 DAY)
+          + ((doc_id % 97) * INTERVAL 1 HOUR) AS warc_ts,
+        CASE WHEN r.rev = doc_id % 3 AND doc_id % 2 = 0
+             THEN text || ' v2' ELSE text END AS text
+      FROM documents, unnest(generate_series(0, doc_id % 3)) r(rev)),
+    d AS (
+      SELECT url, warc_ts, text,
+        md5(text || chr(31)) AS digest,
+        count(*) OVER (PARTITION BY url) AS n_rev,
+        row_number() OVER (
+          PARTITION BY url
+          ORDER BY warc_ts DESC, md5(text || chr(31)) DESC) AS rn
+      FROM revs)
+    SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS latest_ts,
+      digest, n_rev::BIGINT AS n_revisions, text
+    FROM d WHERE rn = 1"""
+
+    sqls["bm25_topk"] = """
+    WITH d AS (
+      SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents),
+    w AS (
+      SELECT doc_id, ws[i.i] AS term
+      FROM d, unnest(generate_series(1, len(ws))) i(i)),
+    posts AS (
+      SELECT term, doc_id, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+    dl AS (
+      SELECT doc_id, sum(tf)::BIGINT AS dl FROM posts GROUP BY 1),
+    st AS (
+      SELECT count(DISTINCT doc_id)::BIGINT AS n,
+             (sum(tf)::BIGINT // count(DISTINCT doc_id)::BIGINT) AS avgdl
+      FROM posts),
+    dft AS (
+      SELECT term, count(*)::BIGINT AS df FROM posts
+      WHERE term IN ('spark', 'vector', 'join') GROUP BY 1),
+    sc AS (
+      SELECT p.doc_id,
+        sum(
+          ((((2 * st.n - 2 * dft.df + 1) * 1000000) // (2 * dft.df + 1))
+           * 44 * p.tf * st.avgdl)
+          // (20 * p.tf * st.avgdl + 6 * st.avgdl + 18 * dl.dl)
+        )::BIGINT AS score_ppm
+      FROM posts p
+      JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      GROUP BY 1)
+    SELECT row_number() OVER (ORDER BY score_ppm DESC, doc_id)::INT
+        AS rank,
+      doc_id, score_ppm
+    FROM sc ORDER BY rank LIMIT 15"""
 
     sqls["phrase_search"] = """
     WITH d AS (
@@ -5037,6 +5253,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "wet_records": q_wet_records,
         "term_search": q_term_search,
+        "bm25_topk": q_bm25_topk,
+        "url_revisions_latest": q_url_revisions_latest,
+        "dsir_weights": q_dsir_weights,
         "phrase_search": q_phrase_search,
         "host_pagerank": q_host_pagerank,
         "host_hits": q_host_hits,
@@ -5088,6 +5307,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "etld1": q_etld1,
         "sniff_mime": q_sniff_mime,
+        "detect_charset": q_detect_charset,
         "http_headers": q_http_headers,
         "route_raw_contains": q_route_raw_contains,
         "route_ew_rows": q_route_ew_rows,

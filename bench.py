@@ -1038,10 +1038,17 @@ def _render_executor_section(f, r: dict, attempt_log=None) -> None:
             # geometries (e.g. 2-core executors, whose 4-way leg keeps
             # total streaming cores BELOW the measured single-host
             # bandwidth wall) are disclosed separately below.
-            primary = [a for a in attempt_log
+            # Entries carrying a "tainted" reason (e.g. the builder ran
+            # concurrent Spark jobs during the invocation — load the
+            # bursty controls can miss) are excluded from every median
+            # but still printed below with their reason, so the
+            # exclusion is auditable rather than silent.
+            tainted = [a for a in attempt_log if a.get("tainted")]
+            live = [a for a in attempt_log if not a.get("tainted")]
+            primary = [a for a in live
                        if a.get("cfg", "4cp") == "4cp"]
             others: dict = {}
-            for a in attempt_log:
+            for a in live:
                 c = a.get("cfg", "4cp")
                 if c != "4cp":
                     others.setdefault(c, []).append(a)
@@ -1091,6 +1098,15 @@ def _render_executor_section(f, r: dict, attempt_log=None) -> None:
                     f"attempt effs {[a['eff'] for a in primary]}). "
                     f"The keep-best record below is from a prior round's "
                     f"clean window.\n\n"
+                )
+            if tainted:
+                f.write(
+                    "Excluded from all medians (tainted, disclosed): "
+                    + str([
+                        (a["eff"], a.get("cfg", "4cp"), a["tainted"])
+                        for a in tainted
+                    ])
+                    + "\n\n"
                 )
             for c, grp in sorted(others.items()):
                 g_ab = sorted(a["eff"] for a in grp

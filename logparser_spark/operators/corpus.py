@@ -799,6 +799,103 @@ def sample_weighted_systematic(docs, n_target: int,
     )
 
 
+def dsir_weights(docs, target_pred: str, n_buckets: int = 4096,
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """DSIR-style data selection weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"), made
+    integer-exact in the repo's ppm discipline.
+
+    Hashed n-gram features: every unigram and bigram of the
+    whitespace-split tokens hashes into one of ``n_buckets`` buckets
+    via the portable md5 ``hash64`` contract (collisions are the
+    method — DSIR's features are hashed by design). Two gram
+    distributions are estimated: the TARGET (docs satisfying
+    ``target_pred``, the high-quality exemplar slice) and the RAW
+    distribution (the whole corpus). Per bucket, the Laplace-smoothed
+    probability ratio in ppm — all integer:
+
+        ``ratio_ppm_b = ((t_b + 1) * (R + B) * 10^6)
+                        div ((r_b + 1) * (T + B))``
+
+    where ``t_b``/``r_b`` are bucket gram counts, ``T``/``R`` the
+    distribution totals and ``B = n_buckets``. A document's weight is
+    the mean ratio over its gram OCCURRENCES:
+    ``weight_ppm = sum(ratio_ppm) div n_grams`` — the additive,
+    log-free surrogate of DSIR's summed log-ratio (each per-gram term
+    is monotone in the true log term; dropping the log keeps every
+    intermediate an exact integer both engines reproduce bit-for-bit).
+    Resample by weight with ``sample_weighted_systematic``.
+
+    Output: ``(id_col, n_grams, weight_ppm)`` for EVERY input doc
+    (gram-less docs carry 0/0).
+
+    Scale shape: gram explode is map-only; the two count aggregations
+    shuffle (bucket, count) pairs — bounded by ``n_buckets`` after
+    map-side combine, not by corpus size; the bucket ratio table
+    (≤ ``n_buckets`` rows) broadcasts, so scoring is one map-side
+    join + one id-keyed agg. Overflow contract: the ratio numerator is
+    bounded by ``(T+1) * (R+B) * 10^6`` — fits BIGINT through corpora
+    of ~10^5 gram occurrences per aggregation scope; at web scale
+    shard the estimate (per-snapshot buckets merge by summing counts)
+    or move the one multiply to DECIMAL(38,0)."""
+    from pyspark.sql import functions as F
+
+    w = _words(text_col)
+    bigrams = F.expr(
+        "CASE WHEN size(__w) >= 2 THEN "
+        "transform(sequence(1, size(__w) - 1), "
+        "i -> array_join(slice(__w, i, 2), ' ')) "
+        "ELSE array() END"
+    )
+    grams = docs.select(
+        F.col(id_col), F.expr(f"({target_pred})").alias("__t"),
+        w.alias("__w"),
+    ).select(
+        id_col, "__t",
+        F.explode(F.concat(F.col("__w"), bigrams)).alias("gram"),
+    ).withColumn(
+        "__b",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long") % n_buckets,
+    )
+    raw = grams.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("r"),
+        F.sum(F.col("__t").cast("long")).cast("long").alias("t"),
+    )
+    tot = raw.agg(
+        F.sum("r").cast("long").alias("R"),
+        F.sum("t").cast("long").alias("T"),
+    ).collect()[0]
+    big_r, big_t = int(tot["R"] or 0), int(tot["T"] or 0)
+    ratio = raw.withColumn(
+        "ratio_ppm",
+        F.expr(
+            f"((t + 1L) * ({big_r}L + {n_buckets}L) * 1000000L) div "
+            f"((r + 1L) * ({big_t}L + {n_buckets}L))"
+        ),
+    ).select("__b", "ratio_ppm")
+    scored = (
+        grams.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("ratio_ppm").cast("long").alias("__s"),
+        )
+        .withColumn("weight_ppm", F.expr("__s div n_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long")
+            .alias("n_grams"),
+            F.coalesce("weight_ppm", F.lit(0)).cast("long")
+            .alias("weight_ppm"),
+        )
+    )
+
+
 def cdc_chunks(docs, k: int = 8, divisor: int = 16,
                text_col: str = "text", id_col: str = "doc_id"):
     """Content-defined chunking (the rsync/FastCDC boundary trick,

@@ -62,6 +62,50 @@ def snapshot_diff(old, new, id_col: str = "doc_id",
     )
 
 
+def keep_latest(df, key_col: str = "url", ts_col: str = "warc_ts",
+                cols: Sequence[str] = ("text",),
+                carry: Sequence[str] = ()):
+    """Revision dedup for multi-snapshot crawls: keep exactly ONE row
+    per ``key_col`` — the latest ``ts_col``, ties broken by the md5
+    digest of ``cols`` (byte-wise hex compare, identical in Spark and
+    DuckDB) so re-runs are deterministic even when two captures of a
+    URL share a timestamp.
+
+    Output: ``(key_col, ts_col, digest, n_revisions, *carry)`` where
+    ``carry`` columns come from the winning revision.
+
+    Scale shape: ONE key-hashed shuffle with full map-side combine —
+    the winner is ``max(struct(ts, digest, carry...))``, which partial-
+    aggregates per input partition before anything moves, so the
+    shuffle carries one candidate row per (partition, key), not the
+    revision history. ``carry`` payload rides inside that struct; for
+    very wide payloads at 10^12-row scale leave ``carry`` empty (the
+    shuffle is then ids + fixed-width digests only) and join winners
+    back to the revision store by (key, digest)."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for c in cols:
+        parts.append(
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+        )
+        parts.append(F.lit("\x1f"))
+    digest = F.md5(F.concat(*parts))
+    fields = [F.col(ts_col).alias("__ts"), digest.alias("__digest")]
+    fields += [F.col(c).alias(f"__c_{c}") for c in carry]
+    agg = df.groupBy(key_col).agg(
+        F.max(F.struct(*fields)).alias("__w"),
+        F.count(F.lit(1)).cast("long").alias("n_revisions"),
+    )
+    out = [
+        F.col(key_col),
+        F.col("__w.__ts").alias(ts_col),
+        F.col("__w.__digest").alias("digest"),
+        F.col("n_revisions"),
+    ] + [F.col(f"__w.__c_{c}").alias(c) for c in carry]
+    return agg.select(*out)
+
+
 def diff_summary(old, new, id_col: str = "doc_id",
                  cols: Sequence[str] = ("text",)):
     """Aggregate form: one row per status with its count."""

@@ -175,6 +175,84 @@ def proximity_search(index, first: str, second: str, slop: int = 3,
     )
 
 
+def bm25_topk(index, terms: list, k: int = 10, id_col: str = "doc_id"):
+    """Disjunctive (OR) BM25 ranked retrieval over the inverted index,
+    integer-exact end to end so a SQL oracle reproduces every score
+    bit-for-bit (the repo's ppm discipline: no floats, no logs, no
+    rounding contract to negotiate between engines).
+
+    BM25 with the standard k1=1.2, b=0.75 rewritten as one integer
+    rational per (doc, term):
+
+    - idf surrogate: ``idf_ppm = ((2N - 2df + 1) * 10^6) div (2df + 1)``
+      — the exact argument of the classic ``ln((N-df+0.5)/(df+0.5))``
+      in ppm. ln is monotone, so rankings by the argument and by the
+      log agree within a term; dropping the log keeps every score an
+      exact integer both engines compute identically.
+    - tf normalization with k1=6/5, b=3/4 cleared of denominators:
+      ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+        = (44*tf*avgdl) / (20*tf*avgdl + 6*avgdl + 18*dl)``.
+    - per-(doc,term) score: ``(idf_ppm * 44 * tf * avgdl)
+      div (20*tf*avgdl + 6*avgdl + 18*dl)``; per-doc score is the sum
+      over matched query terms. ``div`` is truncating integer division
+      (Spark ``div`` == DuckDB ``//`` for non-negative operands).
+
+    Corpus stats come from the index itself (zero-token docs carry no
+    postings and no mass): ``N = countDistinct(doc_id)``,
+    ``avgdl = sum(tf) div N`` (truncated — pinned cross-engine).
+
+    Scale shape: the query-term slice is |terms| posting lists; df per
+    term is an agg over that slice; dl is ONE full-index (doc) agg —
+    the same single shuffle the index build already pays — joined to
+    the slice on doc_id; the rank window sees ≤k rows after the
+    ordered limit. Overflow note: the numerator is bounded by
+    ``2e6 * N * 44 * tf * avgdl`` — fits BIGINT through N ≈ 10^9 docs
+    per index shard; beyond that drop the ppm scale to 10^3 or move
+    the product to DECIMAL(38,0).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    terms = list(dict.fromkeys(terms))
+    stats = index.agg(
+        F.countDistinct(id_col).alias("n"),
+        F.sum("tf").cast("long").alias("toks"),
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    avgdl = int(stats["toks"]) // max(n_docs, 1)
+
+    slice_ = index.where(F.col("term").isin(list(terms)))
+    df_t = slice_.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    dl = index.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    idf_ppm = F.expr(
+        f"((2 * {n_docs}L - 2 * df + 1) * 1000000L) div (2 * df + 1)"
+    )
+    scored = (
+        slice_
+        .join(F.broadcast(df_t.withColumn("idf_ppm", idf_ppm)), "term")
+        .join(dl, id_col)
+        .withColumn(
+            "__s",
+            F.expr(
+                f"(idf_ppm * 44L * tf * {avgdl}L) div "
+                f"(20L * tf * {avgdl}L + 6L * {avgdl}L + 18L * dl)"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__s").cast("long").alias("score_ppm"))
+        .orderBy(F.col("score_ppm").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score_ppm").desc(), F.col(id_col))
+    return scored.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        id_col,
+        "score_ppm",
+    )
+
+
 def read_postings_pruned(spark, path: str, terms: list,
                          n_buckets: int = 64):
     """Read only the bucket directories the query terms can live in —

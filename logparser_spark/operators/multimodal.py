@@ -1426,6 +1426,67 @@ _MAGIC_MIME = [
 ]
 
 
+def detect_charset(df, binary_col: str = "data",
+                   out_col: str = "charset"):
+    """Charset sniffing for crawled payloads — the decode-before-trust
+    step every text pipeline needs (HTTP headers lie, and ~half the
+    web's declared charsets disagree with the bytes). WHATWG-style
+    precedence, simplified and fully deterministic:
+
+    1. **BOM** (authoritative): UTF-32 LE/BE checked before UTF-16
+       LE/BE (FF FE 00 00 starts with FF FE), then UTF-8's EF BB BF.
+    2. **meta declaration**: the first ``charset=`` token inside a
+       ``<meta ...>`` tag, matched case-insensitively over a latin-1
+       view of the bytes (latin-1 is a total byte→char map, so the
+       scan never throws on arbitrary binary), lowercased.
+    3. **heuristic**: all bytes < 0x80 → ``ascii``; otherwise the
+       WHATWG fallback ``windows-1252``. The all-ASCII test is a
+       regexp over ``hex(bytes)`` — first nibble 0-7 for every pair —
+       which keeps the check inside codegen for any blob.
+
+    Output adds ``out_col`` and ``<out_col>_method`` in
+    ('bom','meta','heuristic'); NULL input stays NULL. Map-only, no
+    UDF, no shuffle — safe directly after the WARC scan at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    b = F.col(binary_col)
+
+    def pre(nbytes, raw):
+        return F.substring(b, 1, nbytes) == F.lit(
+            bytearray(raw)).cast("binary")
+
+    bom = (
+        F.when(pre(4, b"\xff\xfe\x00\x00"), F.lit("utf-32le"))
+        .when(pre(4, b"\x00\x00\xfe\xff"), F.lit("utf-32be"))
+        .when(pre(2, b"\xff\xfe"), F.lit("utf-16le"))
+        .when(pre(2, b"\xfe\xff"), F.lit("utf-16be"))
+        .when(pre(3, b"\xef\xbb\xbf"), F.lit("utf-8"))
+    )
+    txt = F.lower(F.decode(b, "ISO-8859-1"))
+    meta = F.regexp_extract(
+        txt, r"<meta[^>]*charset\s*=\s*[\"']?([a-z0-9_:\-]+)", 1
+    )
+    ascii_only = F.hex(b).rlike("^(?:[0-7][0-9A-F])*$")
+    charset = (
+        F.when(bom.isNotNull(), bom)
+        .when(meta != "", meta)
+        .when(ascii_only, F.lit("ascii"))
+        .otherwise(F.lit("windows-1252"))
+    )
+    method = (
+        F.when(bom.isNotNull(), F.lit("bom"))
+        .when(meta != "", F.lit("meta"))
+        .otherwise(F.lit("heuristic"))
+    )
+    null = F.lit(None).cast("string")
+    return df.withColumn(
+        out_col, F.when(b.isNull(), null).otherwise(charset)
+    ).withColumn(
+        f"{out_col}_method", F.when(b.isNull(), null).otherwise(method)
+    )
+
+
 def sniff_mime(df, binary_col: str = "data", out_col: str = "mime"):
     """Content sniffing by magic bytes — the trust-the-bytes MIME
     detector a crawl pipeline runs BEFORE believing any Content-Type

@@ -1,0 +1,230 @@
+"""Round-4c operator batch: integer-exact BM25 ranked retrieval,
+multi-snapshot keep-latest revision dedup, and WHATWG-style charset
+sniffing.
+
+Each test pins the operator against an independent pure-Python
+recomputation of the documented rule on a hand-built corpus — the same
+differential style as the parse-kernel tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+
+# ── BM25 ─────────────────────────────────────────────────────────────
+
+
+def _bm25_py(docs: dict, terms: list, k: int):
+    """Independent recompute of the documented integer BM25 rule."""
+    posts: dict = {}
+    dl: dict = {}
+    for d, text in docs.items():
+        ws = [w for w in text.split(" ") if w]
+        dl[d] = len(ws)
+        for w in ws:
+            posts[(w, d)] = posts.get((w, d), 0) + 1
+    ids = {d for d, n in dl.items() if n > 0}
+    n_docs = len(ids)
+    avgdl = sum(dl.values()) // n_docs
+    df = {}
+    for (w, d) in posts:
+        if w in terms:
+            df[w] = df.get(w, 0) + 1
+    scores: dict = {}
+    for (w, d), tf in posts.items():
+        if w not in df:
+            continue
+        idf_ppm = ((2 * n_docs - 2 * df[w] + 1) * 1_000_000) // (
+            2 * df[w] + 1)
+        s = (idf_ppm * 44 * tf * avgdl) // (
+            20 * tf * avgdl + 6 * avgdl + 18 * dl[d])
+        scores[d] = scores.get(d, 0) + s
+    ranked = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:k]
+    return [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+
+
+def test_bm25_matches_python_recompute(spark):
+    from logparser_spark.operators import invindex
+
+    docs = {
+        1: "spark join spark spark filter",
+        2: "spark join",                          # shorter, lower tf
+        3: "join join join scan scan scan scan",  # tf-heavy on one term
+        4: "scan filter merge window",            # no query term
+        5: "spark " + "pad " * 40,                # long doc, tf 1
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), ["doc_id", "text"]
+    )
+    idx = invindex.build_inverted_index(df)
+    got = [(r.rank, r.doc_id, r.score_ppm)
+           for r in invindex.bm25_topk(idx, ["spark", "join"], k=4)
+           .collect()]
+    assert got == _bm25_py(docs, ["spark", "join"], 4)
+    # doc 4 (no query term) must not appear
+    assert 4 not in [d for _, d, _ in got]
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, longer document → strictly lower score (the b term)."""
+    from logparser_spark.operators import invindex
+
+    docs = {
+        1: "target aaa bbb",
+        2: "target " + "pad " * 30,
+    }
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    idx = invindex.build_inverted_index(df)
+    rows = {r.doc_id: r.score_ppm
+            for r in invindex.bm25_topk(idx, ["target"], k=5).collect()}
+    assert rows[1] > rows[2]
+
+
+def test_bm25_dedupes_query_terms(spark):
+    from logparser_spark.operators import invindex
+
+    df = spark.createDataFrame(
+        [(1, "spark scan"), (2, "scan scan")], ["doc_id", "text"]
+    )
+    idx = invindex.build_inverted_index(df)
+    a = invindex.bm25_topk(idx, ["spark", "spark"], k=5).collect()
+    b = invindex.bm25_topk(idx, ["spark"], k=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ── keep-latest revision dedup ───────────────────────────────────────
+
+
+def _digest(text: str) -> str:
+    return hashlib.md5((text + "\x1f").encode()).hexdigest()
+
+
+def test_keep_latest_picks_max_ts(spark):
+    import datetime
+
+    from logparser_spark.operators.diffsnap import keep_latest
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0, "v1"),
+        ("u1", t0 + datetime.timedelta(days=1), "v2"),
+        ("u1", t0 + datetime.timedelta(days=2), "v3"),
+        ("u2", t0, "only"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                                     "text string")
+    got = {r.url: r for r in
+           keep_latest(df, "url", "warc_ts", cols=("text",),
+                       carry=("text",)).collect()}
+    assert got["u1"].text == "v3"
+    assert got["u1"].n_revisions == 3
+    assert got["u1"].digest == _digest("v3")
+    assert got["u2"].text == "only" and got["u2"].n_revisions == 1
+
+
+def test_keep_latest_ts_tie_breaks_by_digest(spark):
+    import datetime
+
+    from logparser_spark.operators.diffsnap import keep_latest
+
+    t0 = datetime.datetime(2024, 1, 1)
+    texts = ["alpha", "bravo", "carol"]
+    df = spark.createDataFrame(
+        [("u", t0, t) for t in texts],
+        "url string, warc_ts timestamp, text string",
+    )
+    got = keep_latest(df, "url", "warc_ts", cols=("text",),
+                      carry=("text",)).collect()[0]
+    want = max(texts, key=_digest)
+    assert got.text == want and got.digest == _digest(want)
+
+
+# ── DSIR importance weights ──────────────────────────────────────────
+
+
+def _dsir_py(docs: dict, target_ids: set, n_buckets: int):
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15],
+                   16) % n_buckets
+
+    grams = []  # (doc, bucket, is_target)
+    for d, text in docs.items():
+        ws = [w for w in text.split(" ") if w]
+        gs = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        grams += [(d, bucket(g), d in target_ids) for g in gs]
+    r: dict = {}
+    t: dict = {}
+    for _, b, is_t in grams:
+        r[b] = r.get(b, 0) + 1
+        if is_t:
+            t[b] = t.get(b, 0) + 1
+    big_r, big_t = len(grams), sum(t.values())
+    ratio = {
+        b: ((t.get(b, 0) + 1) * (big_r + n_buckets) * 1_000_000)
+        // ((r[b] + 1) * (big_t + n_buckets))
+        for b in r
+    }
+    out = {}
+    for d in docs:
+        mine = [ratio[b] for dd, b, _ in grams if dd == d]
+        out[d] = (len(mine),
+                  sum(mine) // len(mine) if mine else 0)
+    return out
+
+
+def test_dsir_matches_python_recompute(spark):
+    from logparser_spark.operators.corpus import dsir_weights
+
+    docs = {
+        1: "clean prose with varied words here",
+        2: "clean prose again with other words",
+        3: "spam spam spam spam buy now",
+        4: "buy now spam offer buy now",
+        5: "",  # gram-less doc must survive with zeros
+    }
+    df = spark.createDataFrame(
+        [(d, txt, "wiki" if d <= 2 else "cc")
+         for d, txt in docs.items()],
+        ["doc_id", "text", "source"],
+    )
+    got = {r.doc_id: (r.n_grams, r.weight_ppm)
+           for r in dsir_weights(df, "source = 'wiki'",
+                                 n_buckets=64).collect()}
+    want = _dsir_py(docs, {1, 2}, 64)
+    assert got == want
+    # targets must outweigh the spam slice
+    assert got[1][1] > got[3][1] and got[2][1] > got[4][1]
+    assert got[5] == (0, 0)
+
+
+# ── charset sniffing ─────────────────────────────────────────────────
+
+
+def test_detect_charset_families(spark):
+    from logparser_spark.operators.multimodal import detect_charset
+
+    cases = [
+        (0, b"\xef\xbb\xbfhello", "utf-8", "bom"),
+        (1, b"\xff\xfea\x00", "utf-16le", "bom"),
+        (2, b"\xfe\xff\x00a", "utf-16be", "bom"),
+        (3, b"\xff\xfe\x00\x00a\x00\x00\x00", "utf-32le", "bom"),
+        (4, b"\x00\x00\xfe\xff\x00\x00\x00a", "utf-32be", "bom"),
+        (5, b'<META CONTENT="text/html; CHARSET=ISO-8859-2">',
+         "iso-8859-2", "meta"),
+        (6, b"<meta charset=utf-8><p>hi", "utf-8", "meta"),
+        (7, b"plain ascii", "ascii", "heuristic"),
+        (8, b"caf\xe9 page", "windows-1252", "heuristic"),
+        # BOM wins over a contradicting meta declaration
+        (9, b"\xef\xbb\xbf<meta charset=koi8-r>", "utf-8", "bom"),
+        (10, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b) if b is not None else None)
+         for i, b, _, _ in cases],
+        "doc_id int, data binary",
+    )
+    got = {r.doc_id: (r.charset, r.charset_method)
+           for r in detect_charset(df).collect()}
+    for i, _, cs, m in cases:
+        assert got[i] == (cs, m), (i, got[i], cs, m)
