@@ -462,6 +462,19 @@ def q_near_dup_clusters(spark, sf_dir):
     return dedup.near_dup_clusters(docs, pairs)
 
 
+def q_cluster_representatives(spark, sf_dir):
+    """Quality-argmax representative per near-dup cluster (keep the
+    longest member, ties to the smallest id): LSH pairs → connected
+    components → one map-side-combined max(struct) per cluster. The
+    oracle extends the recursive-CTE clustering with a rank window."""
+    from logparser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    clusters = dedup.near_dup_clusters(docs, pairs)
+    return dedup.cluster_representatives(clusters, docs)
+
+
 def q_simhash(spark, sf_dir):
     from logparser_spark.operators import dedup
 
@@ -511,6 +524,27 @@ def q_cosine_topk_ann(spark, sf_dir):
 
     emb, q = _query_vec(spark, sf_dir)
     return similarity.cosine_topk_ann(emb, q, k=10)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining: for query vectors 0/1/2 (with their
+    labels), the top-5 most-similar vectors of a DIFFERENT label —
+    literal-struct fan-out (no BNLJ), one rank-window shuffle. The
+    oracle restates the label-filtered cosine ranking per query."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = (
+        emb.where(F.col("vec_id").isin([0, 1, 2]))
+        .orderBy("vec_id").collect()
+    )
+    queries = [
+        (r["vec_id"], list(r["embedding"]), int(r["label"]))
+        for r in qrows
+    ]
+    return similarity.hard_negatives(emb, queries, k=5)
 
 
 def q_language_id(spark, sf_dir):
@@ -2455,6 +2489,32 @@ def _dataprep_sql() -> dict[str, str]:
     SELECT node AS doc_id, MIN(lbl)::BIGINT AS cluster_id
     FROM reach GROUP BY 1"""
 
+    sqls["cluster_representatives"] = f"""WITH RECURSIVE {shingle_cte},
+    {sig_cte},
+    {bands_cte},
+    {pairs_cte},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+    cl AS (
+      SELECT node AS doc_id, MIN(lbl)::BIGINT AS cluster_id
+      FROM reach GROUP BY 1),
+    m AS (
+      SELECT cl.cluster_id, d.doc_id, d.n_chars,
+        row_number() OVER (
+          PARTITION BY cl.cluster_id
+          ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+        count(*) OVER (PARTITION BY cl.cluster_id) AS nm
+      FROM cl JOIN documents d USING (doc_id))
+    SELECT cluster_id, doc_id::BIGINT AS rep_id,
+      n_chars AS rep_score, nm::BIGINT AS n_members
+    FROM m WHERE rn = 1"""
+
     sqls["exact_dedup"] = """
     SELECT (('0x' || substr(md5(text), 1, 16))::UBIGINT::HUGEINT
             - 9223372036854775808)::BIGINT AS md5_hi,
@@ -2568,6 +2628,27 @@ def _dataprep_sql() -> dict[str, str]:
       FROM embeddings e CROSS JOIN q)
     SELECT vec_id, cos_sim FROM sims
     ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+    sqls["hard_negatives"] = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+      FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    sims AS (
+      SELECT q.query_id, e.vec_id,
+        ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+          / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.ql),
+    r AS (
+      SELECT query_id, vec_id, cos_sim,
+        row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM sims)
+    SELECT query_id, rank::INT AS rank, vec_id, cos_sim
+    FROM r WHERE rank <= 5"""
 
     bucket_expr = " + ".join(
         f"CASE WHEN v[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
@@ -5193,9 +5274,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
+        "cluster_representatives": q_cluster_representatives,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
+        "hard_negatives": q_hard_negatives,
         "cosine_topk_ann": q_cosine_topk_ann,
         "embedding_kmeans": q_embedding_kmeans,
         "kmeans_ann_topk": q_kmeans_ann_topk,

@@ -355,6 +355,41 @@ def near_dup_clusters(docs, pairs, id_col: str = "doc_id",
                          F.col("lbl").alias("cluster_id"))
 
 
+def cluster_representatives(clusters, docs, score_col: str = "n_chars",
+                            id_col: str = "doc_id"):
+    """Pick the row a near-dup cluster KEEPS — the quality-argmax
+    policy (keep the longest/highest-scoring member) rather than
+    ``near_dup_clusters``'s positional canonical (min doc id). The
+    winner is max ``score_col``, ties to the SMALLEST id so re-runs
+    are deterministic.
+
+    Output: ``(cluster_id, rep_id, rep_score, n_members)``.
+
+    Scale shape: one id-keyed join to fetch scores (both sides narrow:
+    (id, cluster) × (id, score)), then ONE cluster-keyed shuffle whose
+    winner is ``max(struct(score, -id))`` — partial-aggregated
+    map-side, so the shuffle carries one candidate per (partition,
+    cluster), never the membership list."""
+    from pyspark.sql import functions as F
+
+    j = clusters.join(docs.select(id_col, score_col), id_col)
+    agg = j.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("__s"),
+                (-F.col(id_col)).alias("__nid"),
+            )
+        ).alias("__w"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    return agg.select(
+        "cluster_id",
+        (-F.col("__w.__nid")).cast("long").alias("rep_id"),
+        F.col("__w.__s").alias("rep_score"),
+        "n_members",
+    )
+
+
 # ── shingling + minhash + LSH ─────────────────────────────────────────
 
 

@@ -55,6 +55,59 @@ def cosine_topk(df, query_vec, k: int = 10, id_col: str = "vec_id",
     return out.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
+def hard_negatives(df, queries: list, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label"):
+    """Hard-negative mining for contrastive training: for each query
+    (id, vector, label), the top-``k`` most-cosine-similar corpus
+    vectors whose label DIFFERS — the negatives that sit closest to
+    the decision boundary and teach an embedding model the most.
+
+    ``queries`` is a driver-side list of ``(query_id, vector, label)``
+    triples rendered as LITERAL structs (the same zero-shuffle trick as
+    ``embedding_kmeans``'s centroid assign): the fan-out is a map-only
+    explode of a Q-element literal array — no join, no
+    BroadcastNestedLoop, no cartesian — followed by ONE shuffle for
+    the per-query rank window over fixed-width (query_id, vec_id,
+    cos_sim) rows. At 10^9+ vectors put :func:`sign_bucket` in front
+    so each query ranks its candidate buckets, not the corpus; Q is
+    assumed small (it's a training-batch slice, not a table).
+
+    Output: ``(query_id, rank, vec_id, cos_sim)``; self-matches are
+    excluded by the label rule (same label ⇒ never a negative).
+    Rounding/tie contract identical to :func:`cosine_topk`."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    qarr = F.array(*[
+        F.struct(
+            F.lit(int(qid)).cast("long").alias("qid"),
+            F.array(*[F.lit(float(x)) for x in vec]).alias("qv"),
+            F.lit(ql).alias("ql"),
+        )
+        for qid, vec, ql in queries
+    ])
+    ex = df.select(
+        id_col, vec_col, label_col, F.explode(qarr).alias("q")
+    ).where(F.col(label_col) != F.col("q.ql"))
+    sim = _dot(F.col(vec_col), F.col("q.qv")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("q.qv"))
+    )
+    scored = ex.select(
+        F.col("q.qid").alias("query_id"),
+        F.col(id_col),
+        F.round(sim, 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cos_sim")
+    )
+
+
 def sign_bucket(vec_col, bits: int = SIGN_BITS):
     """Bucket id from the sign bits of the first ``bits`` dims: the
     coarse quantizer. Pure Catalyst."""

@@ -140,6 +140,84 @@ def test_keep_latest_ts_tie_breaks_by_digest(spark):
     assert got.text == want and got.digest == _digest(want)
 
 
+# ── hard-negative mining ─────────────────────────────────────────────
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    import math
+
+    from logparser_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),       # query
+        (1, [0.99, 0.14], 0),     # closest but SAME label → excluded
+        (2, [0.9, 0.44], 1),      # closest other-label
+        (3, [0.0, 1.0], 1),       # orthogonal
+        (4, [-1.0, 0.0], 2),      # opposite
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = [(r.rank, r.vec_id, r.cos_sim)
+           for r in hard_negatives(df, [(0, [1.0, 0.0], 0)], k=3)
+           .collect()]
+    assert [v for _, v, _ in got] == [2, 3, 4]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    assert got[0][2] == cos([0.9, 0.44], [1.0, 0.0])
+
+
+def test_hard_negatives_multi_query_ranks(spark):
+    from logparser_spark.operators.similarity import hard_negatives
+
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1),
+                 float(i % 3 == 2)], i % 3) for i in range(9)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    qs = [(0, rows[0][1], 0), (1, rows[1][1], 1)]
+    out = hard_negatives(df, qs, k=4).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for qid, lst in by_q.items():
+        assert [r.rank for r in lst] == [1, 2, 3, 4]
+        # all negatives carry a different label than the query
+        labels = {rows[r.vec_id][2] for r in lst}
+        assert qs[qid][2] not in labels
+
+
+# ── cluster representatives ──────────────────────────────────────────
+
+
+def test_cluster_representatives_argmax_and_ties(spark):
+    from logparser_spark.operators.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7), (5, 7), (6, 5)],
+        "doc_id long, n_chars long",
+    )
+    got = {r.cluster_id: r for r in
+           cluster_representatives(clusters, docs).collect()}
+    # cluster 1: docs 2 and 3 tie on score 30 → smallest id wins
+    assert got[1].rep_id == 2 and got[1].rep_score == 30
+    assert got[1].n_members == 3
+    # cluster 4: tie at 7 → doc 4
+    assert got[4].rep_id == 4 and got[4].n_members == 2
+    # singleton
+    assert got[6].rep_id == 6 and got[6].n_members == 1
+
+
 # ── DSIR importance weights ──────────────────────────────────────────
 
 
