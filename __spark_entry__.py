@@ -475,6 +475,32 @@ def q_cluster_representatives(spark, sf_dir):
     return dedup.cluster_representatives(clusters, docs)
 
 
+def q_norm_exact_dedup(spark, sf_dir):
+    """Normalized (CCNet-fold) exact dedup: every doc plus three
+    re-styled copies (uppercased / trailing punctuation / accented
+    'a') must hash to ONE normalized digest with the original id
+    canonical. The oracle replays the fold chain and the digest
+    grouping in SQL."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    i, t = F.col("doc_id"), F.col("text")
+    variants = (
+        docs
+        .unionAll(docs.select((i + 1_000_000).alias("doc_id"),
+                              F.upper(t).alias("text")))
+        .unionAll(docs.select((i + 2_000_000).alias("doc_id"),
+                              F.concat(t, F.lit(" !!!")).alias("text")))
+        .unionAll(docs.select((i + 3_000_000).alias("doc_id"),
+                              F.translate(t, "a", "á").alias("text")))
+    )
+    return dedup.norm_exact_dedup(variants)
+
+
 def q_simhash(spark, sf_dir):
     from logparser_spark.operators import dedup
 
@@ -559,6 +585,17 @@ def q_quality_score(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return textstats.quality_score(docs)
+
+
+def q_domain_blocklist(spark, sf_dir):
+    """Domain-level quality filtering: per-source share of docs whose
+    composite quality score passes 75, blocked when a domain with ≥5
+    docs keeps under 60% — the RefinedWeb-style whole-host drop. The
+    oracle recomputes the per-doc score and both counters in SQL."""
+    from logparser_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.domain_quality_blocklist(docs)
 
 
 def q_token_stats(spark, sf_dir):
@@ -2524,6 +2561,31 @@ def _dataprep_sql() -> dict[str, str]:
            COUNT(*)::BIGINT AS n_copies
     FROM documents GROUP BY 1, 2"""
 
+    sqls["norm_exact_dedup"] = """
+    WITH allv AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, upper(text) FROM documents
+      UNION ALL SELECT doc_id + 2000000, text || ' !!!' FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, translate(text, 'a', 'á')
+      FROM documents),
+    n AS (
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          translate(lower(text),
+                    'áàâäéèêëíìîïóòôöúùûüçñ', 'aaaaeeeeiiiioooouuuucn'),
+          '[0-9]', '0', 'g'), '[^a-z0 ]', ' ', 'g'),
+          ' +', ' ', 'g')) AS nt
+      FROM allv)
+    SELECT
+      (('0x' || substr(md5(nt), 1, 16))::UBIGINT::HUGEINT
+       - 9223372036854775808)::BIGINT AS md5_hi,
+      (('0x' || substr(md5(nt), 17, 16))::UBIGINT::HUGEINT
+       - 9223372036854775808)::BIGINT AS md5_lo,
+      MIN(doc_id) AS canonical_id,
+      COUNT(*)::BIGINT AS n_copies
+    FROM n GROUP BY 1, 2"""
+
     sqls["incremental_dedup"] = """
     WITH k AS (
       SELECT doc_id,
@@ -2778,6 +2840,41 @@ def _dataprep_sql() -> dict[str, str]:
        + CASE WHEN alpha_ratio >= 0.70 THEN 25 ELSE 0 END)::BIGINT
         AS quality_score
     FROM m"""
+
+    sqls["domain_blocklist"] = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+        length(text)::BIGINT AS n_chars,
+        len(list_filter(str_split(text, ' '), x -> length(x) > 0))::BIGINT
+          AS n_words,
+        length(replace(text, ' ', '')) AS n_nonspace,
+        ({stop_parts}) AS stop_hits,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+      FROM documents),
+    m AS (
+      SELECT doc_id, source, n_chars,
+        CASE WHEN n_words > 0 THEN n_nonspace::DOUBLE / n_words
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words
+             ELSE 0.0 END AS stopword_ratio,
+        CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars
+             ELSE 0.0 END AS alpha_ratio
+      FROM base),
+    q AS (
+      SELECT source,
+        (CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 25 ELSE 0 END
+         + CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 25 ELSE 0 END
+         + CASE WHEN stopword_ratio >= 0.05 THEN 25 ELSE 0 END
+         + CASE WHEN alpha_ratio >= 0.70 THEN 25 ELSE 0 END) AS score
+      FROM m),
+    s AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN score >= 75 THEN 1 ELSE 0 END)::BIGINT AS n_ok
+      FROM q GROUP BY 1)
+    SELECT source, n_docs, n_ok,
+      ((1000000 * n_ok) // n_docs)::BIGINT AS ok_ppm,
+      (n_docs >= 5 AND ((1000000 * n_ok) // n_docs) < 600000) AS blocked
+    FROM s"""
 
     sqls["token_stats"] = f"""
     SELECT doc_id,
@@ -5275,6 +5372,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
         "cluster_representatives": q_cluster_representatives,
+        "norm_exact_dedup": q_norm_exact_dedup,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -5285,6 +5383,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
+        "domain_blocklist": q_domain_blocklist,
         "gopher_quality": q_gopher_quality,
         "token_stats": q_token_stats,
         "repetition_stats": q_repetition_stats,

@@ -106,6 +106,51 @@ def exact_dedup(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+#: Pinned accent-fold map for :func:`normalize_for_dedup` — a fixed
+#: latin-1 subset, deliberately NOT locale-aware so every engine folds
+#: identically (DuckDB ``translate`` uses the same code-point map).
+_ACCENT_FROM = "áàâäéèêëíìîïóòôöúùûüçñ"
+_ACCENT_TO = "aaaaeeeeiiiioooouuuucn"
+
+
+def normalize_for_dedup(col):
+    """CCNet-style text normalization ahead of exact dedup (Wenzek et
+    al. 2020 fold: case, accents, digits, punctuation — so trivially
+    re-styled copies hash identically): lowercase → fold accents
+    (pinned map) → every digit run char to '0' → every remaining
+    non-[a-z0 ] char to a space → collapse space runs → trim. Pure
+    codegen string expressions; deterministic and engine-portable."""
+    from pyspark.sql import functions as F
+
+    t = F.lower(col)
+    t = F.translate(t, _ACCENT_FROM, _ACCENT_TO)
+    t = F.regexp_replace(t, "[0-9]", "0")
+    t = F.regexp_replace(t, "[^a-z0 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def norm_exact_dedup(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup over the NORMALIZED text (:func:`normalize_for_dedup`)
+    — catches the re-styled near-copies (case/punctuation/accent/digit
+    edits) that byte-exact dedup misses while staying a pure
+    hash-groupBy: same 128-bit two-long digest key and scale shape as
+    :func:`exact_dedup`; the normalization itself is map-side codegen,
+    so nothing but fixed-width digests ever shuffles."""
+    from pyspark.sql import functions as F
+
+    norm = normalize_for_dedup(F.col(text_col))
+    hi, lo = md5_s64_pair(norm)
+    return (
+        df.select(F.col(id_col), hi.alias("md5_hi"), lo.alias("md5_lo"))
+        .groupBy("md5_hi", "md5_lo")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 def incremental_dedup(docs, seen_df, text_col: str = "text",
                       id_col: str = "doc_id"):
     """Incremental (batch-over-ledger) exact dedup — the crawl-ingest

@@ -460,6 +460,50 @@ def normalize_text(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def domain_quality_blocklist(df, source_col: str = "source",
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             min_score: int = 75, min_docs: int = 5,
+                             min_ok_ppm: int = 600_000):
+    """Domain-level quality filtering (the RefinedWeb/C4 move of
+    dropping whole hosts, not just pages): aggregate the per-document
+    :func:`quality_score` verdict per ``source_col`` and block any
+    domain with enough evidence (``n_docs >= min_docs``) whose share
+    of quality documents falls below ``min_ok_ppm``. Small domains are
+    never blocked — insufficient evidence is not a verdict.
+
+    Output: ``(source, n_docs, n_ok, ok_ppm, blocked)`` with
+    ``ok_ppm = 10^6 * n_ok div n_docs`` (pinned truncating division).
+
+    Scale shape: the per-doc score is one codegen projection over the
+    scan; one narrow id-keyed join attaches the domain, then ONE
+    domain-keyed agg (two counters, map-side combined). Domains are
+    bounded (~10^8 hosts at web scale), so the output is broadcastable
+    back as the actual blocklist join."""
+    from pyspark.sql import functions as F
+
+    q = quality_score(df, text_col, id_col).select(
+        id_col, "quality_score"
+    )
+    j = df.select(id_col, source_col).join(q, id_col)
+    agg = j.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            (F.col("quality_score") >= min_score).cast("long")
+        ).cast("long").alias("n_ok"),
+    )
+    return agg.select(
+        source_col,
+        "n_docs",
+        "n_ok",
+        F.expr("(1000000L * n_ok) div n_docs").alias("ok_ppm"),
+        (
+            (F.col("n_docs") >= min_docs)
+            & (F.expr("(1000000L * n_ok) div n_docs") < min_ok_ppm)
+        ).alias("blocked"),
+    )
+
+
 def filter_verdict(df, text_col: str = "text", id_col: str = "doc_id",
                    min_words: int = 5, max_words: int = 100_000,
                    min_quality: int = 75, max_dup_ppm: int = 400_000,

@@ -276,6 +276,77 @@ def test_dsir_matches_python_recompute(spark):
     assert got[5] == (0, 0)
 
 
+# ── normalized exact dedup ───────────────────────────────────────────
+
+
+def test_normalize_for_dedup_fold_chain(spark):
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.dedup import normalize_for_dedup
+
+    cases = [
+        ("Hello,   World!!", "hello world"),
+        # é folds, digits → 0, '-' and '№' → space, runs collapse
+        ("Café-au-lait № 42", "cafe au lait 00"),
+        # lower() runs before the fold, so uppercase accents fold too
+        ("Áb Çd", "ab cd"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], ["i", "t"]
+    )
+    got = {r.i: r.n for r in df.select(
+        "i", normalize_for_dedup(F.col("t")).alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_norm_exact_dedup_collapses_restyled_copies(spark):
+    from logparser_spark.operators.dedup import norm_exact_dedup
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "The CAT sat!!"),        # case + punct
+        (3, "the cát sat"),          # accent
+        (4, "a different doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.canonical_id: r.n_copies
+           for r in norm_exact_dedup(df).collect()}
+    assert got == {1: 3, 4: 1}
+
+
+# ── domain quality blocklist ─────────────────────────────────────────
+
+
+def test_domain_blocklist_evidence_and_threshold(spark):
+    from logparser_spark.operators.textstats import (
+        domain_quality_blocklist,
+        quality_score,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks away with a calm and steady pace into the field")
+    bad = "!!! ??? *** 123 456 789 000 ### $$$ %%%"
+    rows = []
+    # domain A: 6 good docs → kept
+    rows += [(i, good + f" variant {i}", "a.com") for i in range(6)]
+    # domain B: 6 bad docs → blocked
+    rows += [(10 + i, bad, "b.com") for i in range(6)]
+    # domain C: 2 bad docs → too small to block
+    rows += [(20 + i, bad, "c.com") for i in range(2)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # sanity: the synthetic texts land on the intended side of 75
+    scores = {r.doc_id: r.quality_score
+              for r in quality_score(df).collect()}
+    assert scores[0] >= 75 and scores[10] < 75
+    got = {r.source: r for r in domain_quality_blocklist(df).collect()}
+    assert not got["a.com"].blocked and got["a.com"].n_ok == 6
+    assert got["b.com"].blocked and got["b.com"].n_ok == 0
+    assert not got["c.com"].blocked          # insufficient evidence
+    assert got["b.com"].ok_ppm == 0
+    assert got["a.com"].ok_ppm == 1_000_000
+
+
 # ── charset sniffing ─────────────────────────────────────────────────
 
 
