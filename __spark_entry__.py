@@ -701,6 +701,35 @@ def q_robots_allowed(spark, sf_dir):
     )
 
 
+def q_crawl_delays(spark, sf_dir):
+    """Crawl-delay extraction over synthesized robots files: valid
+    lines (odd casing, inline comment, multiple sections taking the
+    conservative max), malformed values that must be ignored
+    (fractional, non-numeric), and a directive-free file taking the
+    default. The oracle predicts every delay by construction."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import weburl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    robots_src = docs.where(i < 24).select(
+        F.concat(F.lit("site"), s).alias("host"),
+        F.when(i % 4 == 0, F.concat(
+            F.lit("User-agent: *\nCRAWL-DELAY: "), (i % 7 + 2).cast("string"),
+            F.lit(" # be nice\nUser-agent: fastbot\ncrawl-delay: 1\n"),
+        ))
+        .when(i % 4 == 1, F.lit(
+            "User-agent: *\nCrawl-delay: 2.5\n"))   # fractional → ignored
+        .when(i % 4 == 2, F.lit(
+            "User-agent: *\nCrawl-delay: soon\n"))  # garbage → ignored
+        .otherwise(F.lit("User-agent: *\nDisallow: /tmp\n"))
+        .alias("robots_txt"),
+    )
+    return weburl.robots_crawl_delay(robots_src)
+
+
 def q_bigram_score(spark, sf_dir):
     """Conditional-bigram LM quality scoring (the rung above
     unigram_score): add-1-smoothed p(w2|w1) in integer ppm — model,
@@ -2974,6 +3003,12 @@ def _dataprep_sql() -> dict[str, str]:
             ELSE 40 * ((doc_id % 30) + 1) END)::BIGINT AS duration_ms,
       ((doc_id % 30) + 1)::BIGINT AS n_frames
     FROM documents"""
+
+    sqls["crawl_delays"] = """
+    SELECT 'site' || doc_id AS host,
+      (CASE WHEN doc_id % 4 = 0 THEN doc_id % 7 + 2
+            ELSE 1 END)::BIGINT AS crawl_delay_s
+    FROM documents WHERE doc_id < 24"""
 
     sqls["robots_allowed"] = """
     SELECT doc_id,
@@ -5406,6 +5441,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "cdx_lookup": q_cdx_lookup,
         "robots_allowed": q_robots_allowed,
+        "crawl_delays": q_crawl_delays,
         "unigram_score": q_unigram_score,
         "bigram_score": q_bigram_score,
         "fix_mojibake": q_fix_mojibake,

@@ -117,6 +117,47 @@ def parse_robots(robots, host_col: str = "host", txt_col: str = "robots_txt"):
     )
 
 
+def robots_crawl_delay(robots, host_col: str = "host",
+                       txt_col: str = "robots_txt",
+                       default_s: int = 1):
+    """``Crawl-delay:`` extraction from robots.txt — the de-facto
+    directive (not in RFC 9309, honored by Bing/Yandex and most
+    polite crawlers) that sets the per-host request spacing a frontier
+    scheduler must respect.
+
+    Pinned rule: case-insensitive key, inline ``#`` comments stripped,
+    value must be a plain non-negative integer (fractional or garbage
+    values are ignored — the conservative read of a malformed line).
+    Like :func:`parse_robots` this extractor is section-agnostic, so
+    when a file carries several valid lines (multiple User-agent
+    sections) the MAXIMUM wins — the conservative choice: never hit a
+    host faster than any section allows. Hosts with no valid directive
+    get ``default_s``.
+
+    Output: one row per input host, ``(host, crawl_delay_s)``. Pure
+    Catalyst (split → explode → regexp) plus one host-keyed min/max
+    agg over directive rows only — broadcastable next to the rule
+    table at any scale."""
+    from pyspark.sql import functions as F
+
+    line = F.explode(F.split(F.col(txt_col), "\r?\n")).alias("line")
+    val = F.regexp_extract(
+        "line", r"(?i)^\s*crawl-delay\s*:\s*([0-9]+)\s*(?:#.*)?$", 1
+    )
+    per_line = (
+        robots.select(F.col(host_col), line)
+        .select(host_col, val.alias("__v"))
+        .withColumn(
+            "__d",
+            F.when(F.col("__v") != "", F.col("__v").cast("long")),
+        )
+    )
+    return per_line.groupBy(host_col).agg(
+        F.coalesce(F.max("__d"), F.lit(int(default_s)).cast("long"))
+        .alias("crawl_delay_s")
+    )
+
+
 def robots_filter(pages, rules, host_col: str = "host",
                   path_col: str = "path"):
     """Longest-match robots evaluation (RFC 9309): for each page, among

@@ -276,6 +276,27 @@ def test_dsir_matches_python_recompute(spark):
     assert got[5] == (0, 0)
 
 
+# ── robots crawl-delay ───────────────────────────────────────────────
+
+
+def test_robots_crawl_delay_rules(spark):
+    from logparser_spark.operators.weburl import robots_crawl_delay
+
+    rows = [
+        # two sections: conservative max wins
+        ("a", "User-agent: *\nCrawl-delay: 5\n"
+              "User-agent: bot\nCRAWL-DELAY: 10 # slow\n"),
+        ("b", "Crawl-delay: 2.5\n"),          # fractional → ignored
+        ("c", "Crawl-delay: soon\n"),         # garbage → ignored
+        ("d", "User-agent: *\nDisallow: /\n"),  # no directive
+        ("e", "crawl-delay:0\n"),             # zero is a valid value
+    ]
+    df = spark.createDataFrame(rows, ["host", "robots_txt"])
+    got = {r.host: r.crawl_delay_s
+           for r in robots_crawl_delay(df).collect()}
+    assert got == {"a": 10, "b": 1, "c": 1, "d": 1, "e": 0}
+
+
 # ── normalized exact dedup ───────────────────────────────────────────
 
 
