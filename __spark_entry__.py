@@ -730,6 +730,38 @@ def q_crawl_delays(spark, sf_dir):
     return weburl.robots_crawl_delay(robots_src)
 
 
+def q_crawl_schedule(spark, sf_dir):
+    """End-to-end frontier schedule: politeness slots over 37 hosts
+    joined with Crawl-delay parsed from each host's synthesized
+    robots.txt (every third host declares one; the rest take the
+    default), yielding concrete per-URL dispatch offsets. The oracle
+    restates the plain-window ordering, the by-construction delays,
+    and the slot×delay arithmetic."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import weburl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://site"), (i % 37).cast("string"),
+            F.lit(".example.com/p/"), i.cast("string"),
+        ).alias("url")
+    )
+    robots_src = docs.where(i < 37).select(
+        F.concat(F.lit("site"), i.cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.when(i % 3 == 0, F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            (i % 5 + 2).cast("string"), F.lit("\n"),
+        )).otherwise(F.lit("User-agent: *\nDisallow: /tmp\n"))
+        .alias("robots_txt"),
+    )
+    delays = weburl.robots_crawl_delay(robots_src)
+    return weburl.crawl_schedule(urls, delays)
+
+
 def q_bigram_score(spark, sf_dir):
     """Conditional-bigram LM quality scoring (the rung above
     unigram_score): add-1-smoothed p(w2|w1) in integer ppm — model,
@@ -1214,6 +1246,18 @@ def q_crawl_diff(spark, sf_dir):
     )
     new = survivors.unionAll(added)
     return snapshot_diff(docs.select("doc_id", "text"), new)
+
+
+def q_span_corruption(spark, sf_dir):
+    """T5-style span corruption: deterministic phase-shifted mask
+    spans, sentinel-delimited (input, target) pair per doc built in
+    ONE per-row aggregate fold (map-only, no explode). The oracle
+    rebuilds the same pair with window functions + ordered
+    string_agg."""
+    from logparser_spark.operators.corpus import span_corruption
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return span_corruption(docs)
 
 
 def q_dsir_weights(spark, sf_dir):
@@ -3154,6 +3198,35 @@ def _dataprep_sql() -> dict[str, str]:
         AS position
     FROM s"""
 
+    sqls["crawl_schedule"] = """
+    WITH u AS (
+      SELECT 'https://site' || (doc_id % 37)::VARCHAR
+        || '.example.com/p/' || doc_id::VARCHAR AS url
+      FROM documents),
+    h AS (
+      SELECT url,
+        lower(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1)) AS host
+      FROM u),
+    s AS (
+      SELECT url, host,
+        (row_number() OVER (PARTITION BY host ORDER BY md5(url), url)
+          - 1)::BIGINT AS slot
+      FROM h),
+    p AS (
+      SELECT url, host, slot,
+        row_number() OVER (ORDER BY slot, md5(host), url)::BIGINT
+          AS position
+      FROM s),
+    d AS (
+      SELECT 'site' || doc_id::VARCHAR || '.example.com' AS host,
+        (CASE WHEN doc_id % 3 = 0 THEN doc_id % 5 + 2
+              ELSE 1 END)::BIGINT AS crawl_delay_s
+      FROM documents WHERE doc_id < 37)
+    SELECT p.url, p.host, p.slot, p.position, d.crawl_delay_s,
+      (p.slot * d.crawl_delay_s)::BIGINT AS dispatch_s
+    FROM p JOIN d USING (host)"""
+
     sqls["sample_fixed_n"] = """
     SELECT doc_id, text FROM documents
     ORDER BY md5('salt42|' || doc_id::VARCHAR), doc_id LIMIT 25"""
@@ -3997,6 +4070,46 @@ def _dataprep_sql() -> dict[str, str]:
     SELECT row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rank,
       doc_id, score
     FROM hits ORDER BY rank LIMIT 10"""
+
+    sqls["span_corruption"] = """
+    WITH d AS (
+      SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+      FROM documents),
+    t AS (
+      SELECT doc_id, i.i AS pos, ws[i.i] AS tok,
+        (((i.i - 1) + doc_id) % 7 < 2) AS flag
+      FROM d, unnest(generate_series(1, len(ws))) i(i)),
+    m AS (
+      SELECT doc_id, pos, tok, flag,
+        (flag AND NOT coalesce(
+          lag(flag) OVER (PARTITION BY doc_id ORDER BY pos), FALSE))
+          AS is_start
+      FROM t),
+    m2 AS (
+      SELECT *,
+        (sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) - 1) AS sidx
+      FROM m),
+    agg AS (
+      SELECT doc_id,
+        string_agg(
+          CASE WHEN NOT flag THEN tok
+               WHEN is_start THEN '<extra_id_' || sidx::VARCHAR || '>'
+          END, ' ' ORDER BY pos) AS input_text,
+        string_agg(
+          CASE WHEN is_start
+               THEN '<extra_id_' || sidx::VARCHAR || '> ' || tok
+               WHEN flag THEN tok
+          END, ' ' ORDER BY pos) AS target_text,
+        sum(CASE WHEN is_start THEN 1 ELSE 0 END)::BIGINT AS n_spans
+      FROM m2 GROUP BY 1)
+    SELECT doc.doc_id,
+      coalesce(a.input_text, '') AS input_text,
+      coalesce(a.target_text, '') AS target_text,
+      coalesce(a.n_spans, 0)::BIGINT AS n_spans
+    FROM documents doc LEFT JOIN agg a USING (doc_id)"""
 
     sqls["dsir_weights"] = """
     WITH d AS (
@@ -5442,6 +5555,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_lookup": q_cdx_lookup,
         "robots_allowed": q_robots_allowed,
         "crawl_delays": q_crawl_delays,
+        "crawl_schedule": q_crawl_schedule,
         "unigram_score": q_unigram_score,
         "bigram_score": q_bigram_score,
         "fix_mojibake": q_fix_mojibake,
@@ -5474,6 +5588,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "url_revisions_latest": q_url_revisions_latest,
         "dsir_weights": q_dsir_weights,
+        "span_corruption": q_span_corruption,
         "phrase_search": q_phrase_search,
         "host_pagerank": q_host_pagerank,
         "host_hits": q_host_hits,

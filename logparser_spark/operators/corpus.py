@@ -896,6 +896,77 @@ def dsir_weights(docs, target_pred: str, n_buckets: int = 4096,
     )
 
 
+def span_corruption(docs, mask_every: int = 7, mask_len: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """T5-style span-corruption pairs (Raffel et al. 2020 denoising
+    objective): mask deterministic token spans, emit the sentinel-
+    delimited (input, target) pair every seq2seq pretraining pipeline
+    materializes from raw text.
+
+    Pinned, seedless mask rule (deterministic ⇒ SQL-replayable and
+    re-run-stable): token position ``p`` (0-based) is masked iff
+    ``(p + doc_id) % mask_every < mask_len`` — spans are runs of
+    ``mask_len`` tokens, phase-shifted per document by the id.
+    Span ``k`` is written as ``<extra_id_k>`` in BOTH sequences:
+    the input keeps unmasked tokens and one sentinel per span; the
+    target lists each sentinel followed by the tokens it hides. All
+    pieces join with single spaces.
+
+    Output: ``(doc_id, input_text, target_text, n_spans)``; token-less
+    docs yield empty strings and 0 spans.
+
+    Scale shape: the whole construction is ONE per-row ``aggregate``
+    fold over the token sequence — map-only codegen, no explode, no
+    shuffle, no UDF; the token blow-up never leaves the row."""
+    from pyspark.sql import functions as F
+
+    init = F.struct(
+        F.lit(0).alias("k"),
+        F.lit(False).alias("prev"),
+        F.lit("").alias("inp"),
+        F.lit("").alias("tgt"),
+    )
+
+    def _join(acc_s, piece):
+        return F.when(acc_s == "", piece).otherwise(
+            F.concat(acc_s, F.lit(" "), piece)
+        )
+
+    def step(acc, p):
+        tok = F.element_at(F.col("__w"), p + 1)
+        flag = ((p + F.col(id_col)) % mask_every) < mask_len
+        sent = F.concat(F.lit("<extra_id_"),
+                        acc["k"].cast("string"), F.lit(">"))
+        start = flag & ~acc["prev"]
+        return F.struct(
+            F.when(start, acc["k"] + 1).otherwise(acc["k"]).alias("k"),
+            flag.alias("prev"),
+            F.when(~flag, _join(acc["inp"], tok))
+            .when(start, _join(acc["inp"], sent))
+            .otherwise(acc["inp"]).alias("inp"),
+            F.when(start,
+                   _join(acc["tgt"], F.concat(sent, F.lit(" "), tok)))
+            .when(flag, _join(acc["tgt"], tok))
+            .otherwise(acc["tgt"]).alias("tgt"),
+        )
+
+    # sequence(0, -1) would yield a DESCENDING [0, -1] for token-less
+    # docs (Spark's implicit step), so the empty case gets an empty
+    # array explicitly — aggregate over it returns `init` untouched.
+    seq = F.when(
+        F.size("__w") > 0, F.sequence(F.lit(0), F.size("__w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    folded = F.aggregate(seq, init, step)
+    return docs.select(
+        F.col(id_col), _words(text_col).alias("__w")
+    ).select(
+        id_col,
+        folded["inp"].alias("input_text"),
+        folded["tgt"].alias("target_text"),
+        folded["k"].cast("long").alias("n_spans"),
+    )
+
+
 def cdc_chunks(docs, k: int = 8, divisor: int = 16,
                text_col: str = "text", id_col: str = "doc_id"):
     """Content-defined chunking (the rsync/FastCDC boundary trick,

@@ -158,6 +158,40 @@ def robots_crawl_delay(robots, host_col: str = "host",
     )
 
 
+def crawl_schedule(df, delays, url_col: str = "url",
+                   host_col: str = "host", default_s: int = 1):
+    """The frontier scheduler's actual output: politeness-ordered
+    fetch slots (:func:`politeness_order`) joined with each host's
+    ``Crawl-delay`` (:func:`robots_crawl_delay`) into a concrete
+    dispatch offset — ``dispatch_s = slot * crawl_delay_s``, the
+    earliest second (relative to the host's first fetch) at which the
+    URL may be fetched without violating the host's declared spacing.
+    Hosts absent from ``delays`` get ``default_s``.
+
+    Output: ``(url, host, slot, position, crawl_delay_s, dispatch_s)``.
+
+    Scale shape: inherits politeness_order's two-level salted ranks
+    (no unbounded window partitions); the delay table is one row per
+    host — broadcastable up to ~10^8 hosts, a plain key join past
+    that. The scheduler downstream orders by (dispatch_s, position),
+    both already computed here."""
+    from pyspark.sql import functions as F
+
+    ordered = politeness_order(df, url_col)
+    j = ordered.join(
+        F.broadcast(delays.select(host_col, "crawl_delay_s")),
+        host_col, "left",
+    )
+    delay = F.coalesce(
+        F.col("crawl_delay_s"), F.lit(int(default_s)).cast("long")
+    )
+    return j.select(
+        "url", host_col, "slot", "position",
+        delay.alias("crawl_delay_s"),
+        (F.col("slot") * delay).cast("long").alias("dispatch_s"),
+    )
+
+
 def robots_filter(pages, rules, host_col: str = "host",
                   path_col: str = "path"):
     """Longest-match robots evaluation (RFC 9309): for each page, among

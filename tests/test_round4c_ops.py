@@ -276,6 +276,52 @@ def test_dsir_matches_python_recompute(spark):
     assert got[5] == (0, 0)
 
 
+# ── T5 span corruption ───────────────────────────────────────────────
+
+
+def _span_py(doc_id: int, text: str, every=7, klen=2):
+    ws = [w for w in text.split(" ") if w]
+    inp, tgt, k, prev = [], [], 0, False
+    for p, tok in enumerate(ws):
+        flag = (p + doc_id) % every < klen
+        if not flag:
+            inp.append(tok)
+        elif not prev:
+            inp.append(f"<extra_id_{k}>")
+            tgt += [f"<extra_id_{k}>", tok]
+            k += 1
+        else:
+            tgt.append(tok)
+        prev = flag
+    return " ".join(inp), " ".join(tgt), k
+
+
+def test_span_corruption_matches_python(spark):
+    from logparser_spark.operators.corpus import span_corruption
+
+    docs = {
+        0: "a b c d e f g h i j k l m n",   # spans at 0-1, 7-8, 14-15
+        3: "one two three four five six",   # phase-shifted by id
+        5: "x y",                           # may have no span at all
+        6: "solo",
+        9: "",                              # token-less
+    }
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = {r.doc_id: (r.input_text, r.target_text, r.n_spans)
+           for r in span_corruption(df).collect()}
+    for d, txt in docs.items():
+        assert got[d] == _span_py(d, txt), (d, got[d], _span_py(d, txt))
+    # structural invariants: masked+kept token counts add back up
+    for d, txt in docs.items():
+        ws = [w for w in txt.split(" ") if w]
+        inp, tgt, k = got[d]
+        kept = [t for t in inp.split(" ") if t and "extra_id" not in t]
+        masked = [t for t in tgt.split(" ")
+                  if t and "extra_id" not in t]
+        assert len(kept) + len(masked) == len(ws)
+        assert inp.count("extra_id") == k == tgt.count("extra_id")
+
+
 # ── robots crawl-delay ───────────────────────────────────────────────
 
 
@@ -295,6 +341,34 @@ def test_robots_crawl_delay_rules(spark):
     got = {r.host: r.crawl_delay_s
            for r in robots_crawl_delay(df).collect()}
     assert got == {"a": 10, "b": 1, "c": 1, "d": 1, "e": 0}
+
+
+def test_crawl_schedule_spacing_invariant(spark):
+    """dispatch_s respects each host's declared spacing: within a host,
+    consecutive slots are exactly crawl_delay_s apart; unknown hosts
+    take the default."""
+    from logparser_spark.operators.weburl import crawl_schedule
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 3}.com/p/{i}",) for i in range(12)],
+        ["url"],
+    )
+    delays = spark.createDataFrame(
+        [("h0.com", 5), ("h1.com", 2)],
+        "host string, crawl_delay_s long",
+    )
+    rows = crawl_schedule(urls, delays).collect()
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    for host, lst in by_host.items():
+        lst.sort(key=lambda r: r.slot)
+        want_delay = {"h0.com": 5, "h1.com": 2}.get(host, 1)
+        for r in lst:
+            assert r.crawl_delay_s == want_delay
+            assert r.dispatch_s == r.slot * want_delay
+    # positions are a permutation of 1..n
+    assert sorted(r.position for r in rows) == list(range(1, 13))
 
 
 # ── normalized exact dedup ───────────────────────────────────────────
