@@ -2445,3 +2445,70 @@ def test_dq_check_null_fails_closed(spark):
     assert got == {"text not null": (4, 1, False),
                    "v in range": (4, 2, False),
                    "id positive": (4, 0, True)}
+
+
+def test_kmeans_backends_agree(spark):
+    """The catalyst (broadcast-join argmin) and arrow (mapInArrow
+    NumPy) assignment backends are bit-identical — same clusters,
+    same exact integer distances, same tie-breaks — on vectors with
+    engineered ties."""
+    import random
+
+    from logparser_spark.operators.kmeans import kmeans_fit_assign
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(6)])
+            for i in range(80)]
+    # engineered exact ties: rows equidistant from two init rows
+    vecs += [(100, [1.0] * 6), (101, [-1.0] * 6), (102, [0.0] * 6)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    cat = {r["vec_id"]: (r["cluster"], r["dist"])
+           for r in kmeans_fit_assign(df, k=4, iters=3,
+                                      backend="catalyst").collect()}
+    arr = {r["vec_id"]: (r["cluster"], r["dist"])
+           for r in kmeans_fit_assign(df, k=4, iters=3,
+                                      backend="arrow").collect()}
+    assert cat == arr
+
+
+def test_kmeans_large_k_plan_is_o1(spark):
+    """The round-4 verdict's k-budget finding: assignment must not
+    embed k·dim literal expressions. At k=512 × dim=16 the physical
+    plan stays small (codebook travels as broadcast DATA), uses a
+    BroadcastHashJoin (never BroadcastNestedLoopJoin), and the
+    assignment matches a NumPy reference."""
+    import random
+
+    import numpy as np
+
+    from logparser_spark.operators.kmeans import _assign, quantize
+
+    rng = random.Random(7)
+    K, DIM = 512, 16
+    cents = [[rng.randint(-1_000_000, 1_000_000) for _ in range(DIM)]
+             for _ in range(K)]
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(DIM)])
+         for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    qdf = quantize(df)
+    out = _assign(qdf, cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # O(1) plan: a literal fan-out at k=512×16 would be ~100k nodes /
+    # megabytes of toString; the broadcast-data plan is a few KB.
+    assert len(plan) < 20_000
+
+    rows = out.collect()
+    cm = np.asarray(cents, dtype=np.int64)
+    qm = {r["vec_id"]: np.asarray(list(r["q"]), dtype=np.int64)
+          for r in qdf.collect()}
+    for r in rows:
+        d = ((cm - qm[r["vec_id"]][None, :]) ** 2).sum(axis=1)
+        j = int(d.argmin())
+        assert (r["cluster"], r["dist"]) == (j, int(d[j]))
