@@ -704,9 +704,11 @@ def q_robots_allowed(spark, sf_dir):
 def q_crawl_delays(spark, sf_dir):
     """Crawl-delay extraction over synthesized robots files: valid
     lines (odd casing, inline comment, multiple sections taking the
-    conservative max), malformed values that must be ignored
-    (fractional, non-numeric), and a directive-free file taking the
-    default. The oracle predicts every delay by construction."""
+    conservative max), a fractional delay that must be CEILed (2.5 →
+    3, never undercut), a garbage value that must be ignored, and a
+    NULL robots_txt (fetch failure) that must STILL yield one output
+    row at the default — the explode_outer contract. The oracle
+    predicts every delay by construction."""
     from pyspark.sql import functions as F
 
     from logparser_spark.operators import weburl
@@ -721,10 +723,10 @@ def q_crawl_delays(spark, sf_dir):
             F.lit(" # be nice\nUser-agent: fastbot\ncrawl-delay: 1\n"),
         ))
         .when(i % 4 == 1, F.lit(
-            "User-agent: *\nCrawl-delay: 2.5\n"))   # fractional → ignored
+            "User-agent: *\nCrawl-delay: 2.5\n"))   # fractional → ceil → 3
         .when(i % 4 == 2, F.lit(
             "User-agent: *\nCrawl-delay: soon\n"))  # garbage → ignored
-        .otherwise(F.lit("User-agent: *\nDisallow: /tmp\n"))
+        # i % 4 == 3: NULL robots_txt (fetch failure) → default row
         .alias("robots_txt"),
     )
     return weburl.robots_crawl_delay(robots_src)
@@ -3051,6 +3053,7 @@ def _dataprep_sql() -> dict[str, str]:
     sqls["crawl_delays"] = """
     SELECT 'site' || doc_id AS host,
       (CASE WHEN doc_id % 4 = 0 THEN doc_id % 7 + 2
+            WHEN doc_id % 4 = 1 THEN 3
             ELSE 1 END)::BIGINT AS crawl_delay_s
     FROM documents WHERE doc_id < 24"""
 

@@ -126,13 +126,19 @@ def robots_crawl_delay(robots, host_col: str = "host",
     scheduler must respect.
 
     Pinned rule: case-insensitive key, inline ``#`` comments stripped,
-    value must be a plain non-negative integer (fractional or garbage
-    values are ignored — the conservative read of a malformed line).
-    Like :func:`parse_robots` this extractor is section-agnostic, so
+    value is a non-negative decimal number — fractional delays (e.g.
+    ``Crawl-delay: 2.5``, common in real robots.txt) are honored by
+    taking the CEILING (exact ``decimal(18,9)`` arithmetic, no float),
+    so a declared fractional spacing is never undercut; garbage values
+    are ignored — the conservative read of a malformed line. Like
+    :func:`parse_robots` this extractor is section-agnostic, so
     when a file carries several valid lines (multiple User-agent
     sections) the MAXIMUM wins — the conservative choice: never hit a
     host faster than any section allows. Hosts with no valid directive
-    get ``default_s``.
+    — INCLUDING hosts whose ``robots_txt`` is NULL (fetch failure) —
+    get ``default_s``: the explode is ``explode_outer`` precisely so a
+    NULL file still yields its one output row (inner-join consumers
+    like :func:`crawl_schedule` must never silently lose a host).
 
     Output: one row per input host, ``(host, crawl_delay_s)``. Pure
     Catalyst (split → explode → regexp) plus one host-keyed min/max
@@ -140,16 +146,23 @@ def robots_crawl_delay(robots, host_col: str = "host",
     table at any scale."""
     from pyspark.sql import functions as F
 
-    line = F.explode(F.split(F.col(txt_col), "\r?\n")).alias("line")
+    line = F.explode_outer(F.split(F.col(txt_col), "\r?\n")) \
+        .alias("line")
     val = F.regexp_extract(
-        "line", r"(?i)^\s*crawl-delay\s*:\s*([0-9]+)\s*(?:#.*)?$", 1
+        "line",
+        r"(?i)^\s*crawl-delay\s*:\s*([0-9]+(?:\.[0-9]+)?)\s*(?:#.*)?$",
+        1,
     )
     per_line = (
         robots.select(F.col(host_col), line)
         .select(host_col, val.alias("__v"))
         .withColumn(
             "__d",
-            F.when(F.col("__v") != "", F.col("__v").cast("long")),
+            F.when(
+                F.col("__v") != "",
+                F.ceil(F.col("__v").cast("decimal(18,9)"))
+                .cast("long"),
+            ),
         )
     )
     return per_line.groupBy(host_col).agg(

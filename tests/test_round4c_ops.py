@@ -332,15 +332,19 @@ def test_robots_crawl_delay_rules(spark):
         # two sections: conservative max wins
         ("a", "User-agent: *\nCrawl-delay: 5\n"
               "User-agent: bot\nCRAWL-DELAY: 10 # slow\n"),
-        ("b", "Crawl-delay: 2.5\n"),          # fractional → ignored
+        ("b", "Crawl-delay: 2.5\n"),          # fractional → ceil → 3
         ("c", "Crawl-delay: soon\n"),         # garbage → ignored
         ("d", "User-agent: *\nDisallow: /\n"),  # no directive
         ("e", "crawl-delay:0\n"),             # zero is a valid value
+        ("f", "Crawl-delay: 2.0\n"),          # whole-valued frac → 2
+        ("g", None),                          # fetch failure → default
     ]
     df = spark.createDataFrame(rows, ["host", "robots_txt"])
     got = {r.host: r.crawl_delay_s
            for r in robots_crawl_delay(df).collect()}
-    assert got == {"a": 10, "b": 1, "c": 1, "d": 1, "e": 0}
+    # one row per INPUT host — g (NULL robots_txt) must not vanish
+    assert got == {"a": 10, "b": 3, "c": 1, "d": 1, "e": 0,
+                   "f": 2, "g": 1}
 
 
 def test_crawl_schedule_spacing_invariant(spark):
