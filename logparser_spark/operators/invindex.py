@@ -175,20 +175,41 @@ def proximity_search(index, first: str, second: str, slop: int = 3,
     )
 
 
-def bm25_topk(index, terms: list, k: int = 10, id_col: str = "doc_id"):
+def bm25_topk(index, terms: list, k: int = 10, id_col: str = "doc_id",
+              idf_mode: str = "rational"):
     """Disjunctive (OR) BM25 ranked retrieval over the inverted index,
     integer-exact end to end so a SQL oracle reproduces every score
     bit-for-bit (the repo's ppm discipline: no floats, no logs, no
     rounding contract to negotiate between engines).
 
+    **Ranking caveat — read before assuming parity with standard
+    BM25.** The default ``idf_mode="rational"`` replaces
+    ``ln((N-df+0.5)/(df+0.5))`` with its ARGUMENT (in ppm). Within a
+    single term that substitution is rank-preserving (ln is monotone),
+    but the per-doc score SUMS over query terms, and the un-logged
+    ratio weights rare terms exponentially more than log-idf would —
+    so for MULTI-term queries whose terms have very different df, the
+    top-k ORDER can diverge from textbook BM25(k1=1.2, b=0.75). Use
+    ``idf_mode="log"`` when standard cross-term weighting matters: it
+    computes ``floor(ln((2N-2df+1)/(2df+1))·10⁶ + 0.5)`` ONCE per
+    query term on the driver (df is a |terms|-row collect — the O(1)
+    scalar class) and injects the integers as a broadcast literal
+    table, so scores stay exact int64 sums and the scale shape is
+    unchanged; it is not the oracle default only because a
+    cross-engine SQL replay would have to trust two libm ``ln``
+    implementations to agree bit-for-bit. Negative log-idf (df >
+    ~N/2) is kept un-clamped, per Robertson's original formulation.
+
     BM25 with the standard k1=1.2, b=0.75 rewritten as one integer
     rational per (doc, term):
 
-    - idf surrogate: ``idf_ppm = ((2N - 2df + 1) * 10^6) div (2df + 1)``
+    - idf surrogate (``idf_mode="rational"``):
+      ``idf_ppm = ((2N - 2df + 1) * 10^6) div (2df + 1)``
       — the exact argument of the classic ``ln((N-df+0.5)/(df+0.5))``
       in ppm. ln is monotone, so rankings by the argument and by the
       log agree within a term; dropping the log keeps every score an
-      exact integer both engines compute identically.
+      exact integer both engines compute identically (see the ranking
+      caveat above for what it does NOT preserve).
     - tf normalization with k1=6/5, b=3/4 cleared of denominators:
       ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
         = (44*tf*avgdl) / (20*tf*avgdl + 6*avgdl + 18*dl)``.
@@ -226,12 +247,29 @@ def bm25_topk(index, terms: list, k: int = 10, id_col: str = "doc_id"):
         F.count(F.lit(1)).cast("long").alias("df")
     )
     dl = index.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
-    idf_ppm = F.expr(
-        f"((2 * {n_docs}L - 2 * df + 1) * 1000000L) div (2 * df + 1)"
-    )
+    if idf_mode == "log":
+        import math
+
+        idf_rows = [
+            (r["term"], int(math.floor(math.log(
+                (2 * n_docs - 2 * int(r["df"]) + 1)
+                / (2 * int(r["df"]) + 1)
+            ) * 1_000_000 + 0.5)))
+            for r in df_t.collect()
+        ]
+        idf_t = index.sparkSession.createDataFrame(
+            idf_rows, "term string, idf_ppm long"
+        )
+    elif idf_mode == "rational":
+        idf_ppm = F.expr(
+            f"((2 * {n_docs}L - 2 * df + 1) * 1000000L) div (2 * df + 1)"
+        )
+        idf_t = df_t.withColumn("idf_ppm", idf_ppm)
+    else:
+        raise ValueError(f"unknown idf_mode: {idf_mode!r}")
     scored = (
         slice_
-        .join(F.broadcast(df_t.withColumn("idf_ppm", idf_ppm)), "term")
+        .join(F.broadcast(idf_t), "term")
         .join(dl, id_col)
         .withColumn(
             "__s",

@@ -93,6 +93,59 @@ def test_bm25_dedupes_query_terms(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_bm25_log_idf_matches_textbook_ranking(spark):
+    """idf_mode="log" restores standard cross-term BM25 weighting: on
+    a corpus engineered so the un-logged rational idf over-weights the
+    rare term and flips the order, log mode must agree with a
+    float textbook BM25(k1=1.2, b=0.75) recompute — and the two modes
+    must actually DISAGREE here, or the fixture proves nothing."""
+    import math
+
+    from logparser_spark.operators import invindex
+
+    # "rare" appears in 1 doc; "common" in many. Doc 1 has one hit of
+    # the rare term; doc 2 has many hits of the common term. Textbook
+    # BM25 (log idf) ranks doc 2 first; the rational surrogate blows
+    # the rare term's weight up exponentially and ranks doc 1 first.
+    docs = {1: "rare pad pad pad",
+            2: "common common common common common common pad pad"}
+    for i in range(3, 23):
+        docs[i] = "common pad pad pad"
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    idx = invindex.build_inverted_index(df)
+    terms = ["rare", "common"]
+
+    rat = [r.doc_id for r in
+           invindex.bm25_topk(idx, terms, k=2).collect()]
+    log = [r.doc_id for r in
+           invindex.bm25_topk(idx, terms, k=2,
+                              idf_mode="log").collect()]
+
+    # float textbook reference
+    dl = {d: len(t.split()) for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+    tf = {}
+    dfreq = {}
+    for d, t in docs.items():
+        for w in t.split():
+            tf[(w, d)] = tf.get((w, d), 0) + 1
+    for (w, d) in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    scores = {}
+    for (w, d), f in tf.items():
+        if w not in terms:
+            continue
+        idf = math.log((n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+        s = idf * f * 2.2 / (f + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+        scores[d] = scores.get(d, 0.0) + s
+    want = [d for d, _ in
+            sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:2]]
+
+    assert log == want
+    assert rat != log   # the engineered divergence is real
+
+
 # ── keep-latest revision dedup ───────────────────────────────────────
 
 
