@@ -917,20 +917,20 @@ def span_corruption(docs, mask_every: int = 7, mask_len: int = 2,
 
     Scale shape: the whole construction is ONE per-row ``aggregate``
     fold over the token sequence — map-only codegen, no explode, no
-    shuffle, no UDF; the token blow-up never leaves the row."""
+    shuffle, no UDF; the token blow-up never leaves the row. The fold
+    state accumulates token ARRAYS (one ``array_join`` at the end),
+    not growing strings — per-token immutable string concat would
+    re-copy every accumulated byte each step, i.e. O(n²) bytes per
+    document, which a 10⁴-token doc turns into real CPU."""
     from pyspark.sql import functions as F
 
+    empty = F.array().cast("array<string>")
     init = F.struct(
         F.lit(0).alias("k"),
         F.lit(False).alias("prev"),
-        F.lit("").alias("inp"),
-        F.lit("").alias("tgt"),
+        empty.alias("inp"),
+        empty.alias("tgt"),
     )
-
-    def _join(acc_s, piece):
-        return F.when(acc_s == "", piece).otherwise(
-            F.concat(acc_s, F.lit(" "), piece)
-        )
 
     def step(acc, p):
         tok = F.element_at(F.col("__w"), p + 1)
@@ -941,12 +941,12 @@ def span_corruption(docs, mask_every: int = 7, mask_len: int = 2,
         return F.struct(
             F.when(start, acc["k"] + 1).otherwise(acc["k"]).alias("k"),
             flag.alias("prev"),
-            F.when(~flag, _join(acc["inp"], tok))
-            .when(start, _join(acc["inp"], sent))
+            F.when(~flag, F.array_append(acc["inp"], tok))
+            .when(start, F.array_append(acc["inp"], sent))
             .otherwise(acc["inp"]).alias("inp"),
-            F.when(start,
-                   _join(acc["tgt"], F.concat(sent, F.lit(" "), tok)))
-            .when(flag, _join(acc["tgt"], tok))
+            F.when(start, F.array_append(
+                acc["tgt"], F.concat(sent, F.lit(" "), tok)))
+            .when(flag, F.array_append(acc["tgt"], tok))
             .otherwise(acc["tgt"]).alias("tgt"),
         )
 
@@ -961,8 +961,8 @@ def span_corruption(docs, mask_every: int = 7, mask_len: int = 2,
         F.col(id_col), _words(text_col).alias("__w")
     ).select(
         id_col,
-        folded["inp"].alias("input_text"),
-        folded["tgt"].alias("target_text"),
+        F.array_join(folded["inp"], " ").alias("input_text"),
+        F.array_join(folded["tgt"], " ").alias("target_text"),
         folded["k"].cast("long").alias("n_spans"),
     )
 
