@@ -336,10 +336,13 @@ def make_cms_merger(out_dir: str, depth: int = 4, width: int = 64,
             # one batch's counts
             merged = prev = None
         if prev is not None:
-            if prev.where(
-                F.col("__batch_id") == batch_id
-            ).limit(1).count() > 0:
-                return  # replayed batch: already merged
+            # batch ids are monotone, so the whole-table stamp is the
+            # max APPLIED id: any batch_id <= it is a replay (not just
+            # the most recent one a direct re-invocation might repeat)
+            applied = prev.agg(
+                F.max("__batch_id").alias("m")).first()["m"]
+            if applied is not None and batch_id <= applied:
+                return  # replay of an already-merged batch: no-op
             merged = (
                 prev.select("r", "bucket", "cnt").unionAll(new)
                 .groupBy("r", "bucket")
@@ -429,7 +432,15 @@ def make_keep_latest_merger(out_dir: str, key_col: str = "url",
     exposed for direct (re)invocation — replay-idempotency tests call
     it with a repeated batch id and assert the winners are untouched.
     Same first-batch-only seed / eager-localCheckpoint-before-overwrite
-    contract as :func:`make_cms_merger`."""
+    contract as :func:`make_cms_merger`.
+
+    Replay detection: batch ids are MONOTONE (Structured Streaming's
+    contract; direct callers inherit it), so the whole-table
+    ``__batch_id`` stamp written by the last merge IS the max applied
+    id, and any incoming ``batch_id <= max`` — not just the most
+    recent — is a detected replay and a no-op. A direct caller must
+    therefore never assign a NEW batch a smaller id than an already
+    merged one (it would be dropped as a replay, by design)."""
     import os
 
     from pyspark.sql import functions as F
@@ -450,10 +461,10 @@ def make_keep_latest_merger(out_dir: str, key_col: str = "url",
         except AnalysisException:
             prev = None  # first batch only; other read errors propagate
         if prev is not None:
-            if prev.where(
-                F.col("__batch_id") == batch_id
-            ).limit(1).count() > 0:
-                return  # replayed batch: already merged
+            applied = prev.agg(
+                F.max("__batch_id").alias("m")).first()["m"]
+            if applied is not None and batch_id <= applied:
+                return  # replay of ANY already-merged batch: no-op
             merged = merge_latest(prev, new, key_col=key_col,
                                   ts_col=ts_col, carry=carry)
         else:
