@@ -172,7 +172,8 @@ def robots_crawl_delay(robots, host_col: str = "host",
 
 
 def crawl_schedule(df, delays, url_col: str = "url",
-                   host_col: str = "host", default_s: int = 1):
+                   host_col: str = "host", default_s: int = 1,
+                   order_df=None):
     """The frontier scheduler's actual output: politeness-ordered
     fetch slots (:func:`politeness_order`) joined with each host's
     ``Crawl-delay`` (:func:`robots_crawl_delay`) into a concrete
@@ -187,10 +188,19 @@ def crawl_schedule(df, delays, url_col: str = "url",
     (no unbounded window partitions); the delay table is one row per
     host — broadcastable up to ~10^8 hosts, a plain key join past
     that. The scheduler downstream orders by (dispatch_s, position),
-    both already computed here."""
+    both already computed here.
+
+    A caller that already materialized :func:`politeness_order` output
+    (``url, host, slot, position``) passes it as ``order_df`` and the
+    schedule becomes just the delay join + the slot×delay projection —
+    skipping the two-level re-rank entirely (the round-4 plan audit
+    counted xchg×11 when it was always re-derived; the fed path is the
+    ~xchg×3 increment). ``df``/``url_col`` are ignored when
+    ``order_df`` is given."""
     from pyspark.sql import functions as F
 
-    ordered = politeness_order(df, url_col)
+    ordered = politeness_order(df, url_col) if order_df is None \
+        else order_df
     j = ordered.join(
         F.broadcast(delays.select(host_col, "crawl_delay_s")),
         host_col, "left",

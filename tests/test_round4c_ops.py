@@ -375,6 +375,44 @@ def test_span_corruption_matches_python(spark):
         assert inp.count("extra_id") == k == tgt.count("extra_id")
 
 
+def test_crawl_schedule_accepts_precomputed_order(spark):
+    """Feeding crawl_schedule a materialized politeness_order output
+    yields the identical schedule while skipping the two-level re-rank:
+    the fed plan must carry strictly fewer Exchanges than the
+    from-scratch plan (the round-4 audit's xchg×11 → delay-join
+    increment)."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators.weburl import (
+        crawl_schedule,
+        politeness_order,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 5}.example.com/p/{i}",) for i in range(60)],
+        ["url"],
+    )
+    delays = spark.createDataFrame(
+        [(f"h{i}.example.com", i + 1) for i in range(3)],
+        "host string, crawl_delay_s long",
+    )
+    order = politeness_order(urls, "url") \
+        .localCheckpoint(eager=True)  # "materialized" upstream output
+
+    scratch = crawl_schedule(urls, delays)
+    fed = crawl_schedule(None, delays, order_df=order)
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(fed.collect()) == key(scratch.collect())
+
+    def n_exchange(df):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        p = p.split("== Initial Plan ==")[0]
+        return p.count("Exchange")
+
+    assert n_exchange(fed) < n_exchange(scratch)
+    assert n_exchange(fed) <= 3
+
+
 # ── robots crawl-delay ───────────────────────────────────────────────
 
 
