@@ -450,6 +450,29 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_incremental_lsh(spark, sf_dir):
+    """Batch-over-ledger NEAR-dup (the LSH analog of
+    q_incremental_dedup): every third document's LSH band buckets and
+    shingle hashes form the persisted ledger; the remaining documents
+    arrive as the new batch; output is the verified-jaccard pairs
+    touching at least one batch document. The oracle replays the
+    full-union LSH pipeline and keeps exactly the non-ledger-internal
+    pairs — the incremental law pinned by
+    test_incremental_lsh_matches_batch_minus_old_old."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    old_sh = dedup.shingle_hashes(old)
+    ledger_bands = dedup.lsh_bands(
+        dedup.minhash_signature(old, shingle_df=old_sh)
+    )
+    return dedup.incremental_lsh_pairs(new, ledger_bands, old_sh)
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Transitive near-dup clustering: LSH candidate pairs → connected
     components via min-label propagation (cluster_id = min doc id in
@@ -2688,14 +2711,14 @@ def _dataprep_sql() -> dict[str, str]:
     {pairs_cte}
     SELECT id_a, id_b FROM pairs"""
 
-    sqls["ngram_jaccard"] = f"""WITH {shingle_cte},
-    {sig_cte},
-    {bands_cte},
-    {pairs_cte},
+    # exact-jaccard verification tail over an `ipairs` CTE — shared by
+    # the batch (ngram_jaccard) and batch-over-ledger (incremental_lsh)
+    # oracles
+    jaccard_tail = """
     sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM shingles GROUP BY 1),
     inter AS (
       SELECT p.id_a, p.id_b, COUNT(*)::BIGINT AS n_inter
-      FROM pairs p
+      FROM ipairs p
       JOIN shingles sa ON sa.doc_id = p.id_a
       JOIN shingles sb ON sb.doc_id = p.id_b
         AND sb.shingle_hash = sa.shingle_hash
@@ -2706,6 +2729,23 @@ def _dataprep_sql() -> dict[str, str]:
     FROM inter i
     JOIN sizes za ON za.doc_id = i.id_a
     JOIN sizes zb ON zb.doc_id = i.id_b"""
+
+    sqls["ngram_jaccard"] = f"""WITH {shingle_cte},
+    {sig_cte},
+    {bands_cte},
+    {pairs_cte},
+    ipairs AS (SELECT id_a, id_b FROM pairs),{jaccard_tail}"""
+
+    # incremental law: union-corpus LSH+jaccard minus ledger-internal
+    # (both ids ≡ 0 mod 3) pairs — the bucket cap is evaluated over the
+    # union, exactly as the operator evaluates it over ledger+batch
+    sqls["incremental_lsh"] = f"""WITH {shingle_cte},
+    {sig_cte},
+    {bands_cte},
+    {pairs_cte},
+    ipairs AS (
+      SELECT id_a, id_b FROM pairs
+      WHERE id_a % 3 != 0 OR id_b % 3 != 0),{jaccard_tail}"""
 
     bit_sums = ",\n        ".join(
         f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
@@ -5398,6 +5438,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # original grouping.  Rotate per round.
 _DRIVER_HEAD: list[str] = [
     # -- round-5 additions (never driver-checked; prepend as added) --
+    "incremental_lsh",
     # -- never driver-checked across r01-r04 (37) --
     "cluster_representatives",
     "norm_exact_dedup",
@@ -5489,6 +5530,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_bloom": q_incremental_dedup_bloom,
         "minhash_signature": q_minhash_signature,
         "lsh_pairs": q_lsh_pairs,
+        "incremental_lsh": q_incremental_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
         "cluster_representatives": q_cluster_representatives,

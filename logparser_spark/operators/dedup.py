@@ -601,6 +601,94 @@ def ngram_jaccard_pairs(df, pairs_df, text_col: str = "text",
     )
 
 
+def incremental_lsh_pairs(docs, ledger_bands, ledger_shingles,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          bands: int = 4, rows: int = 4,
+                          max_bucket: int | None = LSH_MAX_BUCKET,
+                          shingle_df=None):
+    """Incremental (batch-over-ledger) NEAR-dup detection — the LSH
+    analog of :func:`incremental_dedup`, for recrawl pipelines that
+    must near-dedupe every new snapshot against everything already
+    ingested WITHOUT re-pairing the historical corpus against itself.
+
+    Ledger state (what a caller persists between batches — both are
+    exactly the tables the batch stack already materializes):
+
+    - ``ledger_bands``: all previous docs' LSH band buckets
+      (:func:`lsh_bands` output, ~``bands``·24 bytes per doc) — the
+      candidate router;
+    - ``ledger_shingles``: all previous docs' shingle hashes
+      (:func:`shingle_hashes` output) — the exact-verify side. Large,
+      but verification only ever JOINS it on candidate ids (semi-join
+      pushdown below), never rescans it; at 100 TB store it bucketed
+      by ``doc_id`` so the candidate fetch prunes to the touched
+      buckets.
+
+    Returns verified pairs ``(id_a, id_b, jaccard)``, ``id_a < id_b``,
+    where AT LEAST ONE side is from the new batch — ledger-internal
+    pairs were reported when their own batches arrived (the law the
+    pytest pins: incremental output == batch output over the union
+    minus the old-old pairs). Appending the batch's
+    :func:`lsh_bands`/:func:`shingle_hashes` rows to the two ledgers
+    is the caller's commit step, same as :func:`incremental_dedup`'s
+    digest append.
+
+    Scale shape: the new batch's bands join (band_id, band_hash)
+    against ledger+self — only same-bucket rows shuffle together, so
+    per-batch cost is O(batch + touched buckets), independent of
+    corpus size. The ``max_bucket`` cap is evaluated over LEDGER+BATCH
+    bucket population (a boilerplate bucket stays dropped forever, it
+    does not sneak back one batch at a time); Jaccard sizes are
+    computed only over candidate docs' shingles."""
+    from pyspark.sql import functions as F
+
+    batch_sh = (shingle_df if shingle_df is not None
+                else shingle_hashes(docs, text_col, id_col))
+    batch_bands = lsh_bands(
+        minhash_signature(docs, text_col, id_col, shingle_df=batch_sh),
+        id_col, bands, rows,
+    )
+    all_bands = ledger_bands.select(
+        id_col, "band_id", "band_hash"
+    ).unionAll(batch_bands.select(id_col, "band_id", "band_hash"))
+    if max_bucket is not None:
+        ok = (
+            all_bands.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("band_id", "band_hash")
+        )
+        batch_bands = batch_bands.join(
+            ok, ["band_id", "band_hash"], "left_semi")
+        all_bands = all_bands.join(
+            ok, ["band_id", "band_hash"], "left_semi")
+    a = batch_bands.select(
+        "band_id", "band_hash", F.col(id_col).alias("__na"))
+    b = all_bands.select(
+        "band_id", "band_hash", F.col(id_col).alias("__nb"))
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("__na") != F.col("__nb"))
+        .select(
+            F.least("__na", "__nb").alias("id_a"),
+            F.greatest("__na", "__nb").alias("id_b"),
+        )
+        .distinct()
+    )
+    union_sh = ledger_shingles.select(
+        id_col, "shingle_hash"
+    ).unionAll(batch_sh.select(id_col, "shingle_hash"))
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = union_sh.join(cand_ids, id_col, "left_semi")
+    return ngram_jaccard_pairs(docs, pairs, text_col, id_col,
+                               shingle_df=sh_cand)
+
+
 # ── asymmetric containment (quote / subset detection) ────────────────
 
 # Shingles appearing in more than this many documents are dropped

@@ -2512,3 +2512,61 @@ def test_kmeans_large_k_plan_is_o1(spark):
         d = ((cm - qm[r["vec_id"]][None, :]) ** 2).sum(axis=1)
         j = int(d.argmin())
         assert (r["cluster"], r["dist"]) == (j, int(d[j]))
+
+
+def test_incremental_lsh_matches_batch_minus_old_old(spark):
+    """The incremental-LSH law: running the batch over the band/shingle
+    ledger must yield EXACTLY the union-corpus batch result minus the
+    ledger-internal (old-old) pairs — same pairs, same exact jaccard
+    values — including a planted old↔new near-dup pair that only the
+    ledger join can find."""
+    from logparser_spark.operators import dedup
+
+    base = [
+        (i, f"document number {i} about spark partition strategy "
+            f"with some shared vocabulary and unique token u{i}")
+        for i in range(30)
+    ]
+    # planted near-dups: old↔old (0,1), old↔new (2, 102), new↔new
+    # (103, 104)
+    extra = [
+        (1, base[0][1] + " tail"),
+        (102, base[2][1] + "!"),
+        (103, "an entirely new pair member alpha beta gamma delta "
+              "epsilon zeta eta theta"),
+        (104, "an entirely new pair member alpha beta gamma delta "
+              "epsilon zeta eta theta!"),
+    ]
+    rows = dict(base)
+    rows[1] = extra[0][1]
+    rows[102], rows[103], rows[104] = (
+        extra[1][1], extra[2][1], extra[3][1])
+    old_ids = {i for i in rows if i < 100 and i % 2 == 0} | {1}
+    old = spark.createDataFrame(
+        [(i, t) for i, t in rows.items() if i in old_ids],
+        "doc_id LONG, text STRING")
+    new = spark.createDataFrame(
+        [(i, t) for i, t in rows.items() if i not in old_ids],
+        "doc_id LONG, text STRING")
+    union = spark.createDataFrame(
+        list(rows.items()), "doc_id LONG, text STRING")
+
+    full_sh = dedup.shingle_hashes(union)
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                union,
+                dedup.lsh_candidate_pairs(union, shingle_df=full_sh),
+                shingle_df=full_sh).collect()}
+    want = {p: j for p, j in full.items()
+            if not (p[0] in old_ids and p[1] in old_ids)}
+
+    old_sh = dedup.shingle_hashes(old)
+    ledger_bands = dedup.lsh_bands(
+        dedup.minhash_signature(old, shingle_df=old_sh))
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.incremental_lsh_pairs(
+               new, ledger_bands, old_sh).collect()}
+
+    assert got == want
+    assert (2, 102) in got          # the old↔new planted pair
+    assert (0, 1) in full and (0, 1) not in got  # old-old excluded
