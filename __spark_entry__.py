@@ -724,6 +724,56 @@ def q_robots_allowed(spark, sf_dir):
     )
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Full-frontier integration — the crawl pipeline end to end in
+    one query: parse each host's robots.txt into rules AND a
+    Crawl-delay (fractional, exercising the ceil contract), gate every
+    candidate URL through the longest-match robots filter, and emit
+    the politeness-ordered dispatch schedule for exactly the allowed
+    URLs. Composes parse_robots → robots_filter → robots_crawl_delay →
+    crawl_schedule; the oracle predicts the allowed set and the delays
+    by construction and replays the schedule arithmetic."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.operators import weburl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    host = F.concat(F.lit("site"), (i % 20).cast("string"),
+                    F.lit(".example.com"))
+    path = (
+        F.when(i % 4 == 0, F.concat(F.lit("/private/x"), s))
+        .when(i % 4 == 1, F.concat(F.lit("/private/ok"), s))
+        .when(i % 4 == 2, F.concat(F.lit("/public/"), s))
+        .otherwise(F.concat(F.lit("/tmp"), s))
+    )
+    pages = docs.select(
+        "doc_id", host.alias("host"), path.alias("path"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    robots_src = docs.where(i < 20).select(
+        F.concat(F.lit("site"), s, F.lit(".example.com")).alias("host"),
+        F.when(
+            i < 10,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private\n"
+                      "Allow: /private/ok\nCrawl-delay: "),
+                (i % 4 + 1).cast("string"), F.lit(".5\n"),
+            ),
+        ).otherwise(F.lit("User-agent: *\n# no rules\n"))
+        .alias("robots_txt"),
+    )
+    rules = weburl.parse_robots(robots_src)
+    allowed = (
+        weburl.robots_filter(pages, rules)
+        .where(F.col("allowed"))
+        .select("url")
+    )
+    delays = weburl.robots_crawl_delay(robots_src)
+    return weburl.crawl_schedule(allowed, delays)
+
+
 def q_crawl_delays(spark, sf_dir):
     """Crawl-delay extraction over synthesized robots files: valid
     lines (odd casing, inline comment, multiple sections taking the
@@ -3270,6 +3320,43 @@ def _dataprep_sql() -> dict[str, str]:
       (p.slot * d.crawl_delay_s)::BIGINT AS dispatch_s
     FROM p JOIN d USING (host)"""
 
+    sqls["crawl_frontier"] = """
+    WITH pg AS (
+      SELECT doc_id, doc_id % 20 AS hh,
+        CASE doc_id % 4
+          WHEN 0 THEN '/private/x' || doc_id
+          WHEN 1 THEN '/private/ok' || doc_id
+          WHEN 2 THEN '/public/' || doc_id
+          ELSE '/tmp' || doc_id END AS path
+      FROM documents),
+    u AS (
+      SELECT 'https://site' || hh::VARCHAR || '.example.com' || path
+        AS url
+      FROM pg WHERE NOT (hh < 10 AND doc_id % 4 = 0)),
+    hx AS (
+      SELECT url,
+        lower(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1)) AS host
+      FROM u),
+    s AS (
+      SELECT url, host,
+        (row_number() OVER (PARTITION BY host ORDER BY md5(url), url)
+          - 1)::BIGINT AS slot
+      FROM hx),
+    p AS (
+      SELECT url, host, slot,
+        row_number() OVER (ORDER BY slot, md5(host), url)::BIGINT
+          AS position
+      FROM s),
+    d AS (
+      SELECT 'site' || doc_id::VARCHAR || '.example.com' AS host,
+        (CASE WHEN doc_id < 10 THEN doc_id % 4 + 2
+              ELSE 1 END)::BIGINT AS crawl_delay_s
+      FROM documents WHERE doc_id < 20)
+    SELECT p.url, p.host, p.slot, p.position, d.crawl_delay_s,
+      (p.slot * d.crawl_delay_s)::BIGINT AS dispatch_s
+    FROM p JOIN d USING (host)"""
+
     sqls["sample_fixed_n"] = """
     SELECT doc_id, text FROM documents
     ORDER BY md5('salt42|' || doc_id::VARCHAR), doc_id LIMIT 25"""
@@ -5439,6 +5526,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_HEAD: list[str] = [
     # -- round-5 additions (never driver-checked; prepend as added) --
     "incremental_lsh",
+    "crawl_frontier",
     # -- never driver-checked across r01-r04 (37) --
     "cluster_representatives",
     "norm_exact_dedup",
@@ -5569,6 +5657,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_lookup": q_cdx_lookup,
         "robots_allowed": q_robots_allowed,
         "crawl_delays": q_crawl_delays,
+        "crawl_frontier": q_crawl_frontier,
         "crawl_schedule": q_crawl_schedule,
         "unigram_score": q_unigram_score,
         "bigram_score": q_bigram_score,
