@@ -900,7 +900,10 @@ def q_hll_distinct(spark, sf_dir):
     exact integer arithmetic (alpha = 709/1000, harmonic sum scaled by
     2^30). True distinct rides along as a literal (one O(1) scalar
     job, the unigram-total pattern) so the estimate's accuracy is
-    visible in the checked row."""
+    visible in the checked row. CHECKED-OUTPUT ARTIFACT ONLY: a
+    production pipeline runs the sketch precisely to avoid that exact
+    distinct().count() — never copy the ride-along into a real path
+    (the sketch's whole point is dodging the exact shuffle)."""
     from pyspark.sql import functions as F
 
     from logparser_spark.operators import sketch
