@@ -473,6 +473,18 @@ def q_incremental_lsh(spark, sf_dir):
     return dedup.incremental_lsh_pairs(new, ledger_bands, old_sh)
 
 
+def q_sentence_dedup(spark, sf_dir):
+    """C4-rule corpus-wide sentence dedup: a sentence duplicated
+    anywhere in the corpus keeps only its FIRST occurrence (minimal
+    (doc_id, position)); documents are reassembled from survivors in
+    order. The oracle replays the pinned sentinel split, the
+    keep-first rank and the space-joined reassembly."""
+    from logparser_spark.operators.corpus import sentence_dedup_keep_first
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sentence_dedup_keep_first(docs)
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Transitive near-dup clustering: LSH candidate pairs → connected
     components via min-label propagation (cluster_id = min doc id in
@@ -2788,6 +2800,33 @@ def _dataprep_sql() -> dict[str, str]:
     {bands_cte},
     {pairs_cte},
     ipairs AS (SELECT id_a, id_b FROM pairs),{jaccard_tail}"""
+
+
+    # C4-rule sentence dedup: sentinel split (RE2 has no lookbehind),
+    # keep-first = rank 1 over (doc_id, pos) per exact sentence string,
+    # space-joined reassembly; 1-based DuckDB pos vs 0-based Spark pos
+    # is order-equivalent inside each doc
+    sqls["sentence_dedup"] = """
+    WITH p AS (
+      SELECT doc_id,
+        string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(30),
+                     'g'), chr(30)) AS parts
+      FROM documents),
+    s AS (
+      SELECT doc_id, t.i AS pos, parts[t.i] AS sent
+      FROM p CROSS JOIN LATERAL (
+        SELECT unnest(range(1, len(parts) + 1)) AS i) t),
+    k AS (
+      SELECT doc_id, pos, sent,
+        row_number() OVER (PARTITION BY md5(sent)
+                           ORDER BY doc_id, pos) AS rn
+      FROM s)
+    SELECT doc_id,
+      coalesce(string_agg(CASE WHEN rn = 1 THEN sent END, ' '
+                          ORDER BY pos), '') AS cleaned,
+      COUNT(*)::BIGINT AS n_sents,
+      SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM k GROUP BY doc_id"""
 
     # incremental law: union-corpus LSH+jaccard minus ledger-internal
     # (both ids ≡ 0 mod 3) pairs — the bucket cap is evaluated over the
@@ -5530,6 +5569,7 @@ _DRIVER_HEAD: list[str] = [
     # -- round-5 additions (never driver-checked; prepend as added) --
     "incremental_lsh",
     "crawl_frontier",
+    "sentence_dedup",
     # -- never driver-checked across r01-r04 (37) --
     "cluster_representatives",
     "norm_exact_dedup",
@@ -5622,6 +5662,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "lsh_pairs": q_lsh_pairs,
         "incremental_lsh": q_incremental_lsh,
+        "sentence_dedup": q_sentence_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
         "cluster_representatives": q_cluster_representatives,

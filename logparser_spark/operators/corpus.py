@@ -408,6 +408,72 @@ def paragraph_dedup(docs, min_dup: int = 2, text_col: str = "text",
     )
 
 
+def sentence_dedup_keep_first(docs, text_col: str = "text",
+                              id_col: str = "doc_id"):
+    """Corpus-wide sentence-level dedup with the C4 rule (Raffel et
+    al. 2020 §2.2: any three-sentence-span/sentence occurring more
+    than once in the corpus keeps its FIRST occurrence and drops the
+    rest) — ORDER decides the survivor, unlike
+    :func:`paragraph_dedup`'s symmetric count threshold, so a
+    boilerplate disclaimer survives exactly once corpus-wide instead
+    of vanishing everywhere.
+
+    Pinned, oracle-replayable sentence split: a boundary is
+    ``[.!?]`` followed by one space (the space is consumed; the
+    terminator stays with its sentence; a trailing unterminated
+    fragment is a sentence) — implemented as regexp_replace to a
+    US-control sentinel then split, because DuckDB's RE2 has no
+    lookbehind. First occurrence = minimal ``(doc_id, position)`` for
+    the exact sentence string. Reassembly joins survivors with one
+    space in original order.
+
+    Output: ``(id_col, cleaned, n_sents, n_kept)`` — one row per
+    input document (``cleaned = ''`` when nothing survives).
+
+    Scale shape: same two forced shuffles as :func:`paragraph_dedup`
+    — a rank window partitioned by the sentence digest (32-byte keys;
+    the hot boilerplate digest is one partition whose rank scan is
+    linear) and the per-doc reassembly groupBy. Map-only otherwise;
+    no joins."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    sents = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(
+            F.regexp_replace(F.col(text_col), r"([.!?]) ",
+                             "$1\u001e"),
+            "\u001e",
+        )).alias("pos", "sent"),
+    )
+    w = Window.partitionBy(F.md5(F.col("sent"))).orderBy(id_col, "pos")
+    marked = sents.select(
+        id_col, "pos", "sent",
+        (F.row_number().over(w) == 1).alias("__keep"),
+    )
+    kept_sorted = F.array_sort(
+        F.collect_list(
+            F.when(F.col("__keep"), F.struct("pos", "sent"))
+        )
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            kept_sorted.alias("__kept"),
+            F.count("*").alias("n_sents"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["sent"]), " "
+            ).alias("cleaned"),
+            F.col("n_sents").cast("long").alias("n_sents"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
 def duplicate_spans(docs, k: int = 5, text_col: str = "text",
                     id_col: str = "doc_id"):
     """Exact substring-span dedup, detection half (the suffix-array

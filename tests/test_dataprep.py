@@ -2570,3 +2570,40 @@ def test_incremental_lsh_matches_batch_minus_old_old(spark):
     assert got == want
     assert (2, 102) in got          # the old↔new planted pair
     assert (0, 1) in full and (0, 1) not in got  # old-old excluded
+
+
+def test_sentence_dedup_keep_first_matches_python(spark):
+    """C4-rule sentence dedup vs an independent python recompute of the
+    pinned split/keep-first/reassemble contract, on a corpus with
+    cross-doc duplicate sentences, in-doc repeats, unterminated
+    fragments, and an empty doc."""
+    from logparser_spark.operators.corpus import sentence_dedup_keep_first
+
+    docs = {
+        1: "The sky is blue. Boilerplate footer. A unique one.",
+        2: "Boilerplate footer. Another unique sentence! The end",
+        3: "Repeat me. Repeat me. The sky is blue. Fresh tail?",
+        4: "",
+        5: "Boilerplate footer.",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id LONG, text STRING")
+    got = {r["doc_id"]: (r["cleaned"], r["n_sents"], r["n_kept"])
+           for r in sentence_dedup_keep_first(df).collect()}
+
+    import re
+    seen = {}
+    split = {d: re.sub(r"([.!?]) ", "\\1\x1e", t).split("\x1e")
+             for d, t in docs.items()}
+    for d in sorted(split):
+        for p, s in enumerate(split[d]):
+            seen.setdefault(s, (d, p))
+    want = {}
+    for d, sents in split.items():
+        kept = [s for p, s in enumerate(sents) if seen[s] == (d, p)]
+        want[d] = (" ".join(kept), len(sents), len(kept))
+    assert got == want
+    # the rule's signature behaviors, explicitly:
+    assert "Boilerplate footer." in want[1][0]       # first occurrence
+    assert "Boilerplate footer" not in want[2][0]    # later ones drop
+    assert "Boilerplate" not in want[5][0]
+    assert want[3] == ("Repeat me. Fresh tail?", 4, 2)  # in-doc repeat
