@@ -882,8 +882,15 @@ def run_scaling_executors(exec_cpus: int = 8, n_exec: int = 4,
     )
     best["control_gated"] = bool(clean)
     # every attempt's triple survives into state — the round headline
-    # is the MEDIAN over control-clean attempts, not this keep-best
-    cfg = f"{exec_cpus}c" + ("p" if pin_symmetric else "")
+    # is the MEDIAN over control-clean attempts, not this keep-best.
+    # SPARK_GRAFT_CFG_SUFFIX distinguishes same-geometry variants that
+    # must NOT share an evidence pool (e.g. the round-5 long-job "L"
+    # lines: identical 2-core pinned geometry but 3x the input, so the
+    # ~2s per-job serial constant stops capping the ratio — trap #6's
+    # documented fix; pooling them with the pre-registered short-job
+    # config would retroactively change that config's definition).
+    cfg = (f"{exec_cpus}c" + ("p" if pin_symmetric else "")
+           + os.environ.get("SPARK_GRAFT_CFG_SUFFIX", ""))
     best["all_attempts"] = [
         {
             "eff": round(r["efficiency"], 3),
