@@ -382,7 +382,37 @@ def run_steady_probe() -> dict:
     return rec
 
 
-INTERPRETATION_MD = """\n## Round-4 scaling-evidence change (median headline)
+INTERPRETATION_MD = """\n## Round-5 scaling-evidence change (long-job configs + steady ledger)
+
+Round 5 adds two things to the evidence, both measurement methodology
+rather than engine changes:
+
+1. **Long-job config lines (2cpL / 4cpL)** — identical geometry to the
+   pre-registered short-job configs but 3-4x the input. Motivation: the
+   best recorded 4cp draw (0.829) sits almost exactly at the SHORT-JOB
+   ceiling — with ~2s of per-job serial time (plan build, broadcast dim
+   construction, python-worker spin-up) over a 12.4s fast leg, a
+   PERFECT host reads (W+c)/(W/4+4c)-style ≈ 0.87, so short-job draws
+   can never evidence 0.9+ no matter how clean the window. The L lines
+   put the fast leg above 25s (trap #6's documented threshold) so the
+   serial constant stops dominating; they ledger under their own cfg
+   tags because pooling them with the short-job configs would
+   retroactively redefine those pre-registered pools. The short-job
+   lines keep accumulating unchanged.
+
+2. **The steady-probe ledger** (section above) — every steady
+   measurement now carries bracketing host controls, which is what the
+   round-4 flag on the 3.79M→2.78M steady swing needed: the table
+   separates "the engine got slower" from "the window degraded
+   mid-run" using the streaming control's pre/post pair, with zero
+   judgment calls.
+
+The 2cp pre-registered target from round 4 (median ≥ 0.8 over ≥ 15
+clean attempts) is reported exactly as measured in the secondary-line
+section above, hit or miss. Everything below this section is the
+round-3/4 context it builds on.
+
+## Round-4 scaling-evidence change (median headline)
 
 Round 4 changes what the executor-model section LEADS with, per the
 round-3 review: every attempt (clean or not) now lands in a round-long
