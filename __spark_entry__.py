@@ -485,6 +485,64 @@ def q_sentence_dedup(spark, sf_dir):
     return sentence_dedup_keep_first(docs)
 
 
+# Pinned grok pattern for the driver query: a classic access-log shape
+# exercising composed library macros, literal regex between macros,
+# typed coercions and the malformed-line NULL contract. Compiled ONCE
+# at module import so the Spark query and the DuckDB oracle replay the
+# IDENTICAL regex (the grok library is pinned to the java.util.regex ∩
+# RE2 dialect subset precisely so this sharing is sound).
+_GROK_ACCESS = (
+    r'%{IPV4:client_ip} - %{NOTSPACE:ruser} \[%{INT:req_id:int}\] '
+    r'"%{WORD:method} %{URIPATH:path} HTTP/%{NUMBER:httpver}" '
+    r'%{INT:status:int} %{INT:bytes:int}'
+)
+
+
+def q_grok_parse(spark, sf_dir):
+    """Grok front-end end-to-end (the north rule's 'grok/regex parse'
+    surface, complementing the reference's positional format DSL):
+    synthesize one access-log-style line per event row — every 7th
+    deliberately malformed — then parse with the Catalyst-only grok
+    projection (rlike gate + per-field regexp_extract, typed casts,
+    NULL fields on miss). The oracle REPLAYS the parse: DuckDB builds
+    the byte-identical line and evaluates the identical compiled
+    regex via grok_oracle_exprs — it parses, it does not predict."""
+    from pyspark.sql import functions as F
+
+    from logparser_spark.functions.grok import compile_grok, grok_parse
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ip = F.concat_ws(
+        ".", F.lit("10"),
+        (F.expr("user_id div 65536") % 256).cast("string"),
+        (F.expr("user_id div 256") % 256).cast("string"),
+        (uid % 256).cast("string"),
+    )
+    status = F.element_at(
+        F.array(F.lit(200), F.lit(301), F.lit(404), F.lit(503)),
+        ((eid % 4) + 1).cast("int"),
+    )
+    line = F.when(
+        eid % 7 == 0,
+        F.concat(F.lit("BADLINE "), F.col("event_type")),
+    ).otherwise(F.concat(
+        ip, F.lit(" - u"), uid.cast("string"),
+        F.lit(" ["), eid.cast("string"), F.lit('] "GET /e/'),
+        F.col("event_type"), F.lit("/"), eid.cast("string"),
+        F.lit(' HTTP/1.1" '), status.cast("string"), F.lit(" "),
+        ((eid * 17) % 100000).cast("string"),
+    ))
+    parsed = grok_parse(
+        ev.select("event_id", line.alias("raw_line")),
+        compile_grok(_GROK_ACCESS),
+    )
+    return parsed.select(
+        "event_id", "grok_matched", "client_ip", "ruser", "req_id",
+        "method", "path", "httpver", "status", "bytes",
+    )
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """Transitive near-dup clustering: LSH candidate pairs → connected
     components via min-label propagation (cluster_id = min doc id in
@@ -2827,6 +2885,35 @@ def _dataprep_sql() -> dict[str, str]:
       COUNT(*)::BIGINT AS n_sents,
       SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
     FROM k GROUP BY doc_id"""
+
+    # grok parse replay: DuckDB builds the byte-identical line and
+    # evaluates the IDENTICAL compiled regex (grok_oracle_exprs); the
+    # oracle parses, it does not predict-by-construction
+    from logparser_spark.functions.grok import (
+        compile_grok as _cg,
+        grok_oracle_exprs as _goe,
+    )
+
+    _grok_exprs = ",\n      ".join(_goe(_cg(_GROK_ACCESS), "raw_line"))
+    sqls["grok_parse"] = f"""
+    WITH glines AS (
+      SELECT event_id,
+        CASE WHEN event_id % 7 = 0 THEN 'BADLINE ' || event_type
+        ELSE '10.' || ((user_id // 65536) % 256)::VARCHAR || '.' ||
+             ((user_id // 256) % 256)::VARCHAR || '.' ||
+             (user_id % 256)::VARCHAR ||
+             ' - u' || user_id::VARCHAR ||
+             ' [' || event_id::VARCHAR || '] "GET /e/' ||
+             event_type || '/' || event_id::VARCHAR ||
+             ' HTTP/1.1" ' ||
+             (CASE event_id % 4 WHEN 0 THEN 200 WHEN 1 THEN 301
+                   WHEN 2 THEN 404 ELSE 503 END)::VARCHAR ||
+             ' ' || ((event_id * 17) % 100000)::VARCHAR
+        END AS raw_line
+      FROM events)
+    SELECT event_id,
+      {_grok_exprs}
+    FROM glines"""
 
     # incremental law: union-corpus LSH+jaccard minus ledger-internal
     # (both ids ≡ 0 mod 3) pairs — the bucket cap is evaluated over the
@@ -5567,6 +5654,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # original grouping.  Rotate per round.
 _DRIVER_HEAD: list[str] = [
     # -- round-5 additions (never driver-checked; prepend as added) --
+    "grok_parse",
     "incremental_lsh",
     "crawl_frontier",
     "sentence_dedup",
@@ -5663,6 +5751,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "incremental_lsh": q_incremental_lsh,
         "sentence_dedup": q_sentence_dedup,
+        "grok_parse": q_grok_parse,
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
         "cluster_representatives": q_cluster_representatives,
