@@ -105,7 +105,7 @@ def test_grok_parse_spark_values_types_and_null_contract(spark):
     # typed columns, not strings
     schema = {f.name: f.dataType.simpleString()
               for f in grok_parse(df, ACCESS).schema.fields}
-    assert schema["req"] == "long" and schema["st"] == "long"
+    assert schema["req"] == "bigint" and schema["st"] == "bigint"
     assert schema["ip"] == "string"
     # malformed and NULL lines: matched False, every field NULL (the
     # regexp_extract ''-on-miss is gated away)
