@@ -5697,19 +5697,25 @@ _DRIVER_HEAD: list[str] = [
     "sample_weighted",
     "levenshtein_pairs",
     # -- rotated back: operator files touched in round 4 (13) --
+    # Ordered so the ~50-entry driver window catches the highest-value
+    # rows first (54 entries total → the last ~4 wait for the next
+    # rotation): the flagship invariant (sink_counts), the parse
+    # headline (parse_metrics) and the filters.py consumers beat the
+    # redundant dedup.py consumers (lsh_pairs + near_dup_clusters
+    # already re-earn dedup.py's row).
+    "parse_metrics",
+    "sink_counts",
+    "route_mixed_rows",
     "exact_dedup",
     "incremental_dedup",
     "incremental_dedup_bloom",
     "lsh_pairs",
     "near_dup_clusters",
-    "minhash_signature",
     "ngram_jaccard",
-    "parse_metrics",
+    "minhash_signature",
     "raw_lines",
     "parsed_render",
     "matched_format_counts_multi",
-    "route_mixed_rows",
-    "sink_counts",
 ]
 
 
