@@ -409,8 +409,18 @@ rather than engine changes:
 
 The 2cp pre-registered target from round 4 (median ≥ 0.8 over ≥ 15
 clean attempts) is reported exactly as measured in the secondary-line
-section above, hit or miss. Everything below this section is the
-round-3/4 context it builds on.
+section above, hit or miss. Round-5 outcome in one paragraph: the
+short-job 2cp pool reached 23 AB-clean attempts with median 0.605
+(best 0.894) — the ≥ 15-attempt bar was met, the 0.8 median was not,
+consistent with the ~0.87 structural ceiling short jobs carry. The
+2cpL long-job line — same geometry, 3x the input, the two known
+single-box confounds (bandwidth wall, serial constant) both
+controlled — posted an **AB-clean median of 0.811 over 9 attempts**
+(draws 0.563–1.068, best dual-clean 0.898): the first config to clear
+the north rule's 0.8 bar on a clean MEDIAN rather than a best draw.
+The 4-core pools (4cp 0.382/7, 4cpL 0.509/3) remain below the bar and
+are retained as the measurement of the wall itself. Everything below
+this section is the round-3/4 context it builds on.
 
 ## Round-4 scaling-evidence change (median headline)
 
